@@ -1,0 +1,19 @@
+from .bounds import Bounds, reflect_to_bounds
+from .ess import effective_sample_size, effective_sample_size_batched
+from .progress import ChainProgressPrinter
+from .random import make_key
+from .dtypes import default_float
+from .wrap import as_device_logp, validate_posterior, is_traceable
+
+__all__ = [
+    "Bounds",
+    "reflect_to_bounds",
+    "effective_sample_size",
+    "effective_sample_size_batched",
+    "ChainProgressPrinter",
+    "make_key",
+    "default_float",
+    "as_device_logp",
+    "validate_posterior",
+    "is_traceable",
+]

@@ -1,0 +1,20 @@
+"""PRNG-key discipline for the samplers.
+
+The reference uses per-object unseeded ``numpy.random.default_rng()``
+instances (reference: gibbs.py:30, hmc/__init__.py:79, ensemble.py:55);
+here all randomness flows through explicitly threaded ``jax.random`` keys.
+A fresh entropy-derived seed is used when none is supplied, matching the
+reference's unseeded default behaviour while remaining reproducible when a
+seed is given.
+"""
+
+import os
+import numpy as np
+import jax
+
+
+def make_key(seed=None):
+    """Create a jax PRNG key, drawing entropy from the OS if seed is None."""
+    if seed is None:
+        seed = int.from_bytes(os.urandom(4), "little")
+    return jax.random.PRNGKey(np.uint32(seed))
