@@ -1,0 +1,380 @@
+"""Affine-invariant ensemble sampler.
+
+TPU-native rebuild of the reference ``EnsembleSampler``
+(reference: inference/mcmc/ensemble.py:12-411). The user-facing API is
+preserved (constructor, ``advance(iterations)``, ``get_*`` with burn/thin,
+``mode``, ``plot_diagnostics``, ``.npz`` save/load); the walker updates are
+vectorised red/black stretch moves compiled to a single ``lax.scan`` (see
+``inference_tpu.mcmc._kernels.ensemble`` for the semantic delta from the
+reference's sequential walker loop).
+"""
+
+from time import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import matplotlib.pyplot as plt
+
+from ..utils import (
+    Bounds,
+    ChainProgressPrinter,
+    make_key,
+    default_float,
+    as_device_logp,
+)
+from .base import MarkovChain
+from ._kernels.ensemble import (
+    init_ensemble_state,
+    make_ensemble_step,
+    run_steps,
+)
+
+
+class EnsembleSampler(MarkovChain):
+    """
+    Affine-invariant ensemble sampler (Goodman & Weare stretch moves).
+
+    :param posterior: \
+        A callable which takes the vector of model parameters and returns
+        the posterior log-probability. Evaluations are vmapped across all
+        walkers on device.
+
+    :param starting_positions: \
+        Starting positions of each walker as a 2D array of shape
+        ``(n_walkers, n_parameters)``.
+
+    :param alpha: \
+        Stretch-distance distribution parameter; must be greater than 1.
+
+    :param bounds: \
+        An ``inference_tpu.Bounds`` instance or ``(lower, upper)`` arrays;
+        proposals are reflected into the bounds when given.
+
+    :param display_progress: \
+        Whether to print progress/ETA messages during sampling.
+
+    :param seed: \
+        Optional integer PRNG seed.
+    """
+
+    def __init__(
+        self,
+        posterior: callable,
+        starting_positions,
+        alpha: float = 2.0,
+        bounds=None,
+        display_progress=True,
+        seed=None,
+    ):
+        self.posterior = posterior
+        self._key = make_key(seed)
+        self._step = None
+        self._state = None
+        self.max_attempts = 100
+
+        if not alpha > 1.0:
+            raise ValueError(
+                "[ EnsembleSampler error ] The given value of the 'alpha' "
+                "parameter must be greater than 1."
+            )
+        self.alpha = alpha
+        self.x_lwr = np.sqrt(2.0 / self.alpha)
+        self.x_width = np.sqrt(2.0 * self.alpha) - self.x_lwr
+
+        if bounds is None:
+            self.bounds = None
+        elif isinstance(bounds, Bounds):
+            self.bounds = bounds
+        else:
+            self.bounds = Bounds(
+                lower=bounds[0], upper=bounds[1], error_source="EnsembleSampler"
+            )
+
+        if starting_positions is not None:
+            positions = self.__validate_starting_positions(starting_positions)
+            self.n_walkers, self.n_parameters = positions.shape
+
+            if self.bounds is not None:
+                for v in positions:
+                    self.bounds.validate_start_point(
+                        v, error_source="EnsembleSampler"
+                    )
+
+            dtype = default_float()
+            self._logp = as_device_logp(posterior, positions[0])
+            dev_positions = jnp.asarray(positions, dtype)
+            logps = np.asarray(jax.vmap(self._logp)(dev_positions))
+            self.walker_positions = positions
+            self.walker_probs = logps.astype(float)
+            self._state = init_ensemble_state(dev_positions, logps, self._key)
+
+            self.n_iterations = 0
+            self.chain_length = 0
+            self.total_proposals = [[] for _ in range(self.n_walkers)]
+            self.failed_updates = []
+        else:
+            self._logp = None
+
+        self.sample = None
+        self.sample_probs = None
+        self.display_progress = display_progress
+        self.ProgressPrinter = ChainProgressPrinter(
+            display=self.display_progress, leading_msg="EnsembleSampler:"
+        )
+
+    @staticmethod
+    def __validate_starting_positions(positions):
+        """Start validation mirroring reference: ensemble.py:113-180."""
+        if not isinstance(positions, np.ndarray):
+            raise ValueError(
+                f"[ EnsembleSampler error ] 'starting_positions' should be a "
+                f"numpy.ndarray, but instead has type: {type(positions)}"
+            )
+        theta = (
+            positions.reshape([positions.size, 1])
+            if positions.ndim == 1
+            else positions
+        ).astype(float)
+
+        if theta.ndim != 2 or theta.shape[0] < (theta.shape[1] + 1):
+            raise ValueError(
+                f"[ EnsembleSampler error ] 'starting_positions' should be a "
+                f"numpy.ndarray with shape (n_walkers, n_parameters), where "
+                f"n_walkers >= n_parameters + 1. Instead, the given array has "
+                f"shape {positions.shape}."
+            )
+        if not np.isfinite(theta).all():
+            raise ValueError(
+                "[ EnsembleSampler error ] The given 'starting_positions' array "
+                "contains at least one value which is non-finite."
+            )
+        if theta.shape[1] == 1:
+            if np.var(theta) == 0:
+                raise ValueError(
+                    "[ EnsembleSampler error ] The values given in "
+                    "'starting_positions' have zero variance, and therefore the "
+                    "walkers are unable to move."
+                )
+        else:
+            covar = np.cov(theta.T)
+            std_dev = np.sqrt(np.diag(covar))
+            if (std_dev == 0).any():
+                raise ValueError(
+                    "[ EnsembleSampler error ] For one or more variables, the "
+                    "values given in 'starting_positions' have zero variance, "
+                    "and therefore the walkers are unable to move in those "
+                    "variables."
+                )
+            correlation = covar / (std_dev[:, None] * std_dev[None, :])
+            if (np.abs(np.triu(correlation, k=1)) > 0.999).any():
+                raise ValueError(
+                    "[ EnsembleSampler error ] The values given in "
+                    "'starting_positions' are approximately co-linear for one "
+                    "or more pair of variables. This will prevent the walkers "
+                    "from moving properly in those variables."
+                )
+        return theta
+
+    # ------------------------------------------------------------------ #
+    # device execution
+    # ------------------------------------------------------------------ #
+    def _get_step(self):
+        if self._step is None:
+            reflect = None if self.bounds is None else self.bounds.reflect
+            self._step = make_ensemble_step(
+                self._logp,
+                n_walkers=self.n_walkers,
+                alpha=self.alpha,
+                max_attempts=self.max_attempts,
+                bounds_reflect=reflect,
+            )
+        return self._step
+
+    def _run_chunk(self, n: int):
+        state, outs = run_steps(self._get_step(), self._state, n)
+        self._state = state
+
+        walkers = np.asarray(outs.walkers)      # (n, W, P)
+        logps = np.asarray(outs.logps)          # (n, W)
+        attempts = np.asarray(outs.attempts)    # (n, W)
+        failures = np.asarray(outs.failures)    # (n,)
+
+        self.walker_positions = walkers[-1]
+        self.walker_probs = logps[-1]
+        for i in range(self.n_walkers):
+            self.total_proposals[i].extend(attempts[:, i].tolist())
+        self.failed_updates.extend(failures.tolist())
+        self.n_iterations += n
+
+        self._sample_chunks.append(walkers.reshape(n * self.n_walkers, -1))
+        self._prob_chunks.append(logps.reshape(n * self.n_walkers))
+
+    def advance(self, iterations: int):
+        """
+        Advance the ensemble sampler a chosen number of iterations. Each
+        iteration stores one set of walker positions, so the total number of
+        samples generated is ``iterations * n_walkers``.
+        """
+        t_start = time()
+        self.ProgressPrinter.iterations_initial(iterations)
+
+        self._sample_chunks = [] if self.sample is None else [self.sample]
+        self._prob_chunks = [] if self.sample_probs is None else [self.sample_probs]
+
+        # split into ~20 progress groups of power-of-two-sized scans
+        groups = max(min(iterations, 20), 1)
+        per_group = iterations // groups
+        done = 0
+        for k in range(groups):
+            todo = per_group if k < groups - 1 else iterations - done
+            if todo > 0:
+                self._advance_n(todo)
+                done += todo
+            self.ProgressPrinter.iterations_progress(t_start, done - 1, iterations)
+        self.ProgressPrinter.iterations_final(iterations)
+
+        self.sample = np.concatenate(self._sample_chunks, axis=0)
+        self.sample_probs = np.concatenate(self._prob_chunks)
+        self.chain_length = self.sample_probs.size
+
+    # ------------------------------------------------------------------ #
+    # host history views
+    # ------------------------------------------------------------------ #
+    def mode(self) -> np.ndarray:
+        """Return the sample with the highest posterior probability."""
+        return self.sample[self.sample_probs.argmax(), :]
+
+    def get_parameter(self, index: int, burn=0, thin=1) -> np.ndarray:
+        """Return sample values for a chosen parameter with burn/thin slicing."""
+        return self.sample[burn::thin, index]
+
+    def get_probabilities(self, burn=0, thin=1) -> np.ndarray:
+        """Return the log-probability for each sample with burn/thin slicing."""
+        return self.sample_probs[burn::thin]
+
+    def get_sample(self, burn=0, thin=1) -> np.ndarray:
+        """Return the sample as an (n_samples, n_parameters) array."""
+        return self.sample[burn::thin, :]
+
+    def plot_diagnostics(self, show=True, filename=None):
+        """
+        Plot per-walker acceptance rates and log-probabilities against
+        iteration number (reference: ensemble.py:244-288).
+        """
+        x = np.linspace(1, self.n_iterations, self.n_iterations)
+        rates = x / np.array(self.total_proposals).cumsum(axis=1)
+        avg_rate = rates.mean(axis=0)
+
+        fig = plt.figure(figsize=(10, 4))
+        ax1 = fig.add_subplot(121)
+        alpha = max(0.01, min(1, 20.0 / float(self.n_walkers)))
+        for i in range(self.n_walkers):
+            ax1.plot(x, rates[i, :], lw=0.5, c="C0", alpha=alpha)
+        ax1.plot(x, avg_rate, lw=2, c="red", label="mean rate of all walkers")
+        ax1.set_ylim([0, 1])
+        ax1.grid()
+        ax1.legend()
+        ax1.set_title("walker acceptance rates")
+        ax1.set_xlabel("iteration")
+        ax1.set_ylabel("average acceptance rate per walker")
+
+        itr_probs = self.sample_probs.reshape([self.n_iterations, self.n_walkers])
+        lowest_prob = itr_probs[self.n_iterations // 2 :, :].min()
+
+        ax2 = fig.add_subplot(122)
+        ax2.plot(x, itr_probs, marker=".", ls="none", c="C0", alpha=0.05)
+        ax2.plot(
+            x,
+            np.median(itr_probs, axis=1),
+            c="red",
+            lw=2,
+            label="median walker log-probability",
+        )
+        ax2.set_ylim(
+            [lowest_prob, self.sample_probs.max() * 1.1 - 0.1 * lowest_prob]
+        )
+        ax2.grid()
+        ax2.legend()
+        ax2.set_title("walker log-probabilities")
+        ax2.set_xlabel("iteration")
+        ax2.set_ylabel("walker log-probability")
+
+        plt.tight_layout()
+        if filename is not None:
+            plt.savefig(filename)
+        if show:
+            plt.show()
+        else:
+            fig.clear()
+            plt.close(fig)
+
+    # ------------------------------------------------------------------ #
+    # checkpointing (.npz key layout matches the reference,
+    # reference: ensemble.py:355-411)
+    # ------------------------------------------------------------------ #
+    def save(self, filename):
+        D = {
+            "walker_positions": self.walker_positions,
+            "n_parameters": self.n_parameters,
+            "n_walkers": self.n_walkers,
+            "walker_probs": self.walker_probs,
+            "n_iterations": self.n_iterations,
+            "total_proposals": np.array(self.total_proposals),
+            "alpha": self.alpha,
+            "max_attempts": self.max_attempts,
+            "display_progress": self.display_progress,
+        }
+        if self.bounds is not None:
+            D["lower_bounds"] = self.bounds.lower
+            D["upper_bounds"] = self.bounds.upper
+        if self.sample is not None:
+            D["sample"] = self.sample
+            D["sample_probs"] = self.sample_probs
+        np.savez(filename, **D)
+
+    @classmethod
+    def load(cls, filename: str, posterior=None, seed=None):
+        D = np.load(filename)
+
+        if all(k in D for k in ["lower_bounds", "upper_bounds"]):
+            bounds = Bounds(
+                lower=D["lower_bounds"],
+                upper=D["upper_bounds"],
+                error_source="EnsembleSampler",
+            )
+        else:
+            bounds = None
+
+        sampler = cls(
+            posterior=posterior,
+            starting_positions=None,
+            bounds=bounds,
+            alpha=float(D["alpha"]),
+            display_progress=bool(D["display_progress"]),
+            seed=seed,
+        )
+        sampler.walker_positions = np.asarray(D["walker_positions"], dtype=float)
+        sampler.n_parameters = int(D["n_parameters"])
+        sampler.n_walkers = int(D["n_walkers"])
+        sampler.walker_probs = np.asarray(D["walker_probs"], dtype=float)
+        sampler.n_iterations = int(D["n_iterations"])
+        sampler.total_proposals = [list(v) for v in D["total_proposals"]]
+        sampler.max_attempts = int(D["max_attempts"])
+        sampler.failed_updates = []
+        sampler.chain_length = 0
+
+        if "sample" in D:
+            sampler.sample = np.asarray(D["sample"], dtype=float)
+            sampler.sample_probs = np.asarray(D["sample_probs"], dtype=float)
+            sampler.chain_length = sampler.sample_probs.size
+
+        if posterior is not None:
+            dtype = default_float()
+            sampler._logp = as_device_logp(posterior, sampler.walker_positions[0])
+            sampler._state = init_ensemble_state(
+                jnp.asarray(sampler.walker_positions, dtype),
+                jnp.asarray(sampler.walker_probs, dtype),
+                sampler._key,
+            )
+        return sampler
