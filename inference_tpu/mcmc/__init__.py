@@ -1,7 +1,19 @@
+from .gibbs import MetropolisChain, GibbsChain
+from .pca import PcaChain
+from .ensemble import EnsembleSampler
 from .hmc import HamiltonianChain
-from .utilities import Bounds
+from .parallel import ParallelTempering, ChainPool
+from .utilities import Bounds, effective_sample_size, ChainProgressPrinter
 
 __all__ = [
+    "MetropolisChain",
+    "GibbsChain",
+    "PcaChain",
+    "EnsembleSampler",
     "HamiltonianChain",
+    "ParallelTempering",
+    "ChainPool",
     "Bounds",
+    "effective_sample_size",
+    "ChainProgressPrinter",
 ]

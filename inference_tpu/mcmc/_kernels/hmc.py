@@ -44,6 +44,8 @@ class HmcState(NamedTuple):
     eps: AdaptiveScale        # step-size adaptation state
     key: jnp.ndarray          # PRNG key
     failed: jnp.ndarray       # () bool — max_attempts exhausted at some step
+    inv_temp: jnp.ndarray     # () inverse temperature (traced: rungs can be
+                              # batched over a vmapped/sharded axis)
 
 
 class HmcOutput(NamedTuple):
@@ -53,7 +55,7 @@ class HmcOutput(NamedTuple):
     epsilon: jnp.ndarray        # () step size after this sample
 
 
-def init_hmc_state(theta0, logp0, epsilon, key) -> HmcState:
+def init_hmc_state(theta0, logp0, epsilon, key, inv_temp=1.0) -> HmcState:
     theta0 = jnp.asarray(theta0)
     return HmcState(
         theta=theta0,
@@ -61,6 +63,7 @@ def init_hmc_state(theta0, logp0, epsilon, key) -> HmcState:
         eps=init_adaptive_scale(jnp.asarray(epsilon, theta0.dtype), EPS_CHK_INT),
         key=key,
         failed=jnp.asarray(False),
+        inv_temp=jnp.asarray(inv_temp, theta0.dtype),
     )
 
 
@@ -68,7 +71,6 @@ def make_hmc_step(
     logp_fn,
     grad_fn,
     *,
-    inv_temp: float = 1.0,
     steps: int = 50,
     max_attempts: int = 200,
     mass_velocity=None,
@@ -80,7 +82,6 @@ def make_hmc_step(
 
     :param logp_fn: traceable ``theta -> log-probability`` (untempered).
     :param grad_fn: traceable gradient of ``logp_fn``.
-    :param inv_temp: inverse temperature multiplying the log-probability.
     :param steps: nominal leapfrog steps per proposal (jittered +-10%).
     :param max_attempts: proposal retries before flagging failure.
     :param mass_velocity: ``r -> velocity`` map (inverse-mass application).
@@ -88,15 +89,18 @@ def make_hmc_step(
     :param bounds_reflect: optional ``theta -> (theta, reflections)`` map for
         bounded leapfrog (position reflection + momentum sign flip,
         reference: hmc/__init__.py:178-194).
+
+    The inverse temperature is read from the state so tempering rungs can
+    share one compiled program. Tempering scales both the log-probability
+    and the leapfrog force (reference: hmc/__init__.py:167,181).
     """
     if mass_velocity is None:
         mass_velocity = lambda r: r
-    inv_temp = float(inv_temp)
 
     def kinetic_energy(r):
         return 0.5 * (r @ mass_velocity(r))
 
-    def leapfrog(t, r, n_steps, epsilon):
+    def leapfrog(t, r, n_steps, epsilon, inv_temp):
         r_step = inv_temp * epsilon
         r = r + (0.5 * r_step) * grad_fn(t)
 
@@ -118,6 +122,7 @@ def make_hmc_step(
     def step(state: HmcState):
         key, step_key = jax.random.split(state.key)
         dtype = state.theta.dtype
+        inv_temp = state.inv_temp
 
         class Carry(NamedTuple):
             key: jnp.ndarray
@@ -141,7 +146,7 @@ def make_hmc_step(
             u = jax.random.uniform(k_steps, dtype=dtype)
             n_steps = (steps * (1 + (u - 0.5) * 0.2)).astype(jnp.int32)
 
-            t, r = leapfrog(state.theta, r0, n_steps, epsilon)
+            t, r = leapfrog(state.theta, r0, n_steps, epsilon, inv_temp)
 
             p = logp_fn(t) * inv_temp
             h = kinetic_energy(r) - p
@@ -191,6 +196,7 @@ def make_hmc_step(
             eps=final.eps,
             key=key,
             failed=state.failed | ~final.accepted,
+            inv_temp=state.inv_temp,
         )
         out = HmcOutput(
             theta=final.theta,

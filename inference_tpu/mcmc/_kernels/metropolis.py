@@ -57,6 +57,8 @@ class MetropolisState(NamedTuple):
     widths: AdaptiveScale     # per-parameter proposal width adaptation
     try_count: jnp.ndarray    # (P,) int32 proposals since last accepted step
     key: jnp.ndarray
+    inv_temp: jnp.ndarray     # () inverse temperature (traced: rungs can be
+                              # batched over a vmapped/sharded axis)
 
 
 class MetropolisOutput(NamedTuple):
@@ -65,7 +67,9 @@ class MetropolisOutput(NamedTuple):
     sigmas: jnp.ndarray  # (P,) proposal widths after this step
 
 
-def init_metropolis_state(theta0, logp0, widths, key) -> MetropolisState:
+def init_metropolis_state(
+    theta0, logp0, widths, key, inv_temp=1.0
+) -> MetropolisState:
     theta0 = jnp.asarray(theta0)
     return MetropolisState(
         theta=theta0,
@@ -75,6 +79,7 @@ def init_metropolis_state(theta0, logp0, widths, key) -> MetropolisState:
         ),
         try_count=jnp.zeros(theta0.shape, jnp.int32),
         key=key,
+        inv_temp=jnp.asarray(inv_temp, theta0.dtype),
     )
 
 
@@ -100,17 +105,18 @@ def _halve_on_max_tries(widths, try_count, mask_extra=True):
     return rescale(widths, 0.25, mask=halve), try_count
 
 
-def make_metropolis_step(logp_fn, modes: ProposalModes, *, inv_temp: float = 1.0):
+def make_metropolis_step(logp_fn, modes: ProposalModes):
     """
     Joint-proposal Metropolis-Hastings step with repeat-until-accept
     (reference: gibbs.py:288-307). Widths adapt only through the
     max-tries halving — the reference's ``MetropolisChain`` never submits
-    acceptance statistics.
+    acceptance statistics. The inverse temperature is read from the state
+    so tempering rungs can share one compiled program.
     """
-    inv_temp = float(inv_temp)
 
     def step(state: MetropolisState):
         key, step_key = jax.random.split(state.key)
+        inv_temp = state.inv_temp
 
         def cond(c):
             return ~c[0]
@@ -147,6 +153,7 @@ def make_metropolis_step(logp_fn, modes: ProposalModes, *, inv_temp: float = 1.0
             widths=widths,
             try_count=jnp.zeros_like(state.try_count),  # add_sample resets
             key=key,
+            inv_temp=state.inv_temp,
         )
         return new_state, MetropolisOutput(theta, logp, widths.value)
 
@@ -157,7 +164,6 @@ def make_gibbs_step(
     logp_fn,
     modes: ProposalModes,
     *,
-    inv_temp: float = 1.0,
     target_rate: float = GIBBS_TARGET,
 ):
     """
@@ -165,10 +171,10 @@ def make_gibbs_step(
     per parameter per step, with per-parameter acceptance statistics driving
     the width adaptation (reference: gibbs.py:627-656).
     """
-    inv_temp = float(inv_temp)
 
     def step(state: MetropolisState):
         key, step_key = jax.random.split(state.key)
+        inv_temp = state.inv_temp
         n_params = state.theta.shape[0]
         param_ids = jnp.arange(n_params)
 
@@ -229,6 +235,7 @@ def make_gibbs_step(
             widths=widths,
             try_count=jnp.zeros_like(state.try_count),
             key=key,
+            inv_temp=state.inv_temp,
         )
         return new_state, MetropolisOutput(theta, logp, widths.value)
 
@@ -241,11 +248,12 @@ class PcaState(NamedTuple):
     widths: AdaptiveScale     # per-direction proposal width adaptation
     try_count: jnp.ndarray    # (P,) int32
     key: jnp.ndarray
+    inv_temp: jnp.ndarray     # ()
     directions: jnp.ndarray   # (P, P) sweep direction i in column i
 
 
-def init_pca_state(theta0, logp0, widths, key, directions) -> PcaState:
-    base = init_metropolis_state(theta0, logp0, widths, key)
+def init_pca_state(theta0, logp0, widths, key, directions, inv_temp=1.0) -> PcaState:
+    base = init_metropolis_state(theta0, logp0, widths, key, inv_temp)
     return PcaState(
         *base, directions=jnp.asarray(directions, jnp.asarray(theta0).dtype)
     )
@@ -254,7 +262,6 @@ def init_pca_state(theta0, logp0, widths, key, directions) -> PcaState:
 def make_pca_step(
     logp_fn,
     *,
-    inv_temp: float = 1.0,
     target_rate: float = GIBBS_TARGET,
     bounds_reflect=None,
 ):
@@ -264,10 +271,10 @@ def make_pca_step(
     reference: pca.py:96-183). The direction matrix lives in the state so
     host-side updates don't invalidate the compiled program.
     """
-    inv_temp = float(inv_temp)
 
     def step(state: PcaState):
         key, step_key = jax.random.split(state.key)
+        inv_temp = state.inv_temp
         n_params = state.theta.shape[0]
         param_ids = jnp.arange(n_params)
         directions = state.directions
@@ -328,6 +335,7 @@ def make_pca_step(
             widths=widths,
             try_count=jnp.zeros_like(state.try_count),
             key=key,
+            inv_temp=state.inv_temp,
             directions=state.directions,
         )
         return new_state, MetropolisOutput(theta, logp, widths.value)

@@ -112,7 +112,11 @@ class MetropolisChain(MarkovChain):
                     f"log-probability is non-finite at the given start point."
                 )
             self._state = init_metropolis_state(
-                jnp.asarray(start, dtype), p0, jnp.asarray(widths, dtype), self._key
+                jnp.asarray(start, dtype),
+                p0,
+                jnp.asarray(widths, dtype),
+                self._key,
+                inv_temp=self.inv_temp,
             )
             self._theta_chunks = [start.reshape(1, -1)]
             self._prob_chunks = [np.array([p0])]
@@ -175,9 +179,7 @@ class MetropolisChain(MarkovChain):
     # device execution
     # ------------------------------------------------------------------ #
     def _build_step(self):
-        return make_metropolis_step(
-            self._logp, self._device_modes(), inv_temp=self.inv_temp
-        )
+        return make_metropolis_step(self._logp, self._device_modes())
 
     def _get_step(self):
         if self._step is None:
@@ -192,11 +194,18 @@ class MetropolisChain(MarkovChain):
             )
         state, outs = run_steps(self._get_step(), self._state, n)
         self._state = state
+        self._absorb_outputs(outs)
+
+    def _absorb_outputs(self, outs):
+        """Append a chunk of device outputs to the host history."""
+        theta = np.asarray(outs.theta)
+        logp = np.asarray(outs.logp)
+        sigmas = np.asarray(outs.sigmas)
         start_step = self.chain_length
-        self._theta_chunks.append(np.asarray(outs.theta))
-        self._prob_chunks.append(np.asarray(outs.logp))
-        self.chain_length += n
-        self._record_width_trace(np.asarray(outs.sigmas), start_step)
+        self._theta_chunks.append(theta)
+        self._prob_chunks.append(logp)
+        self.chain_length += len(logp)
+        self._record_width_trace(sigmas, start_step)
 
     def _record_width_trace(self, sigmas: np.ndarray, start_step: int):
         """Absorb the per-step width trace, logging change points."""
@@ -461,6 +470,7 @@ class MetropolisChain(MarkovChain):
                 [int(D[f"param_{i}try_count"]) for i in range(n)], jnp.int32
             ),
             key=chain._key,
+            inv_temp=jnp.asarray(chain.inv_temp, dtype),
         )
         if posterior is not None:
             chain._logp = as_device_logp(posterior, theta[-1])
@@ -482,6 +492,5 @@ class GibbsChain(MetropolisChain):
         return make_gibbs_step(
             self._logp,
             self._device_modes(),
-            inv_temp=self.inv_temp,
             target_rate=self.target_rate,
         )

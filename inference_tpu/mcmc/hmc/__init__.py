@@ -131,7 +131,8 @@ class HamiltonianChain(MarkovChain):
             self._logp = as_device_logp(posterior, start)
             p0 = float(self._logp(jnp.asarray(start, dtype))) * self.inv_temp
             self._state = init_hmc_state(
-                jnp.asarray(start, dtype), p0, epsilon, self._key
+                jnp.asarray(start, dtype), p0, epsilon, self._key,
+                inv_temp=self.inv_temp,
             )
             # host-side history (numpy chunks, concatenated lazily)
             self._theta_chunks = [start.reshape(1, -1)]
@@ -186,7 +187,6 @@ class HamiltonianChain(MarkovChain):
         config = (
             self.steps,
             self.max_attempts,
-            self.inv_temp,
             id(self.mass),
             id(self.bounds),
         )
@@ -197,7 +197,6 @@ class HamiltonianChain(MarkovChain):
             self._step = make_hmc_step(
                 self._logp,
                 grad_fn,
-                inv_temp=self.inv_temp,
                 steps=self.steps,
                 max_attempts=self.max_attempts,
                 mass_velocity=self.mass.get_velocity,
@@ -222,14 +221,19 @@ class HamiltonianChain(MarkovChain):
                 f"allowed attempts of {self.max_attempts}"
             )
         self._state = state
+        self._absorb_outputs(outs)
+        eps = self._state.eps
+        self.ES.sync_counters(eps.avg, eps.var, eps.num, eps.chk_int)
+
+    def _absorb_outputs(self, outs):
+        """Append a chunk of device outputs to the host history."""
+        n = len(np.asarray(outs.logp))
         start_step = self.chain_length
         self._theta_chunks.append(np.asarray(outs.theta))
         self._prob_chunks.append(np.asarray(outs.logp))
         self._leapfrog_chunks.append(np.asarray(outs.leapfrog_steps))
         self.chain_length += n
         self.ES.record_trace(np.asarray(outs.epsilon), start_step)
-        eps = self._state.eps
-        self.ES.sync_counters(eps.avg, eps.var, eps.num, eps.chk_int)
 
     # ------------------------------------------------------------------ #
     # host history views
@@ -487,6 +491,7 @@ class HamiltonianChain(MarkovChain):
                 eps=eps_state,
                 key=chain._key,
                 failed=jnp.asarray(False),
+                inv_temp=jnp.asarray(chain.inv_temp, dtype),
             )
         else:
             chain._logp = None

@@ -1,0 +1,338 @@
+"""Parallel tempering and chain pools.
+
+TPU-native rebuild of the reference process-per-chain replica exchange
+(reference: inference/mcmc/parallel.py:33-384). The reference spawns one OS
+process per temperature rung and exchanges positions through pipes; here all
+rungs advance inside a **single compiled program** — the per-rung states are
+stacked into one pytree (the inverse temperature is a state field, so rungs
+at different temperatures share the compiled step) and the step is ``vmap``-ed
+over the rung axis. Swap proposals use the same ``tight_pairs`` pairing and
+Metropolis test ``U <= exp(-d(beta) * d(logP))`` (reference:
+parallel.py:162-231), executed on the host between scan segments with a
+single device round-trip for the (N_rungs, P) position block.
+
+A sharded multi-chip variant (rungs laid out over a ``jax.sharding.Mesh``
+with ``ppermute`` swaps) lives in ``inference_tpu.parallel.tempering``.
+"""
+
+import sys
+from time import time
+from warnings import warn
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .base import MarkovChain
+
+
+class ChainPool:
+    """
+    Data-parallel advancement of independent chains
+    (reference: parallel.py:15-30 uses a multiprocessing.Pool; here each
+    chain's sampling loop is already a compiled device program, so the pool
+    simply drives them in turn — for thousands of homogeneous chains use
+    ``inference_tpu.parallel.ChainArray``, which vmaps one compiled step
+    over the whole batch).
+    """
+
+    def __init__(self, chains):
+        self.chains = chains
+        self.pool_size = len(self.chains)
+
+    def advance(self, n: int):
+        for chain in self.chains:
+            chain._advance_n(n)
+
+
+class ParallelTempering:
+    """
+    Replica-exchange ('parallel tempering') sampling over a list of chains
+    covering a range of temperatures, sorted in increasing-temperature order.
+
+    All chains must be of the same sampler class with matching
+    configuration (posterior, bounds, mass, parameter count) — they are
+    batched into a single compiled program vmapped over the rung axis.
+
+    :param chains: \
+        A list of chain objects (``GibbsChain``, ``PcaChain``,
+        ``HamiltonianChain``) sorted by increasing temperature.
+    """
+
+    def __init__(self, chains):
+        self.chains = list(chains)
+        self.N_chains = len(self.chains)
+        self.rng = np.random.default_rng()
+
+        cls = type(self.chains[0])
+        if not all(type(c) is cls for c in self.chains):
+            raise ValueError(
+                "[ ParallelTempering error ] All chains must be of the same "
+                "sampler class to be batched into one compiled program."
+            )
+        n_params = {c.n_parameters for c in self.chains}
+        if len(n_params) != 1:
+            raise ValueError(
+                "[ ParallelTempering error ] All chains must have the same "
+                "number of parameters."
+            )
+
+        self.temperatures = [1.0 / c.inv_temp for c in self.chains]
+        self.inv_temps = [c.inv_temp for c in self.chains]
+
+        self.attempted_swaps = np.identity(self.N_chains)
+        self.successful_swaps = np.zeros([self.N_chains, self.N_chains])
+
+        if sorted(self.temperatures) != self.temperatures:
+            warn(
+                "The list of chain objects passed to ParallelTempering should "
+                "be sorted in order of increasing chain temperature."
+            )
+
+        # stack the per-rung states into one pytree and vmap the step
+        self._batched_state = jax.tree.map(
+            lambda *xs: jnp.stack(xs), *[c._state for c in self.chains]
+        )
+        self._vstep = jax.vmap(self.chains[0]._get_step())
+
+    # ------------------------------------------------------------------ #
+    # advancement
+    # ------------------------------------------------------------------ #
+    def _run_batch(self, n: int):
+        """Advance all rungs ``n`` steps in one compiled scan."""
+        from ._kernels.hmc import run_steps  # generic over step/state pytrees
+
+        state, outs = run_steps(self._vstep, self._batched_state, n)
+        self._batched_state = state
+
+        outs_np = type(outs)(*[np.asarray(f) for f in outs])
+        for k, chain in enumerate(self.chains):
+            sliced = type(outs)(*[f[:, k] for f in outs_np])
+            chain._absorb_outputs(sliced)
+
+        if hasattr(state, "failed") and bool(np.asarray(state.failed).any()):
+            raise ValueError(
+                "[ ParallelTempering error ] A chain failed to take a step "
+                "within its maximum allowed attempts."
+            )
+
+    def take_steps(self, n: int):
+        """Advance all chains ``n`` steps without swap attempts."""
+        remaining = int(n)
+        while remaining > 0:
+            run = remaining
+            # stop at PCA direction-update boundaries (host eigendecomposition)
+            boundaries = [
+                c.next_update - c.chain_length
+                for c in self.chains
+                if hasattr(c, "next_update") and c.next_update > c.chain_length
+            ]
+            if boundaries:
+                run = min(run, min(boundaries))
+            self._run_batch(run)
+            remaining -= run
+            for k, c in enumerate(self.chains):
+                if hasattr(c, "next_update") and c.chain_length == c.next_update:
+                    c.update_directions()
+                    self._batched_state = self._batched_state._replace(
+                        directions=self._batched_state.directions.at[k].set(
+                            jnp.asarray(c.directions)
+                        )
+                    )
+
+    # ------------------------------------------------------------------ #
+    # swap moves (reference: parallel.py:154-231)
+    # ------------------------------------------------------------------ #
+    def uniform_pairs(self):
+        """Random pairing with uniform sampling across all pairings."""
+        proposed = self.rng.permutation(self.N_chains)
+        return [p for p in zip(proposed[::2], proposed[1::2])]
+
+    def tight_pairs(self):
+        """
+        Random pairing where almost all pairs are separated by at most two
+        temperature rungs.
+        """
+        pairs = [
+            (i, i + j) for i in range(self.N_chains - 1) for j in [1, 2]
+        ][:-1]
+        sample = []
+        while len(pairs) > 0:
+            p = pairs[self.rng.integers(len(pairs))]
+            pairs = [k for k in pairs if not any(j in k for j in p)]
+            sample.append(p)
+        remaining = len(sample) - self.N_chains // 2
+        if remaining != 0:
+            leftovers = [
+                i
+                for i in range(self.N_chains)
+                if not any(i in p for p in sample)
+            ]
+            self.rng.shuffle(leftovers)
+            sample.extend(
+                p if p[0] < p[1] else (p[1], p[0])
+                for p in zip(leftovers[::2], leftovers[1::2])
+            )
+        return sample
+
+    def swap(self):
+        """Propose Metropolis position swaps between randomly-paired rungs."""
+        positions = np.array(self._batched_state.theta)
+        probabilities = np.array(self._batched_state.logp)
+
+        proposed_swaps = self.tight_pairs()
+        for pair in proposed_swaps:
+            self.attempted_swaps[pair] += 1
+
+        changed = False
+        for i, j in proposed_swaps:
+            dt = self.inv_temps[i] - self.inv_temps[j]
+            pi = probabilities[i] / self.inv_temps[i]
+            pj = probabilities[j] / self.inv_temps[j]
+            dp = pi - pj
+
+            if self.rng.random() <= np.exp(-dt * dp):
+                pos_i = positions[i].copy()
+                positions[i] = positions[j]
+                positions[j] = pos_i
+                probabilities[i] = pj * self.inv_temps[i]
+                probabilities[j] = pi * self.inv_temps[j]
+                self.successful_swaps[i, j] += 1
+                changed = True
+
+        if changed:
+            dtype = self._batched_state.theta.dtype
+            self._batched_state = self._batched_state._replace(
+                theta=jnp.asarray(positions, dtype),
+                logp=jnp.asarray(probabilities, dtype),
+            )
+            for k, chain in enumerate(self.chains):
+                chain._consolidated_theta()[-1, :] = positions[k]
+                chain._consolidated_probs()[-1] = probabilities[k]
+
+    def advance(self, n: int, swap_interval: int = 10):
+        """
+        Advance each chain ``n`` steps, attempting swaps every
+        ``swap_interval`` steps.
+        """
+        k = 50
+        total_cycles = n // swap_interval
+        if k < total_cycles:
+            k = total_cycles
+            cycles = 1
+        else:
+            cycles = total_cycles // k
+
+        t_start = time()
+        for j in range(k):
+            for _ in range(cycles):
+                self.take_steps(swap_interval)
+                self.swap()
+            dt = time() - t_start
+            pct = int(100 * (j + 1) / k)
+            eta = int(dt * (k / (j + 1) - 1))
+            sys.stdout.write(
+                f"\r  [ Running ParallelTempering - {pct}% complete   "
+                f"ETA: {eta} sec ]    "
+            )
+            sys.stdout.flush()
+
+        if total_cycles % k != 0:
+            for _ in range(total_cycles % k):
+                self.take_steps(swap_interval)
+                self.swap()
+        if n % swap_interval != 0:
+            self.take_steps(n % swap_interval)
+
+        sys.stdout.write(
+            "\r  [ Running ParallelTempering - complete! ]                    \n"
+        )
+        sys.stdout.flush()
+
+    def run_for(self, minutes=0, hours=0, swap_interval: int = 10):
+        """Advance all chains for a chosen amount of wall-clock time."""
+        run_time = (hours * 60.0 + minutes) * 60.0
+        start_time = time()
+        end_time = start_time + run_time
+
+        t1 = time()
+        self.take_steps(swap_interval)
+        self.swap()
+        t2 = time()
+
+        # cycles chosen to give a print-out roughly every 2 seconds
+        N = max(1, int(2.0 / max(t2 - t1, 1e-9)))
+
+        while time() < end_time:
+            for _ in range(N):
+                self.take_steps(swap_interval)
+                self.swap()
+            seconds_remaining = end_time - time()
+            m, s = divmod(max(seconds_remaining, 0), 60)
+            h, m = divmod(m, 60)
+            sys.stdout.write(
+                f"\r  [ Running ParallelTempering - time remaining: "
+                f"%d:%02d:%02d ]    " % (h, m, s)
+            )
+            sys.stdout.flush()
+
+        sys.stdout.write(
+            "\r  [ Running ParallelTempering - complete! ]                    \n"
+        )
+        sys.stdout.flush()
+
+    # ------------------------------------------------------------------ #
+    # diagnostics & teardown
+    # ------------------------------------------------------------------ #
+    def swap_diagnostics(self):
+        """Plot acceptance rates of position swaps between the chains."""
+        import matplotlib.pyplot as plt
+        from ..plotting import transition_matrix_plot
+
+        rate_matrix = self.successful_swaps / self.attempted_swaps.clip(min=1)
+
+        pairs = [
+            (i, i + j)
+            for j in range(1, self.N_chains)
+            for i in range(self.N_chains - j)
+        ]
+        total_swaps = np.zeros(self.N_chains)
+        for i, j in pairs:
+            total_swaps[i] += self.successful_swaps[i, j]
+            total_swaps[j] += self.successful_swaps[i, j]
+
+        fig = plt.figure(figsize=(10, 5))
+        ax1 = fig.add_subplot(121)
+        transition_matrix_plot(
+            axis=ax1,
+            matrix=rate_matrix,
+            exclude_diagonal=True,
+            upper_triangular=True,
+        )
+        ax1.set_xlabel("chain number")
+        ax1.set_ylabel("chain number")
+        ax1.set_title("acceptance rate of chain position swaps")
+
+        ax2 = fig.add_subplot(122)
+        ax2.bar(range(1, self.N_chains + 1), total_swaps)
+        ax2.set_ylim([0, None])
+        ax2.set_xlabel("chain number")
+        ax2.set_ylabel("total successful position swaps")
+
+        plt.tight_layout()
+        plt.show()
+
+    def _sync_states(self):
+        """Unstack the batched device state back into the chain objects."""
+        for k, chain in enumerate(self.chains):
+            chain._state = jax.tree.map(lambda x, k=k: x[k], self._batched_state)
+
+    def return_chains(self):
+        """Return the chain objects with their final device states."""
+        self._sync_states()
+        return self.chains
+
+    def shutdown(self):
+        """Release the batched device state (API parity: the reference
+        terminates its worker processes here)."""
+        self._sync_states()

@@ -86,7 +86,6 @@ class PcaChain(MetropolisChain):
         reflect = None if self.bounds is None else self.bounds.reflect
         return make_pca_step(
             self._logp,
-            inv_temp=self.inv_temp,
             target_rate=self.target_rate,
             bounds_reflect=reflect,
         )

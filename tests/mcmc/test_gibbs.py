@@ -1,0 +1,150 @@
+import numpy as np
+import pytest
+
+from inference_tpu.mcmc import GibbsChain
+from mcmc_utils import rosenbrock, sliced_length
+
+
+def make_chain(n=500, seed=7):
+    chain = GibbsChain(
+        posterior=rosenbrock,
+        start=np.array([2.0, -4.0]),
+        widths=np.array([0.2, 0.4]),
+        display_progress=False,
+        seed=seed,
+    )
+    chain.advance(n)
+    return chain
+
+
+def test_gibbs_chain_advance():
+    chain = make_chain(n=200)
+    assert chain.chain_length == 201
+    assert chain.get_sample().shape == (200, 2)
+    assert chain.get_probabilities().size == 200
+    # all recorded probabilities are finite
+    assert np.isfinite(chain.get_probabilities()).all()
+
+
+@pytest.mark.parametrize("burn", [0, 1, 5, 100])
+@pytest.mark.parametrize("thin", [1, 3, 7])
+def test_gibbs_chain_burn_thin_slicing(burn, thin):
+    chain = make_chain(n=300)
+    expected = sliced_length(chain.chain_length, burn, thin)
+    assert chain.get_sample(burn=burn, thin=thin).shape == (expected, 2)
+    assert chain.get_parameter(0, burn=burn, thin=thin).size == expected
+    assert chain.get_probabilities(burn=burn, thin=thin).size == expected
+
+
+def test_gibbs_chain_statistics():
+    chain = make_chain(n=20000, seed=11)
+    s = chain.get_sample(burn=5000)
+    # the rosenbrock posterior is symmetric in x
+    assert abs(s[:, 0].mean()) < 0.15
+    # y concentrates on the parabola y = x^2 > 0
+    assert 0.1 < s[:, 1].mean() < 0.8
+
+
+def test_gibbs_chain_non_negative():
+    chain = GibbsChain(
+        posterior=rosenbrock,
+        start=np.array([2.0, 4.0]),
+        widths=np.array([0.2, 0.4]),
+        display_progress=False,
+        seed=2,
+    )
+    chain.set_non_negative(1)
+    chain.advance(500)
+    assert (chain.get_parameter(1) >= 0).all()
+
+
+def test_gibbs_chain_boundaries():
+    chain = GibbsChain(
+        posterior=rosenbrock,
+        start=np.array([0.5, 0.5]),
+        widths=np.array([0.2, 0.4]),
+        display_progress=False,
+        seed=2,
+    )
+    left, right = (0.45, 0.55)
+    chain.set_boundaries(0, (left, right))
+    chain.advance(500)
+    p = chain.get_parameter(0)
+    assert (p >= left).all() and (p <= right).all()
+
+
+def test_gibbs_chain_save_load(tmp_path):
+    chain = make_chain(n=300)
+    f = tmp_path / "gibbs.npz"
+    chain.save(str(f))
+    loaded = GibbsChain.load(str(f), posterior=rosenbrock)
+
+    assert loaded.chain_length == chain.chain_length
+    assert np.array_equal(loaded.get_sample(), chain.get_sample())
+    assert np.array_equal(loaded.get_probabilities(), chain.get_probabilities())
+    # the loaded chain can continue sampling
+    loaded.advance(50)
+    assert loaded.chain_length == chain.chain_length + 50
+
+
+def test_gibbs_chain_mode():
+    chain = make_chain(n=1000)
+    mode = chain.mode()
+    probs = chain.get_probabilities(burn=0)
+    # mode must correspond to the max recorded probability
+    assert np.isclose(float(rosenbrock(mode)), probs.max())
+
+
+def test_gibbs_chain_get_interval():
+    chain = make_chain(n=1000)
+    sample, probs = chain.get_interval(interval=0.5)
+    assert sample.shape[0] == probs.size
+    assert probs.min() >= np.percentile(chain.get_probabilities(), 49)
+
+
+def test_gibbs_chain_burn_thin_attribute_errors():
+    chain = make_chain(n=10)
+    with pytest.raises(AttributeError):
+        chain.burn
+    with pytest.raises(AttributeError):
+        chain.burn = 5
+    with pytest.raises(AttributeError):
+        chain.thin
+    with pytest.raises(AttributeError):
+        chain.thin = 5
+
+
+def test_gibbs_chain_invalid_posterior():
+    with pytest.raises(ValueError):
+        GibbsChain(posterior=42, start=np.array([1.0, 1.0]))
+
+    def bad_posterior(t):
+        return np.array([1.0, 2.0])
+
+    with pytest.raises(ValueError):
+        GibbsChain(posterior=bad_posterior, start=np.array([1.0, 1.0]))
+
+    def nan_posterior(t):
+        return float("nan")
+
+    with pytest.raises(ValueError):
+        GibbsChain(posterior=nan_posterior, start=np.array([1.0, 1.0]))
+
+
+def test_gibbs_numpy_posterior_callback():
+    """Non-traceable numpy posteriors run through the host-callback path."""
+
+    def np_posterior(t):
+        t = np.asarray(t)
+        return float(-0.5 * np.sum((t - 1.0) ** 2))
+
+    chain = GibbsChain(
+        posterior=np_posterior,
+        start=np.array([0.5, 0.5]),
+        widths=np.array([0.3, 0.3]),
+        display_progress=False,
+        seed=1,
+    )
+    chain.advance(400)
+    s = chain.get_sample(burn=100)
+    assert abs(s.mean() - 1.0) < 0.3
