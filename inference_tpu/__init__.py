@@ -9,3 +9,55 @@ likelihood/prior/posterior building blocks, and matplotlib diagnostics.
 """
 
 __version__ = "0.1.0"
+
+from .mcmc import (
+    MetropolisChain,
+    GibbsChain,
+    PcaChain,
+    EnsembleSampler,
+    HamiltonianChain,
+    ParallelTempering,
+    ChainPool,
+    Bounds,
+)
+from .models import (
+    GaussianLikelihood,
+    CauchyLikelihood,
+    LogisticLikelihood,
+    GaussianPrior,
+    ExponentialPrior,
+    UniformPrior,
+    JointPrior,
+    Posterior,
+)
+from .gp import (
+    GpRegressor,
+    GpOptimiser,
+    GpLinearInverter,
+)
+from .pdf import GaussianKDE, UnimodalPdf, sample_hdi
+
+__all__ = [
+    "MetropolisChain",
+    "GibbsChain",
+    "PcaChain",
+    "EnsembleSampler",
+    "HamiltonianChain",
+    "ParallelTempering",
+    "ChainPool",
+    "Bounds",
+    "GaussianLikelihood",
+    "CauchyLikelihood",
+    "LogisticLikelihood",
+    "GaussianPrior",
+    "ExponentialPrior",
+    "UniformPrior",
+    "JointPrior",
+    "Posterior",
+    "GpRegressor",
+    "GpOptimiser",
+    "GpLinearInverter",
+    "GaussianKDE",
+    "UnimodalPdf",
+    "sample_hdi",
+]

@@ -1,0 +1,221 @@
+"""Gaussian-process (Bayesian) optimisation.
+
+TPU-native rebuild of the reference ``GpOptimiser``
+(reference: inference/gp/optimisation.py:14-292) with the same API:
+``propose_evaluation`` maximises the acquisition by multistart BFGS with
+autodiff gradients (or differential evolution), ``add_evaluation`` appends
+the new datum and refits the GP from scratch, and ``plot_results`` shows the
+convergence history.
+"""
+
+from collections.abc import Sequence
+from inspect import isclass
+
+import numpy as np
+from scipy.optimize import differential_evolution, fmin_l_bfgs_b
+import matplotlib.pyplot as plt
+
+from .regression import GpRegressor
+from .covariance import CovarianceFunction, SquaredExponential
+from .acquisition import AcquisitionFunction, ExpectedImprovement
+from .mean import MeanFunction, ConstantMean
+
+
+class GpOptimiser:
+    """
+    Gaussian-process optimisation in one or more dimensions, for objective
+    functions that are expensive to evaluate.
+
+    :param x: initial evaluation positions, shape (n_points, n_dims).
+    :param y: objective values at ``x``.
+    :param bounds: iterable of (lower, upper) tuples per dimension.
+    :param y_err: optional Gaussian errors on the y values.
+    :param hyperpars: optional fixed hyperparameter values.
+    :param kernel: covariance-function class or instance.
+    :param mean: mean-function class or instance.
+    :param cross_val: use LOO-CV instead of marginal likelihood.
+    :param acquisition: acquisition-function class or instance
+        (default ExpectedImprovement).
+    :param optimizer: "bfgs" or "diffev".
+    :param n_processes: accepted for API compatibility (runs serially
+        against the accelerator).
+    """
+
+    def __init__(
+        self,
+        x,
+        y,
+        bounds: Sequence,
+        y_err=None,
+        hyperpars=None,
+        kernel: CovarianceFunction = SquaredExponential,
+        mean: MeanFunction = ConstantMean,
+        cross_val: bool = False,
+        acquisition: AcquisitionFunction = ExpectedImprovement,
+        optimizer: str = "bfgs",
+        n_processes: int = 1,
+    ):
+        self.x = x if isinstance(x, np.ndarray) else np.array(x)
+        if self.x.ndim == 1:
+            self.x = self.x.reshape([self.x.size, 1])
+        self.y = y if isinstance(y, np.ndarray) else np.array(y)
+        self.y_err = (
+            y_err if isinstance(y_err, (np.ndarray, type(None))) else np.array(y_err)
+        )
+
+        self.bounds = bounds
+        self.kernel = kernel
+        self.mean = mean
+        self.cross_val = cross_val
+        self.n_processes = n_processes
+        self.optimizer = optimizer
+
+        self.gp = GpRegressor(
+            x=self.x,
+            y=self.y,
+            y_err=self.y_err,
+            hyperpars=hyperpars,
+            kernel=kernel,
+            mean=mean,
+            cross_val=cross_val,
+            optimizer=self.optimizer,
+            n_processes=self.n_processes,
+        )
+
+        self.acquisition = acquisition() if isclass(acquisition) else acquisition
+        self.acquisition.update_gp(self.gp)
+        self.mu_max = self.y.max()
+
+        self.acquisition_max_history = []
+        self.convergence_metric_history = []
+        self.iteration_history = []
+
+    def __call__(self, x):
+        return self.gp(x)
+
+    def add_evaluation(self, new_x, new_y, new_y_err=None):
+        """
+        Add the latest evaluation to the data set and re-train the
+        Gaussian process (a full refit, including hyperparameters).
+        """
+        new_x = new_x if isinstance(new_x, np.ndarray) else np.array(new_x)
+        if new_x.shape != (1, self.x.shape[1]):
+            new_x = new_x.reshape((1, self.x.shape[1]))
+        new_y = new_y if isinstance(new_y, np.ndarray) else np.array(new_y)
+        good_type = isinstance(new_y_err, (np.ndarray, type(None)))
+        new_y_err = new_y_err if good_type else np.array(new_y_err)
+
+        self.acquisition_max_history.append(self.acquisition(new_x.squeeze()))
+        self.convergence_metric_history.append(
+            self.acquisition.convergence_metric(new_x.squeeze())
+        )
+        self.iteration_history.append(self.y.size + 1)
+
+        self.x = np.append(self.x, new_x, axis=0)
+        self.y = np.append(self.y, new_y)
+
+        if self.y_err is not None:
+            if new_y_err is not None:
+                self.y_err = np.append(self.y_err, new_y_err)
+            else:
+                raise ValueError(
+                    "[ GpOptimiser error ] 'new_y_err' argument of the "
+                    "'add_evaluation' method must be specified if the 'y_err' "
+                    "argument was specified when the instance of GpOptimiser "
+                    "was initialised."
+                )
+
+        self.gp = GpRegressor(
+            x=self.x,
+            y=self.y,
+            y_err=self.y_err,
+            kernel=self.kernel,
+            mean=self.mean,
+            cross_val=self.cross_val,
+            optimizer=self.optimizer,
+            n_processes=self.n_processes,
+        )
+        self.mu_max = self.y.max()
+        self.acquisition.update_gp(self.gp)
+
+    def diff_evo(self):
+        opt_result = differential_evolution(
+            self.acquisition.opt_func, self.bounds, popsize=30
+        )
+        solution = opt_result.x
+        funcval = opt_result.fun
+        if hasattr(funcval, "__len__"):
+            funcval = funcval[0]
+        return solution, funcval
+
+    def launch_bfgs(self, x0):
+        return fmin_l_bfgs_b(
+            self.acquisition.opt_func_gradient,
+            x0,
+            approx_grad=False,
+            bounds=self.bounds,
+            pgtol=1e-10,
+        )
+
+    def multistart_bfgs(self):
+        starting_positions = self.acquisition.starting_positions(self.bounds)
+        results = [self.launch_bfgs(x0) for x0 in starting_positions]
+        best_result = sorted(results, key=lambda x: float(x[1]))[0]
+        return best_result[0], float(best_result[1])
+
+    def propose_evaluation(self, optimizer=None):
+        """
+        Propose the next evaluation location by maximising the acquisition
+        function.
+        """
+        opt = optimizer if optimizer is not None else self.optimizer
+        if opt == "bfgs":
+            proposed_ev, _ = self.multistart_bfgs()
+        else:
+            proposed_ev, _ = self.diff_evo()
+        if hasattr(proposed_ev, "__len__") and len(proposed_ev) == 1:
+            proposed_ev = proposed_ev[0]
+        return proposed_ev
+
+    def plot_results(self, filename: str = None, show_plot=True):
+        fig = plt.figure(figsize=(10, 4))
+        ax1 = fig.add_subplot(121)
+        maxvals = np.maximum.accumulate(self.y)
+        pad = np.ptp(maxvals) * 0.1 if np.ptp(maxvals) > 0 else 1.0
+        iterations = np.arange(len(self.y)) + 1
+        ax1.plot(iterations, maxvals, c="red", alpha=0.6, label="max observed value")
+        ax1.plot(iterations, self.y, ".", label="function evaluations", markersize=10)
+        ax1.set_xlabel("iteration")
+        ax1.set_ylabel("function value")
+        ax1.set_ylim([maxvals.min() - pad, maxvals.max() + pad])
+        ax1.legend(loc=4)
+        ax1.grid()
+
+        ax2 = fig.add_subplot(122)
+        ax2.plot(
+            self.iteration_history, self.convergence_metric_history, c="C0", alpha=0.35
+        )
+        ax2.plot(
+            self.iteration_history,
+            self.convergence_metric_history,
+            ".",
+            c="C0",
+            label=self.acquisition.convergence_description,
+            markersize=10,
+        )
+        ax2.set_yscale("log")
+        ax2.set_xlabel("iteration")
+        ax2.set_ylabel("acquisition function value")
+        ax2.set_xlim([0, None])
+        ax2.set_title("Convergence summary")
+        ax2.legend()
+        ax2.grid()
+
+        fig.tight_layout()
+
+        if filename is not None:
+            plt.savefig(filename)
+        if show_plot:
+            plt.show()
+        else:
+            plt.close()

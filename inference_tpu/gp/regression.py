@@ -1,0 +1,489 @@
+"""Gaussian-process regression.
+
+TPU-native rebuild of the reference ``GpRegressor``
+(reference: inference/gp/regression.py:16-612). API parity: constructor
+signature, ``__call__`` returning per-point means and standard deviations,
+``gradient`` / ``spatial_derivatives`` / ``build_posterior`` /
+``loo_predictions``, ``marginal_likelihood(_gradient)`` and
+``loo_likelihood(_gradient)`` selectors, multistart L-BFGS-B or differential
+evolution hyperparameter fitting. Key design changes:
+
+- the marginal-likelihood / LOO objectives are **jitted scalar functions**
+  and their hyperparameter gradients come from ``jax.value_and_grad``
+  (differentiating through the Cholesky factorisation), replacing the
+  reference's hand-derived ``Q = alpha alpha^T - K^-1`` trace identities
+  (reference: regression.py:544-567) and the per-parameter dK matrices;
+- prediction is **batched** over query points (one kernel-block matmul and
+  triangular solve), replacing the reference's per-point Python loop
+  (reference: regression.py:204-216);
+- Cholesky failures are handled branchlessly: a non-finite factorisation
+  pins the likelihood to -1e50 (the reference catches LinAlgError,
+  reference: regression.py:536-542);
+- ``n_processes`` is accepted for API compatibility but ignored — the
+  device itself provides the intra-op parallelism that the reference gets
+  from a multiprocessing pool.
+"""
+
+from copy import copy
+from inspect import isclass
+from warnings import warn
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.scipy.linalg import solve_triangular, cho_solve
+from scipy.optimize import differential_evolution, fmin_l_bfgs_b
+
+from .covariance import CovarianceFunction, SquaredExponential
+from .mean import MeanFunction, ConstantMean
+
+
+class GpRegressor:
+    """
+    Gaussian-process regression in any number of dimensions.
+
+    :param x: \
+        x-data as a 2D array of shape (n_points, n_dimensions), or any
+        array-like convertible to one.
+
+    :param y: \
+        y-data values as a 1D array.
+
+    :param y_err: \
+        Optional standard deviations on the y-data (1D array).
+
+    :param y_cov: \
+        Optional full covariance matrix for the y-data (alternative to
+        ``y_err``).
+
+    :param hyperpars: \
+        Optional hyperparameter values; when omitted they are selected by
+        maximising the chosen model-selection objective.
+
+    :param kernel: \
+        Covariance-function class or instance (default SquaredExponential).
+
+    :param mean: \
+        Mean-function class or instance (default ConstantMean).
+
+    :param cross_val: \
+        Use leave-one-out cross-validation instead of the marginal
+        likelihood for hyperparameter selection.
+
+    :param optimizer: \
+        "bfgs" (multistart L-BFGS-B) or "diffev" (differential evolution).
+
+    :param n_processes: \
+        Accepted for API compatibility; optimisation runs serially against
+        the accelerator.
+
+    :param n_starts: \
+        Number of L-BFGS-B starting positions.
+    """
+
+    def __init__(
+        self,
+        x,
+        y,
+        y_err=None,
+        y_cov=None,
+        hyperpars=None,
+        kernel: CovarianceFunction = SquaredExponential,
+        mean: MeanFunction = ConstantMean,
+        cross_val: bool = False,
+        optimizer: str = "bfgs",
+        n_processes: int = 1,
+        n_starts: int = None,
+    ):
+        # data validation / reshaping (reference: regression.py:93-130)
+        self.x = x if isinstance(x, np.ndarray) else np.array(x)
+        self.y = np.asarray(y).squeeze()
+
+        if self.y.ndim != 1:
+            raise ValueError(
+                f"[ GpRegressor error ] 'y' argument must be a 1D array, but "
+                f"instead has shape {self.y.shape}"
+            )
+
+        self.n_points = self.y.size
+        if self.x.ndim == 2:
+            self.n_dimensions = self.x.shape[1]
+        elif self.x.ndim <= 1:
+            self.n_dimensions = 1
+            self.x = self.x.reshape([self.x.size, 1])
+        else:
+            raise ValueError(
+                f"[ GpRegressor error ] 'x' argument must be a 2D array, but "
+                f"instead has {self.x.ndim} dimensions and shape {self.x.shape}."
+            )
+
+        if self.x.shape[0] != self.n_points:
+            raise ValueError(
+                f"[ GpRegressor error ] The first dimension of the 'x' array "
+                f"must be equal in size to the 'y' array. 'x' has shape "
+                f"{self.x.shape}, but 'y' has size {self.y.size}."
+            )
+
+        self.sig = self.check_error_data(y_err, y_cov)
+
+        self.cov = kernel() if isclass(kernel) else kernel
+        self.mean = mean() if isclass(mean) else mean
+
+        self.cov.pass_spatial_data(self.x)
+        self.mean.pass_spatial_data(self.x)
+        if self.cov.bounds is None:
+            self.cov.estimate_hyperpar_bounds(self.y)
+        if self.mean.bounds is None:
+            self.mean.estimate_hyperpar_bounds(self.y)
+        self.hp_bounds = copy(self.mean.bounds)
+        self.hp_bounds.extend(copy(self.cov.bounds))
+
+        self.n_hyperpars = len(self.hp_bounds)
+        self.mean_slice = slice(0, self.mean.n_params)
+        self.cov_slice = slice(self.mean.n_params, self.n_hyperpars)
+        self.hyperpar_labels = [*self.mean.hyperpar_labels, *self.cov.hyperpar_labels]
+
+        # device copies and jitted objectives
+        self._x_dev = jnp.asarray(self.x)
+        self._y_dev = jnp.asarray(self.y)
+        self._sig_dev = jnp.asarray(self.sig)
+        self._build_compiled_functions()
+
+        self.cross_val = cross_val
+        if cross_val:
+            self.model_selector = self.loo_likelihood
+            self.model_selector_gradient = self.loo_likelihood_gradient
+        else:
+            self.model_selector = self.marginal_likelihood
+            self.model_selector_gradient = self.marginal_likelihood_gradient
+
+        if hyperpars is None:
+            if optimizer not in ["bfgs", "diffev"]:
+                optimizer = "bfgs"
+                warn(
+                    "An invalid option was passed to the 'optimizer' keyword "
+                    "argument. The default option 'bfgs' was used instead. "
+                    "Valid options are 'bfgs' and 'diffev'."
+                )
+            if optimizer == "diffev":
+                hyperpars = self.differential_evo()
+            else:
+                hyperpars = self.multistart_bfgs(
+                    n_processes=n_processes, starts=n_starts
+                )
+
+        self.set_hyperparameters(hyperpars)
+
+    # ------------------------------------------------------------------ #
+    # compiled objectives and predictors
+    # ------------------------------------------------------------------ #
+    def _build_compiled_functions(self):
+        cov, mean = self.cov, self.mean
+        y, sig = self._y_dev, self._sig_dev
+        n = self.n_points
+        mean_slc, cov_slc = self.mean_slice, self.cov_slice
+
+        def lml(theta):
+            K = cov.build_covariance(theta[cov_slc]) + sig
+            mu = mean.build_mean(theta[mean_slc])
+            L = jnp.linalg.cholesky(K)
+            ok = jnp.isfinite(L).all()
+            L_safe = jnp.where(ok, L, jnp.eye(n, dtype=K.dtype))
+            v = solve_triangular(L_safe, y - mu, lower=True)
+            value = -0.5 * (v @ v) - jnp.log(jnp.diagonal(L_safe)).sum()
+            return jnp.where(ok, value, -1e50)
+
+        def loo(theta):
+            K = cov.build_covariance(theta[cov_slc]) + sig
+            mu = mean.build_mean(theta[mean_slc])
+            L = jnp.linalg.cholesky(K)
+            ok = jnp.isfinite(L).all()
+            L_safe = jnp.where(ok, L, jnp.eye(n, dtype=K.dtype))
+            iK = cho_solve((L_safe, True), jnp.eye(n, dtype=K.dtype))
+            alpha = iK @ (y - mu)
+            var = 1.0 / jnp.diagonal(iK)
+            value = -0.5 * (var * alpha**2 + jnp.log(var)).sum()
+            return jnp.where(ok, value, -1e50)
+
+        self._lml = jax.jit(lml)
+        self._lml_grad = jax.jit(jax.value_and_grad(lml))
+        self._loo = jax.jit(loo)
+        self._loo_grad = jax.jit(jax.value_and_grad(loo))
+
+        x_dev = self._x_dev
+
+        def predict(q, L, alpha, cov_pars, mean_pars):
+            K_qx = cov(q, x_dev, cov_pars)
+            mu_q = K_qx @ alpha + jax.vmap(lambda p: mean(p, mean_pars))(q)
+            v = solve_triangular(L, K_qx.T, lower=True)
+            kqq = jax.vmap(
+                lambda p: cov(p[None, :], p[None, :], cov_pars)[0, 0]
+            )(q)
+            var = kqq - (v**2).sum(axis=0)
+            return mu_q, jnp.sqrt(jnp.abs(var))
+
+        self._predict = jax.jit(predict)
+
+        def predict_single(q, L, alpha, cov_pars, mean_pars):
+            K_qx = cov(q[None, :], x_dev, cov_pars)[0]
+            mu = K_qx @ alpha + mean(q, mean_pars)
+            v = solve_triangular(L, K_qx, lower=True)
+            kqq = cov(q[None, :], q[None, :], cov_pars)[0, 0]
+            var = kqq - v @ v
+            return mu, var
+
+        self._predict_single = predict_single
+
+        def grad_single(q, L, alpha, cov_pars, mean_pars):
+            """Mean vector and covariance matrix of the GP gradient."""
+            k_vec = lambda qq: cov(qq[None, :], x_dev, cov_pars)[0]
+            dK = jax.jacfwd(k_vec)(q)  # (N, D)
+            dmu = dK.T @ alpha + jax.grad(lambda qq: mean(qq, mean_pars) + 0.0)(q)
+            pair = lambda q1, q2: cov(q1[None, :], q2[None, :], cov_pars)[0, 0]
+            R = jax.jacfwd(jax.grad(pair, argnums=0), argnums=1)(q, q)
+            Q = solve_triangular(L, dK, lower=True)
+            covariance = R - Q.T @ Q
+            return dmu, covariance
+
+        self._grad_single = jax.jit(grad_single)
+
+        def spatial_derivs_single(q, L, alpha, cov_pars, mean_pars):
+            mu_fn = lambda qq: predict_single(qq, L, alpha, cov_pars, mean_pars)[0]
+            var_fn = lambda qq: predict_single(qq, L, alpha, cov_pars, mean_pars)[1]
+            return jax.grad(mu_fn)(q), jax.grad(var_fn)(q)
+
+        self._spatial_derivs_single = jax.jit(spatial_derivs_single)
+
+    # ------------------------------------------------------------------ #
+    # state
+    # ------------------------------------------------------------------ #
+    def set_hyperparameters(self, hyperpars):
+        """Update the hyperparameter values of the model."""
+        hyperpars = np.asarray(hyperpars, dtype=float)
+        if hyperpars.size != self.n_hyperpars:
+            raise ValueError(
+                f"[ GpRegressor error ] An incorrect number of hyper-parameter "
+                f"values were passed via the 'hyperpars' keyword argument: "
+                f"there are {self.n_hyperpars} hyper-parameters but "
+                f"{hyperpars.size} values were given."
+            )
+        self.hyperpars = hyperpars
+        self.mean_hyperpars = self.hyperpars[self.mean_slice]
+        self.cov_hyperpars = self.hyperpars[self.cov_slice]
+        theta = jnp.asarray(hyperpars)
+        K_xx = self.cov.build_covariance(theta[self.cov_slice]) + self._sig_dev
+        mu = self.mean.build_mean(theta[self.mean_slice])
+        L = jnp.linalg.cholesky(K_xx)
+        alpha = solve_triangular(
+            L.T, solve_triangular(L, self._y_dev - mu, lower=True)
+        )
+        self.K_xx = K_xx
+        self.mu = mu
+        self.L = L
+        self.alpha = alpha
+        self._cov_pars_dev = theta[self.cov_slice]
+        self._mean_pars_dev = theta[self.mean_slice]
+
+    def check_error_data(self, y_err, y_cov):
+        if y_cov is not None:
+            if type(y_cov) in (list, tuple):
+                y_cov = np.array(y_cov).squeeze()
+            elif not isinstance(y_cov, np.ndarray):
+                raise TypeError(
+                    f"[ GpRegressor error ] The 'y_cov' keyword argument should "
+                    f"be given as a numpy array: expected {np.ndarray} but "
+                    f"{type(y_cov)} was given."
+                )
+            if y_cov.shape != (self.n_points, self.n_points):
+                raise ValueError(
+                    "[ GpRegressor error ] 'y_cov' must be a 2D array of shape "
+                    "(N, N), where N is the number of given y-data values."
+                )
+            if not (y_cov == y_cov.T).all():
+                raise ValueError(
+                    "[ GpRegressor error ] The covariance matrix passed to the "
+                    "'y_cov' keyword argument is not symmetric."
+                )
+            if y_err is not None:
+                warn(
+                    "[ GpRegressor warning ] Only one of the 'y_err' and "
+                    "'y_cov' keyword arguments should be specified. Only the "
+                    "input to 'y_cov' will be used - the input to 'y_err' "
+                    "will be ignored."
+                )
+            return y_cov
+
+        if y_err is not None:
+            if type(y_err) in (list, tuple):
+                y_err = np.array(y_err).squeeze()
+            elif not isinstance(y_err, np.ndarray):
+                raise TypeError(
+                    f"[ GpRegressor error ] The 'y_err' keyword argument should "
+                    f"be given as a numpy array: expected {np.ndarray} but "
+                    f"{type(y_err)} was given."
+                )
+            if y_err.shape != (self.n_points,):
+                raise ValueError(
+                    "[ GpRegressor error ] 'y_err' must be a 1D array of length "
+                    "N, where N is the number of given y-data values."
+                )
+            return np.diag(y_err**2)
+
+        return np.zeros([self.n_points, self.n_points])
+
+    def process_points(self, points) -> np.ndarray:
+        x = points if isinstance(points, np.ndarray) else np.array(points)
+
+        if x.ndim <= 1 and self.n_dimensions == 1:
+            x = x.reshape([x.size, 1])
+        elif x.ndim == 1 and x.size == self.n_dimensions:
+            x = x.reshape([1, x.size])
+        elif x.ndim > 2:
+            raise ValueError(
+                f"[ GpRegressor error ] 'points' argument must be a 2D array, "
+                f"but given array has {x.ndim} dimensions and shape {x.shape}."
+            )
+
+        if x.shape[1] != self.n_dimensions:
+            raise ValueError(
+                f"[ GpRegressor error ] The second dimension of the 'points' "
+                f"array must have size equal to the number of dimensions of "
+                f"the input data. The input data have {self.n_dimensions} "
+                f"dimensions but 'points' has shape {x.shape}."
+            )
+        return x
+
+    # ------------------------------------------------------------------ #
+    # prediction
+    # ------------------------------------------------------------------ #
+    def __call__(self, points):
+        """
+        Predictive means and standard deviations at the given points,
+        computed in a single batched device call.
+        """
+        p = jnp.asarray(self.process_points(points))
+        mu, sig = self._predict(
+            p, self.L, self.alpha, self._cov_pars_dev, self._mean_pars_dev
+        )
+        return np.asarray(mu), np.asarray(sig)
+
+    def gradient(self, points):
+        """
+        Mean and covariance of the gradient of the regression estimate at
+        the given points. Derivative kernels come from autodiff of the
+        covariance function, so this works for **all** kernels (the
+        reference only supports SquaredExponential here).
+        """
+        p = jnp.asarray(self.process_points(points))
+        mu_g, cov_g = jax.vmap(
+            lambda q: self._grad_single(
+                q, self.L, self.alpha, self._cov_pars_dev, self._mean_pars_dev
+            )
+        )(p)
+        return np.asarray(mu_g).squeeze(), np.asarray(cov_g).squeeze()
+
+    def spatial_derivatives(self, points):
+        """
+        Gradients of the predictive mean and variance at the given points,
+        via autodiff of the predictors.
+        """
+        p = jnp.asarray(self.process_points(points))
+        dmu, dvar = jax.vmap(
+            lambda q: self._spatial_derivs_single(
+                q, self.L, self.alpha, self._cov_pars_dev, self._mean_pars_dev
+            )
+        )(p)
+        return np.asarray(dmu).squeeze(), np.asarray(dvar).squeeze()
+
+    def build_posterior(self, points, mean_only=False):
+        """
+        Full posterior mean vector (and covariance matrix) at the given
+        points.
+        """
+        v = jnp.asarray(self.process_points(points))
+        K_qx = self.cov(v, self._x_dev, self._cov_pars_dev)
+        mu = K_qx @ self.alpha + jax.vmap(
+            lambda p: self.mean(p, self._mean_pars_dev)
+        )(v)
+        if mean_only:
+            return np.asarray(mu)
+        K_qq = self.cov(v, v, self._cov_pars_dev)
+        Q = solve_triangular(self.L, K_qx.T, lower=True)
+        sigma = K_qq - (Q.T @ Q)
+        return np.asarray(mu), np.asarray(sigma)
+
+    def loo_predictions(self):
+        """
+        Leave-one-out predictions for each data point
+        (Rasmussen & Williams eq. 5.12).
+        """
+        iK = cho_solve((self.L, True), jnp.eye(self.n_points, dtype=self.L.dtype))
+        var = 1.0 / jnp.diagonal(iK)
+        alpha = iK @ (self._y_dev - self.mu)
+        mu = self._y_dev - alpha * var
+        return np.asarray(mu), np.asarray(jnp.sqrt(var))
+
+    # ------------------------------------------------------------------ #
+    # model-selection objectives
+    # ------------------------------------------------------------------ #
+    def marginal_likelihood(self, theta) -> float:
+        """Log-marginal likelihood (Rasmussen & Williams eq. 5.8)."""
+        return float(self._lml(jnp.asarray(theta)))
+
+    def marginal_likelihood_gradient(self, theta):
+        """LML and its hyperparameter gradient via ``jax.value_and_grad``
+        (replacing R&W eq. 5.9 trace identities with autodiff through the
+        Cholesky factorisation)."""
+        value, grad = self._lml_grad(jnp.asarray(theta))
+        return float(value), np.asarray(grad)
+
+    def loo_likelihood(self, theta) -> float:
+        """Leave-one-out log-likelihood (R&W eqs. 5.10-5.12)."""
+        return float(self._loo(jnp.asarray(theta)))
+
+    def loo_likelihood_gradient(self, theta):
+        """LOO likelihood and gradient via autodiff."""
+        value, grad = self._loo_grad(jnp.asarray(theta))
+        return float(value), np.asarray(grad)
+
+    # ------------------------------------------------------------------ #
+    # hyperparameter optimisation
+    # ------------------------------------------------------------------ #
+    def differential_evo(self):
+        opt_result = differential_evolution(
+            func=lambda x: -self.model_selector(x), bounds=self.hp_bounds
+        )
+        return opt_result.x
+
+    def bfgs_cost_func(self, theta):
+        y, grad_y = self.model_selector_gradient(theta)
+        return -y, -np.asarray(grad_y, dtype=float)
+
+    def launch_bfgs(self, x0):
+        return fmin_l_bfgs_b(
+            func=self.bfgs_cost_func, x0=x0, approx_grad=False, bounds=self.hp_bounds
+        )
+
+    def multistart_bfgs(self, starts: int = None, n_processes: int = 1):
+        if starts is None:
+            starts = int(2 * np.sqrt(len(self.hp_bounds))) + 1
+        lwr, upr = [np.array([k[i] for k in self.hp_bounds]) for i in [0, 1]]
+        rng = np.random.default_rng()
+        starting_positions = [
+            lwr + (upr - lwr) * rng.random(size=len(self.hp_bounds))
+            for _ in range(max(starts - 1, 0))
+        ]
+        starting_positions.append(0.5 * (lwr + upr))
+
+        # n_processes is ignored: each objective evaluation is a compiled
+        # device program, so the starts run serially on the host
+        results = [self.launch_bfgs(x0) for x0 in starting_positions]
+        solution = sorted(results, key=lambda x: x[1])[0][0]
+        return solution
+
+    def __str__(self):
+        pad = max(len(label) for label in self.hyperpar_labels) + 2
+        strings = ["\n[ GpRegressor hyperparameters ]\n"]
+        for label, val in zip(self.hyperpar_labels, self.hyperpars):
+            strings.append(f"{label:>{pad}} = {val:.4}\n")
+        return "".join(strings)

@@ -1,0 +1,166 @@
+"""Vectorised arrays of independent chains.
+
+The TPU-native replacement for the reference's process-pool data
+parallelism (reference: inference/mcmc/parallel.py:15-30, which pickles
+whole chain objects to a multiprocessing.Pool): a single sampler step is
+``vmap``-ed over a leading chain axis, the whole batch advances inside one
+``lax.scan``, and the batch is optionally sharded over a device mesh with a
+``NamedSharding`` — thousands of chains per chip, scaling over ICI with no
+host involvement in the sampling loop.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from ..utils import make_key, default_float, as_device_logp
+from ..mcmc._kernels import hmc as hmc_kernel
+from ..mcmc._kernels import metropolis as met_kernel
+from ..mcmc._kernels.hmc import run_steps
+
+
+class ChainArray:
+    """
+    A batch of ``n_chains`` independent sampler chains advanced as one
+    compiled program.
+
+    :param kind: sampler family — "hmc", "gibbs" or "metropolis".
+    :param posterior: traceable log-probability callable.
+    :param starts: starting positions, shape (n_chains, n_parameters).
+    :param widths: initial proposal widths (gibbs/metropolis families).
+    :param epsilon: initial leapfrog step size (hmc).
+    :param steps: nominal leapfrog steps per proposal (hmc).
+    :param inverse_mass: scalar or vector inverse mass (hmc).
+    :param mesh: optional ``jax.sharding.Mesh`` whose ``axis_name`` axis the
+        chain batch is sharded over.
+    :param axis_name: mesh axis to shard over (default "chains").
+    :param seed: optional integer PRNG seed.
+    """
+
+    def __init__(
+        self,
+        kind: str,
+        posterior,
+        starts,
+        *,
+        widths=None,
+        epsilon: float = 0.1,
+        steps: int = 50,
+        inverse_mass=None,
+        mesh=None,
+        axis_name: str = "chains",
+        seed=None,
+    ):
+        starts = np.atleast_2d(np.asarray(starts, dtype=float))
+        self.n_chains, self.n_parameters = starts.shape
+        self.kind = kind
+        self.mesh = mesh
+        self.axis_name = axis_name
+
+        dtype = default_float()
+        self._logp = as_device_logp(posterior, starts[0])
+        key = make_key(seed)
+        keys = jax.random.split(key, self.n_chains)
+        starts_dev = jnp.asarray(starts, dtype)
+        logp0 = jax.vmap(self._logp)(starts_dev)
+
+        if kind == "hmc":
+            if inverse_mass is None:
+                mass_velocity = lambda r: r
+                mass_sample = lambda k, d: jax.random.normal(
+                    k, (self.n_parameters,), d
+                )
+            else:
+                inv_mass = jnp.asarray(inverse_mass, dtype)
+                sqrt_mass = 1.0 / jnp.sqrt(inv_mass)
+                mass_velocity = lambda r: r * inv_mass.astype(r.dtype)
+                mass_sample = lambda k, d: jax.random.normal(
+                    k, (self.n_parameters,), d
+                ) * sqrt_mass.astype(d)
+            step = hmc_kernel.make_hmc_step(
+                self._logp,
+                jax.grad(self._logp),
+                steps=steps,
+                mass_velocity=mass_velocity,
+                mass_sample=mass_sample,
+            )
+            state = jax.vmap(
+                lambda t, p, k: hmc_kernel.init_hmc_state(t, p, epsilon, k)
+            )(starts_dev, logp0, keys)
+        elif kind in ("gibbs", "metropolis"):
+            if widths is None:
+                widths = np.where(starts != 0, np.abs(starts) * 0.05, 1.0)
+            else:
+                widths = np.broadcast_to(
+                    np.asarray(widths, dtype=float), starts.shape
+                )
+            widths_dev = jnp.asarray(widths, dtype)
+            modes = met_kernel.default_modes(self.n_parameters, dtype)
+            factory = (
+                met_kernel.make_gibbs_step
+                if kind == "gibbs"
+                else met_kernel.make_metropolis_step
+            )
+            step = factory(self._logp, modes)
+            state = jax.vmap(
+                lambda t, p, w, k: met_kernel.init_metropolis_state(t, p, w, k)
+            )(starts_dev, logp0, widths_dev, keys)
+        else:
+            raise ValueError(f"unknown chain kind: {kind!r}")
+
+        self._step = jax.vmap(step)
+        self._state = state
+        if mesh is not None:
+            spec = P(axis_name)
+            sharding = NamedSharding(mesh, spec)
+            self._state = jax.tree.map(
+                lambda x: jax.device_put(
+                    x, NamedSharding(mesh, P(axis_name, *([None] * (x.ndim - 1))))
+                ),
+                self._state,
+            )
+
+        self._history = []
+        self._prob_history = []
+
+    def advance(self, n: int, store: bool = True, thin: int = 1):
+        """
+        Advance every chain ``n`` steps in one compiled scan. With
+        ``store=False`` only the final state is kept (maximum throughput);
+        otherwise every ``thin``-th step's positions are appended to the
+        host history.
+        """
+        state, outs = run_steps(self._step, self._state, n)
+        self._state = state
+        if store:
+            theta = np.asarray(outs.theta[::thin])  # (n/thin, K, P)
+            logp = np.asarray(outs.logp[::thin])
+            self._history.append(theta)
+            self._prob_history.append(logp)
+        else:
+            jax.block_until_ready(state.theta)
+        return self
+
+    @property
+    def theta(self) -> np.ndarray:
+        """Current positions, shape (n_chains, n_parameters)."""
+        return np.asarray(self._state.theta)
+
+    @property
+    def logp(self) -> np.ndarray:
+        """Current log-probabilities, shape (n_chains,)."""
+        return np.asarray(self._state.logp)
+
+    def get_sample(self, burn: int = 0, thin: int = 1) -> np.ndarray:
+        """Pooled samples from all chains, shape (n_kept * K, P)."""
+        if not self._history:
+            return np.empty([0, self.n_parameters])
+        h = np.concatenate(self._history, axis=0)[burn::thin]
+        return h.reshape(-1, self.n_parameters)
+
+    def get_probabilities(self, burn: int = 0, thin: int = 1) -> np.ndarray:
+        if not self._prob_history:
+            return np.empty([0])
+        h = np.concatenate(self._prob_history, axis=0)[burn::thin]
+        return h.reshape(-1)

@@ -1,0 +1,64 @@
+import numpy as np
+import pytest
+
+from inference_tpu.gp import GpLinearInverter
+
+
+def make_problem(seed=1, n_params=24, n_data=16):
+    rng = np.random.default_rng(seed)
+    pos = np.linspace(0, 1, n_params).reshape(-1, 1)
+    truth = np.exp(-0.5 * ((pos[:, 0] - 0.5) / 0.15) ** 2)
+    A = rng.random((n_data, n_params)) / n_params
+    y_err = np.full(n_data, 0.01)
+    y = A @ truth + rng.normal(0, 0.01, n_data)
+    return y, y_err, A, pos, truth
+
+
+def test_inverter_lml_gradient_vs_finite_difference():
+    y, y_err, A, pos, _ = make_problem()
+    inv = GpLinearInverter(y, y_err, A, pos)
+    rng = np.random.default_rng(4)
+    for _ in range(5):
+        theta = np.array(
+            [rng.normal(0.3, 0.2), np.log(rng.uniform(0.2, 1.0)),
+             np.log(rng.uniform(0.05, 0.5))]
+        )
+        lml, grad = inv.marginal_likelihood_gradient(theta)
+        eps = 1e-6
+        for i in range(theta.size):
+            tp, tm = theta.copy(), theta.copy()
+            tp[i] += eps
+            tm[i] -= eps
+            fd = (inv.marginal_likelihood(tp) - inv.marginal_likelihood(tm)) / (
+                2 * eps
+            )
+            assert np.isclose(grad[i], fd, rtol=1e-5, atol=1e-8)
+
+
+def test_inverter_recovers_truth():
+    y, y_err, A, pos, truth = make_problem()
+    inv = GpLinearInverter(y, y_err, A, pos)
+    theta0 = np.array([0.5, np.log(0.5), np.log(0.2)])
+    best = inv.optimize_hyperparameters(theta0)
+    mu, cov = inv.calculate_posterior(best)
+    assert np.sqrt(np.mean((mu - truth) ** 2)) < 0.15
+    assert cov.shape == (truth.size, truth.size)
+    # posterior variances are positive
+    assert (np.diag(cov) > 0).all()
+    mu2 = inv.calculate_posterior_mean(best)
+    assert np.allclose(mu, mu2)
+
+
+def test_inverter_validation():
+    y, y_err, A, pos, _ = make_problem()
+    with pytest.raises(ValueError):
+        GpLinearInverter(y, y_err, A[:, :, None], pos)  # 3D model matrix
+    with pytest.raises(ValueError):
+        GpLinearInverter(y, y_err[:-1], A, pos)  # size mismatch
+    with pytest.raises(ValueError):
+        GpLinearInverter(y[:-1], y_err[:-1], A, pos)  # wrong first dim
+    with pytest.raises(ValueError):
+        GpLinearInverter(y, y_err, A, pos[:-1])  # wrong param count
+    inv = GpLinearInverter(y, y_err, A, pos)
+    with pytest.raises(ValueError):
+        inv.optimize_hyperparameters(np.ones(99))

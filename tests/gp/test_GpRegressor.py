@@ -1,0 +1,228 @@
+import numpy as np
+import pytest
+
+from inference_tpu.gp import (
+    GpRegressor,
+    SquaredExponential,
+    RationalQuadratic,
+    WhiteNoise,
+    HeteroscedasticNoise,
+    LinearMean,
+    QuadraticMean,
+)
+
+
+def make_data(seed=0, n=25):
+    rng = np.random.default_rng(seed)
+    x = np.linspace(0, 10, n)
+    y = np.sin(x) + 0.5 * x + rng.normal(0, 0.1, n)
+    return x, y, np.full(n, 0.1)
+
+
+def finite_difference_check(value_and_grad, value, theta, rtol=1e-5):
+    _, grad = value_and_grad(theta)
+    scale = max(np.abs(grad).max(), 1.0)
+    for i in range(theta.size):
+        eps = 1e-6
+        tp, tm = theta.copy(), theta.copy()
+        tp[i] += eps
+        tm[i] -= eps
+        fd = (value(tp) - value(tm)) / (2 * eps)
+        # atol scaled to the gradient magnitude: central differences carry
+        # absolute noise ~ |f| * 1e-10 / eps regardless of the component size
+        assert np.isclose(grad[i], fd, rtol=rtol, atol=1e-6 * scale), (
+            i,
+            grad[i],
+            fd,
+        )
+
+
+def test_gpr_prediction_accuracy():
+    x, y, err = make_data()
+    gp = GpRegressor(x, y, y_err=err)
+    xq = np.linspace(0.5, 9.5, 40)
+    mu, sig = gp(xq)
+    truth = np.sin(xq) + 0.5 * xq
+    assert np.sqrt(np.mean((mu - truth) ** 2)) < 0.15
+    assert (sig > 0).all()
+
+
+@pytest.mark.parametrize("cross_val", [False, True])
+def test_gpr_likelihood_gradients_vs_finite_difference(cross_val):
+    """Selector gradients match finite differences at random hyperparameter
+    points (reference: tests/gp/test_GpRegressor.py:61-94). At the edges of
+    the bounds K can be conditioned ~1e12, where central differences
+    themselves carry ~1e-4 relative noise, so the FD tolerance is 1e-3; the
+    tight 1e-8 contract is checked against the analytic trace-identity
+    gradient in test_gpr_lml_gradient_vs_trace_identity."""
+    x, y, err = make_data()
+    gp = GpRegressor(x, y, y_err=err, cross_val=cross_val)
+    rng = np.random.default_rng(7)
+    lwr = np.array([b[0] for b in gp.hp_bounds])
+    upr = np.array([b[1] for b in gp.hp_bounds])
+    for _ in range(10):
+        theta = lwr + (upr - lwr) * rng.random(lwr.size)
+        finite_difference_check(
+            gp.model_selector_gradient, gp.model_selector, theta, rtol=1e-3
+        )
+
+
+def test_gpr_lml_gradient_vs_trace_identity():
+    """The value_and_grad-through-Cholesky gradient matches the reference's
+    analytic route (R&W eq. 5.9: dLML = 0.5 tr((alpha alpha^T - K^-1) dK),
+    reference: regression.py:544-567) to high precision."""
+    import jax.numpy as jnp
+    from scipy.linalg import cholesky as sp_chol, solve_triangular as sp_solve
+
+    x, y, err = make_data()
+    gp = GpRegressor(x, y, y_err=err)
+    rng = np.random.default_rng(11)
+    lwr = np.array([b[0] for b in gp.hp_bounds])
+    upr = np.array([b[1] for b in gp.hp_bounds])
+    for _ in range(10):
+        theta = lwr + 0.8 * (upr - lwr) * (0.1 + rng.random(lwr.size))
+        _, grad_ad = gp.marginal_likelihood_gradient(theta)
+
+        # independent analytic route in numpy float64
+        K, dK_list = gp.cov.covariance_and_gradients(
+            jnp.asarray(theta[gp.cov_slice])
+        )
+        K = np.asarray(K) + gp.sig
+        mu, dmu_list = gp.mean.mean_and_gradients(jnp.asarray(theta[gp.mean_slice]))
+        L = sp_chol(K, lower=True)
+        iK = sp_solve(L, np.eye(K.shape[0]), lower=True)
+        iK = iK.T @ iK
+        alpha = iK @ (y - np.asarray(mu))
+        Q = alpha[:, None] * alpha[None, :] - iK
+        grad_ref = np.zeros(theta.size)
+        grad_ref[gp.mean_slice] = [
+            float((alpha * np.asarray(dmu)).sum()) for dmu in dmu_list
+        ]
+        grad_ref[gp.cov_slice] = [
+            0.5 * float((Q * np.asarray(dK).T).sum()) for dK in dK_list
+        ]
+        assert np.allclose(grad_ad, grad_ref, rtol=1e-8, atol=1e-10)
+
+
+def test_gpr_spatial_derivatives_vs_finite_difference():
+    x, y, err = make_data()
+    gp = GpRegressor(x, y, y_err=err)
+    for q in [2.5, 5.0, 7.5]:
+        dmu, dvar = gp.spatial_derivatives(np.array([[q]]))
+        h = 1e-5
+        m1, s1 = gp(np.array([[q - h]]))
+        m2, s2 = gp(np.array([[q + h]]))
+        assert np.isclose(float(dmu), (m2[0] - m1[0]) / (2 * h), rtol=1e-4)
+        assert np.isclose(
+            float(dvar), (s2[0] ** 2 - s1[0] ** 2) / (2 * h), rtol=1e-3, atol=1e-8
+        )
+
+
+def test_gpr_gradient_mean_vs_finite_difference():
+    x, y, err = make_data()
+    gp = GpRegressor(x, y, y_err=err)
+    q = 5.0
+    dmu, dcov = gp.gradient(np.array([[q]]))
+    h = 1e-5
+    m1, _ = gp(np.array([[q - h]]))
+    m2, _ = gp(np.array([[q + h]]))
+    assert np.isclose(float(dmu), (m2[0] - m1[0]) / (2 * h), rtol=1e-4)
+    assert float(dcov) >= 0.0
+
+
+def test_gpr_build_posterior():
+    x, y, err = make_data()
+    gp = GpRegressor(x, y, y_err=err)
+    xq = np.linspace(1, 9, 10)
+    mu, cov = gp.build_posterior(xq)
+    assert mu.shape == (10,)
+    assert cov.shape == (10, 10)
+    # diagonal of the posterior covariance matches per-point variances
+    _, sig = gp(xq)
+    assert np.allclose(np.sqrt(np.abs(np.diag(cov))), sig, atol=1e-8)
+    mu_only = gp.build_posterior(xq, mean_only=True)
+    assert np.allclose(mu_only, mu)
+
+
+def test_gpr_loo_predictions():
+    x, y, err = make_data()
+    gp = GpRegressor(x, y, y_err=err)
+    mu, sig = gp.loo_predictions()
+    assert mu.shape == (x.size,)
+    assert (sig > 0).all()
+    # LOO predictions should still be close to the data
+    assert np.sqrt(np.mean((mu - y) ** 2)) < 0.5
+
+
+def test_gpr_y_cov_input():
+    x, y, err = make_data()
+    y_cov = np.diag(err**2)
+    gp1 = GpRegressor(x, y, y_cov=y_cov, hyperpars=np.array([2.0, 0.5, 0.5]))
+    gp2 = GpRegressor(x, y, y_err=err, hyperpars=np.array([2.0, 0.5, 0.5]))
+    mu1, _ = gp1(np.array([3.0]))
+    mu2, _ = gp2(np.array([3.0]))
+    assert np.isclose(mu1[0], mu2[0])
+
+
+@pytest.mark.parametrize(
+    "kernel",
+    [
+        RationalQuadratic,
+        lambda: SquaredExponential() + WhiteNoise(),
+        lambda: SquaredExponential() + HeteroscedasticNoise(),
+    ],
+)
+def test_gpr_alternative_kernels(kernel):
+    x, y, err = make_data(n=15)
+    k = kernel()
+    gp = GpRegressor(x, y, y_err=err, kernel=k)
+    mu, sig = gp(np.array([5.0]))
+    assert np.isfinite(mu).all() and np.isfinite(sig).all()
+    # gradient of LML matches finite differences for each kernel
+    theta = gp.hyperpars
+    finite_difference_check(
+        gp.marginal_likelihood_gradient, gp.marginal_likelihood, theta, rtol=1e-4
+    )
+
+
+@pytest.mark.parametrize("mean", [LinearMean, QuadraticMean])
+def test_gpr_alternative_means(mean):
+    x, y, err = make_data(n=15)
+    gp = GpRegressor(x, y, y_err=err, mean=mean)
+    mu, sig = gp(np.array([5.0]))
+    assert np.isfinite(mu).all()
+    theta = gp.hyperpars
+    finite_difference_check(
+        gp.marginal_likelihood_gradient, gp.marginal_likelihood, theta, rtol=1e-4
+    )
+
+
+def test_gpr_2d_regression():
+    rng = np.random.default_rng(3)
+    n = 40
+    x = rng.uniform(0, 3, size=(n, 2))
+    y = np.sin(x[:, 0]) * np.cos(x[:, 1]) + rng.normal(0, 0.05, n)
+    gp = GpRegressor(x, y, y_err=np.full(n, 0.05))
+    q = np.array([[1.5, 1.5]])
+    mu, sig = gp(q)
+    assert abs(mu[0] - np.sin(1.5) * np.cos(1.5)) < 0.2
+
+
+def test_gpr_input_validation():
+    x, y, err = make_data()
+    with pytest.raises(ValueError):
+        GpRegressor(x, np.stack([y, y], axis=1))  # 2D y
+    with pytest.raises(ValueError):
+        GpRegressor(x[:-1], y)  # size mismatch
+    with pytest.raises(ValueError):
+        GpRegressor(x, y, y_err=err[:-1])  # bad error size
+    with pytest.raises(ValueError):
+        gp = GpRegressor(x, y, y_err=err)
+        gp.set_hyperparameters(np.ones(99))
+
+
+def test_gpr_diffev_optimizer():
+    x, y, err = make_data(n=12)
+    gp = GpRegressor(x, y, y_err=err, optimizer="diffev")
+    mu, sig = gp(np.array([5.0]))
+    assert np.isfinite(mu).all()
