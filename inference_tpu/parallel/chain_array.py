@@ -153,7 +153,11 @@ class ChainArray:
         return np.asarray(self._state.logp)
 
     def get_sample(self, burn: int = 0, thin: int = 1) -> np.ndarray:
-        """Pooled samples from all chains, shape (n_kept * K, P)."""
+        """
+        Pooled samples from all chains, shape (n_kept * K, P). ``burn`` and
+        ``thin`` apply to the **step** axis (each step contributes K
+        samples).
+        """
         if not self._history:
             return np.empty([0, self.n_parameters])
         h = np.concatenate(self._history, axis=0)[burn::thin]

@@ -1,0 +1,78 @@
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from inference_tpu.ops.pairwise import (
+    scaled_sq_distances,
+    _sqexp_fallback,
+)
+from inference_tpu.utils.ess import (
+    effective_sample_size,
+    effective_sample_size_batched,
+)
+
+
+def test_scaled_sq_distances_matches_direct():
+    rng = np.random.default_rng(0)
+    u = rng.normal(size=(33, 4))
+    v = rng.normal(size=(17, 4))
+    ls = np.array([0.5, 1.0, 2.0, 0.7])
+    D = np.asarray(scaled_sq_distances(u, v, ls))
+    direct = (((u[:, None, :] - v[None, :, :]) / ls) ** 2).sum(-1)
+    assert np.allclose(D, direct, atol=1e-9)
+
+
+def test_sqexp_fallback_values():
+    rng = np.random.default_rng(1)
+    u = rng.normal(size=(10, 2))
+    ls = np.array([0.8, 1.3])
+    K = np.asarray(_sqexp_fallback(jnp.asarray(u), jnp.asarray(u), 1.5, jnp.asarray(ls)))
+    direct = 1.5**2 * np.exp(
+        -0.5 * (((u[:, None, :] - u[None, :, :]) / ls) ** 2).sum(-1)
+    )
+    assert np.allclose(K, direct, atol=1e-10)
+    assert np.allclose(np.diag(K), 1.5**2)
+
+
+def test_sqexp_pallas_interpret_matches_fallback():
+    """The Pallas kernel (run in interpreter mode on CPU) matches the
+    XLA fallback path."""
+    from jax.experimental.pallas import tpu as pltpu
+    from inference_tpu.ops import pairwise
+
+    rng = np.random.default_rng(2)
+    u = jnp.asarray(rng.normal(size=(300, 3)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(260, 3)), jnp.float32)
+    ls = jnp.asarray([0.7, 1.1, 0.9], jnp.float32)
+
+    expected = np.asarray(pairwise._sqexp_fallback(u, v, 1.2, ls))
+    with pltpu.force_tpu_interpret_mode():
+        got = np.asarray(pairwise._sqexp_pallas(u, v, 1.2, ls))
+    assert got.shape == expected.shape
+    assert np.allclose(got, expected, rtol=1e-4, atol=1e-5)
+
+
+def test_ess_known_autocorrelation():
+    """An AR(1) series with coefficient rho has ESS ~ N (1-rho)/(1+rho)."""
+    rng = np.random.default_rng(3)
+    n, rho = 40000, 0.7
+    x = np.empty(n)
+    x[0] = rng.normal()
+    for i in range(1, n):
+        x[i] = rho * x[i - 1] + rng.normal() * np.sqrt(1 - rho**2)
+    ess = effective_sample_size(x)
+    expected = n * (1 - rho) / (1 + rho)
+    # the truncate-at-first-negative estimator (reference semantics) cuts
+    # the autocorrelation sum early, biasing the ESS upward somewhat
+    assert 0.5 * expected < ess < 2.0 * expected
+
+
+def test_ess_batched_matches_host():
+    rng = np.random.default_rng(4)
+    x = rng.normal(size=(3, 5000)).cumsum(axis=1) * 0.01 + rng.normal(
+        size=(3, 5000)
+    )
+    batched = np.asarray(effective_sample_size_batched(jnp.asarray(x)))
+    host = np.array([effective_sample_size(row) for row in x])
+    # truncation points can differ by one lag; allow small deviation
+    assert np.allclose(batched, host, rtol=0.1)

@@ -1,0 +1,123 @@
+"""Multi-device tests on the virtual 8-device CPU mesh: chain-batch
+sharding and collective replica-exchange (the reference has no multi-device
+or tempering tests at all — SURVEY.md section 4)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from inference_tpu.parallel import (
+    chain_mesh,
+    tempering_mesh,
+    ChainArray,
+    ShardedTempering,
+)
+
+
+def correlated_gaussian():
+    cov = np.array([[1.0, 0.7], [0.7, 2.0]])
+    icov = jnp.asarray(np.linalg.inv(cov))
+
+    def logp(t):
+        return -0.5 * t @ icov @ t
+
+    return logp, cov
+
+
+def test_chain_array_hmc_statistics():
+    logp, cov = correlated_gaussian()
+    starts = np.random.default_rng(0).normal(0, 1, size=(64, 2))
+    ca = ChainArray("hmc", logp, starts, seed=1)
+    ca.advance(300)
+    s = ca.get_sample(burn=100)
+    assert np.allclose(s.mean(0), 0.0, atol=0.1)
+    assert np.allclose(np.cov(s.T), cov, atol=0.3)
+
+
+def test_chain_array_sharded_over_mesh():
+    logp, cov = correlated_gaussian()
+    mesh = chain_mesh()
+    starts = np.random.default_rng(0).normal(0, 1, size=(16, 2))
+    ca = ChainArray("hmc", logp, starts, mesh=mesh, seed=2)
+    ca.advance(100)
+    # state is sharded over all devices
+    shards = ca._state.theta.sharding.device_set
+    assert len(shards) == len(jax.devices())
+    assert np.isfinite(ca.theta).all()
+
+
+def test_chain_array_gibbs():
+    logp, cov = correlated_gaussian()
+    starts = np.random.default_rng(3).normal(0, 1, size=(32, 2))
+    ca = ChainArray("gibbs", logp, starts, widths=0.5, seed=3)
+    ca.advance(500)
+    s = ca.get_sample(burn=100)  # burn applies to the step axis
+    assert np.allclose(s.mean(0), 0.0, atol=0.15)
+
+
+def test_chain_array_store_false():
+    logp, _ = correlated_gaussian()
+    starts = np.zeros((8, 2)) + 0.1
+    ca = ChainArray("hmc", logp, starts, seed=4)
+    ca.advance(50, store=False)
+    assert ca.get_sample().shape == (0, 2)
+    assert ca.theta.shape == (8, 2)
+
+
+def test_sharded_tempering_mode_hopping():
+    def bimodal(t):
+        x = t[0]
+        return jnp.logaddexp(
+            -0.5 * ((x + 4.0) / 0.5) ** 2,
+            -0.5 * ((x - 4.0) / 0.5) ** 2 + jnp.log(0.5),
+        )
+
+    mesh = tempering_mesh(n_rungs=4)
+    st = ShardedTempering(
+        bimodal,
+        start=np.array([4.0]),
+        temperatures=[1.0, 3.0, 10.0, 30.0],
+        n_chains=8,
+        mesh=mesh,
+        seed=5,
+    )
+    accepted = st.advance(600, swap_interval=10)
+    # swaps happen at a healthy rate
+    assert 0.1 < accepted.mean() < 0.95
+    # at least some cold-rung lanes reached the left mode (starting at +4)
+    cold = st.cold_chain_positions()
+    assert (cold < 0).any()
+    assert np.isfinite(st.logp).all()
+
+
+def test_tempering_mesh_validation():
+    with pytest.raises(ValueError):
+        tempering_mesh(n_rungs=3)  # does not divide 8
+    mesh = tempering_mesh(n_rungs=2)
+
+    def logp(t):
+        return -0.5 * (t**2).sum()
+
+    with pytest.raises(ValueError):
+        ShardedTempering(
+            logp,
+            start=np.zeros(2),
+            temperatures=[1.0, 2.0, 4.0],  # 3 rungs vs 2-rung mesh
+            n_chains=4,
+            mesh=mesh,
+        )
+
+
+def test_graft_entry_points():
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import __graft_entry__ as g
+
+    fn, args = g.entry()
+    theta, logp = jax.jit(fn)(*args)
+    assert theta.shape == (64, 10)
+    assert np.isfinite(np.asarray(logp)).all()
+
+    g.dryrun_multichip(8)
