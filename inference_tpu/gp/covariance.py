@@ -27,7 +27,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from ..ops.pairwise import scaled_sq_distances
+from ..ops.pairwise import scaled_sq_distances, sqexp_covariance
 
 
 class CovarianceFunction(ABC):
@@ -184,16 +184,15 @@ class SquaredExponential(CovarianceFunction):
         theta = jnp.asarray(theta)
         a = jnp.exp(theta[0])
         L = jnp.exp(theta[1:])
-        D = scaled_sq_distances(jnp.asarray(u), jnp.asarray(v), L)
-        return (a**2) * jnp.exp(-0.5 * D)
+        return sqexp_covariance(jnp.asarray(u), jnp.asarray(v), a, L)
 
     def build_covariance(self, theta):
         theta = jnp.asarray(theta)
         a = jnp.exp(theta[0])
         L = jnp.exp(theta[1:])
-        D = scaled_sq_distances(self.x, self.x, L)
-        C = jnp.exp(-0.5 * D) + 1e-12 * jnp.eye(self.x.shape[0])
-        return (a**2) * C
+        K = sqexp_covariance(self.x, self.x, a, L)
+        # diagonal jitter scaled by the amplitude (reference: covariance.py:221)
+        return K + (a**2 * 1e-12) * jnp.eye(self.x.shape[0])
 
     def gradient_terms(self, v, x, theta):
         """Kernel-specific terms for predictive-gradient calculations

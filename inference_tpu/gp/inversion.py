@@ -129,7 +129,10 @@ class GpLinearInverter:
             L_safe = jnp.where(ok, L, jnp.eye(J.shape[0], dtype=J.dtype))
             v = solve_triangular(L_safe, y - A @ prior_mean, lower=True)
             value = -0.5 * (v @ v) - jnp.log(jnp.diagonal(L_safe)).sum()
-            return jnp.where(ok, value, -1e50)
+            # likelihood floor for failed factorisations; kept inside
+            # the dtype's finite range (-1e50 overflows float32)
+            floor = jnp.asarray(jnp.finfo(K.dtype).min / 4, K.dtype)
+            return jnp.where(ok, value, floor)
 
         self._posterior = jax.jit(posterior)
         self._lml = jax.jit(lml)

@@ -17,7 +17,8 @@ evolution hyperparameter fitting. Key design changes:
   triangular solve), replacing the reference's per-point Python loop
   (reference: regression.py:204-216);
 - Cholesky failures are handled branchlessly: a non-finite factorisation
-  pins the likelihood to -1e50 (the reference catches LinAlgError,
+  pins the likelihood to a large negative floor so optimizers retreat
+  (the reference catches LinAlgError and returns -1e50,
   reference: regression.py:536-542);
 - ``n_processes`` is accepted for API compatibility but ignored — the
   device itself provides the intra-op parallelism that the reference gets
@@ -191,7 +192,10 @@ class GpRegressor:
             L_safe = jnp.where(ok, L, jnp.eye(n, dtype=K.dtype))
             v = solve_triangular(L_safe, y - mu, lower=True)
             value = -0.5 * (v @ v) - jnp.log(jnp.diagonal(L_safe)).sum()
-            return jnp.where(ok, value, -1e50)
+            # likelihood floor for failed factorisations; kept inside
+            # the dtype's finite range (-1e50 overflows float32)
+            floor = jnp.asarray(jnp.finfo(K.dtype).min / 4, K.dtype)
+            return jnp.where(ok, value, floor)
 
         def loo(theta):
             K = cov.build_covariance(theta[cov_slc]) + sig
@@ -203,7 +207,10 @@ class GpRegressor:
             alpha = iK @ (y - mu)
             var = 1.0 / jnp.diagonal(iK)
             value = -0.5 * (var * alpha**2 + jnp.log(var)).sum()
-            return jnp.where(ok, value, -1e50)
+            # likelihood floor for failed factorisations; kept inside
+            # the dtype's finite range (-1e50 overflows float32)
+            floor = jnp.asarray(jnp.finfo(K.dtype).min / 4, K.dtype)
+            return jnp.where(ok, value, floor)
 
         self._lml = jax.jit(lml)
         self._lml_grad = jax.jit(jax.value_and_grad(lml))

@@ -76,6 +76,7 @@ def make_hmc_step(
     mass_velocity=None,
     mass_sample=None,
     bounds_reflect=None,
+    retry: bool = True,
 ):
     """
     Build the compiled single-transition HMC step.
@@ -89,6 +90,13 @@ def make_hmc_step(
     :param bounds_reflect: optional ``theta -> (theta, reflections)`` map for
         bounded leapfrog (position reflection + momentum sign flip,
         reference: hmc/__init__.py:178-194).
+    :param retry: with True (default), rejected proposals are re-drawn until
+        acceptance, matching the reference's repeat-until-accept behaviour
+        (reference: hmc/__init__.py:132-157). With False the step is the
+        textbook MH kernel — a single proposal, duplicating the current
+        point on rejection — which has no retry loop at all and therefore
+        wastes no work when vmapped over large chain batches (under vmap a
+        retry loop reruns every lane until the slowest lane accepts).
 
     The inverse temperature is read from the state so tempering rungs can
     share one compiled program. Tempering scales both the log-probability
@@ -188,7 +196,13 @@ def make_hmc_step(
             theta=state.theta,
             logp=state.logp,
         )
-        final = lax.while_loop(cond, body, init)
+        if retry:
+            final = lax.while_loop(cond, body, init)
+        else:
+            final = body(init)
+            # duplicate-on-reject: a rejected single proposal is a valid
+            # MH transition, not a failure
+            final = final._replace(accepted=jnp.asarray(True))
 
         new_state = HmcState(
             theta=final.theta,

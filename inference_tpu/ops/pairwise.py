@@ -49,7 +49,14 @@ def _sqexp_fallback(u, v, amplitude, lengthscales):
 
 
 def _sqexp_pallas(u, v, amplitude, lengthscales):
-    """Tiled Pallas kernel: distance matmul + fused exp epilogue."""
+    """
+    Tiled Pallas kernel: exact per-tile pairwise differences fused with the
+    exponential epilogue. For the small feature dimensions typical of GP
+    regression the difference form is VPU-bound but free of the
+    catastrophic cancellation the |u|^2 + |v|^2 - 2uv matmul trick suffers
+    in float32, and fusing the exp avoids a second pass of the N x N
+    distance matrix through HBM.
+    """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -67,17 +74,15 @@ def _sqexp_pallas(u, v, amplitude, lengthscales):
     np_ = -(-n // _TILE) * _TILE
     us_p = jnp.zeros((mp, d), dtype).at[:m].set(us)
     vs_p = jnp.zeros((np_, d), dtype).at[:n].set(vs)
-    uu = (us_p * us_p).sum(axis=1, keepdims=True)           # (mp, 1)
-    vv = (vs_p * vs_p).sum(axis=1, keepdims=True)           # (np, 1)
 
     amp_sq = jnp.asarray([[amplitude**2]], dtype)
 
-    def kernel(us_ref, vs_ref, uu_ref, vv_ref, amp_ref, out_ref):
-        cross = jnp.dot(
-            us_ref[:], vs_ref[:].T, preferred_element_type=jnp.float32
-        ).astype(dtype)
-        dist = uu_ref[:] + vv_ref[:].T - 2.0 * cross
-        out_ref[:] = amp_ref[0, 0] * jnp.exp(-0.5 * jnp.maximum(dist, 0.0))
+    def kernel(us_ref, vs_ref, amp_ref, out_ref):
+        dist = jnp.zeros((_TILE, _TILE), dtype)
+        for k in range(d):  # d is a static python int (small)
+            diff = us_ref[:, k][:, None] - vs_ref[:, k][None, :]
+            dist += diff * diff
+        out_ref[:] = amp_ref[0, 0] * jnp.exp(-0.5 * dist)
 
     grid = (mp // _TILE, np_ // _TILE)
     out = pl.pallas_call(
@@ -87,24 +92,75 @@ def _sqexp_pallas(u, v, amplitude, lengthscales):
         in_specs=[
             pl.BlockSpec((_TILE, d), lambda i, j: (i, 0)),
             pl.BlockSpec((_TILE, d), lambda i, j: (j, 0)),
-            pl.BlockSpec((_TILE, 1), lambda i, j: (i, 0)),
-            pl.BlockSpec((_TILE, 1), lambda i, j: (j, 0)),
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
         out_specs=pl.BlockSpec((_TILE, _TILE), lambda i, j: (i, j)),
-    )(us_p, vs_p, uu, vv, amp_sq)
+    )(us_p, vs_p, amp_sq)
     return out[:m, :n]
+
+
+def _sqexp_backward(u, v, lengthscales, K, Kbar):
+    """
+    Backward reductions for the squared-exponential covariance: given the
+    cotangent ``Kbar``,
+
+        g_amp = sum_ij Kbar_ij K_ij                               (-> dL/d amp)
+        g_l_k = sum_ij Kbar_ij K_ij ((u_ik - v_jk)/l_k)^2         (-> dL/d l_k)
+
+    so the hyperparameter gradient never materialises per-parameter dK
+    matrices (the reference's approach, reference: covariance.py:268-276).
+    Plain XLA: each per-dimension term is one fused broadcast-subtract-
+    square-multiply-reduce pass over the N x N block.
+    """
+    us = u / lengthscales[None, :]
+    vs = v / lengthscales[None, :]
+    w = K * Kbar
+    g_amp = w.sum()
+    g_ls = jnp.stack(
+        [
+            (w * (us[:, k][:, None] - vs[:, k][None, :]) ** 2).sum()
+            for k in range(u.shape[1])
+        ]
+    )
+    return g_amp, g_ls
+
+
+@jax.custom_vjp
+def _sqexp_pallas_diff(u, v, amplitude, lengthscales):
+    return _sqexp_pallas(u, v, amplitude, lengthscales)
+
+
+def _sqexp_pallas_fwd(u, v, amplitude, lengthscales):
+    K = _sqexp_pallas(u, v, amplitude, lengthscales)
+    return K, (u, v, amplitude, lengthscales, K)
+
+
+def _sqexp_pallas_bwd(residuals, Kbar):
+    u, v, amplitude, lengthscales, K = residuals
+    g_amp_base, g_l_base = _sqexp_backward(u, v, lengthscales, K, Kbar)
+    # K = A^2 exp(-0.5 sum_k ((u-v)/l_k)^2):
+    #   dK/dA   = 2 K / A
+    #   dK/dl_k = K * scaled_diff_k^2 / l_k   (diff already scaled by 1/l_k)
+    d_amp = 2.0 * g_amp_base / amplitude
+    d_ls = g_l_base / lengthscales
+    # positions are treated as constants in the hyperparameter-fitting path
+    return jnp.zeros_like(u), jnp.zeros_like(v), d_amp, d_ls
+
+
+_sqexp_pallas_diff.defvjp(_sqexp_pallas_fwd, _sqexp_pallas_bwd)
 
 
 def sqexp_covariance(u, v, amplitude, lengthscales):
     """
     Squared-exponential covariance block
-    ``A^2 exp(-0.5 sum_k ((u_ik - v_jk)/l_k)^2)``, using the fused Pallas
-    kernel on TPU for large problems and plain XLA otherwise.
+    ``A^2 exp(-0.5 sum_k ((u_ik - v_jk)/l_k)^2)``, using the fused,
+    custom-VJP Pallas kernel on TPU for large problems (exact tile-local
+    differences — no float32 cancellation) and plain XLA otherwise.
+    Differentiable in ``amplitude`` and ``lengthscales`` on both paths.
     """
     u = jnp.atleast_2d(jnp.asarray(u))
     v = jnp.atleast_2d(jnp.asarray(v))
     on_tpu = jax.default_backend() == "tpu"
     if on_tpu and u.shape[0] >= _PALLAS_MIN_N and v.shape[0] >= _PALLAS_MIN_N:
-        return _sqexp_pallas(u, v, amplitude, jnp.asarray(lengthscales))
+        return _sqexp_pallas_diff(u, v, amplitude, jnp.asarray(lengthscales))
     return _sqexp_fallback(u, v, amplitude, jnp.asarray(lengthscales))

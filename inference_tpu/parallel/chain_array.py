@@ -32,6 +32,11 @@ class ChainArray:
     :param epsilon: initial leapfrog step size (hmc).
     :param steps: nominal leapfrog steps per proposal (hmc).
     :param inverse_mass: scalar or vector inverse mass (hmc).
+    :param retry: repeat-until-accept proposals (the reference semantics)
+        when True; textbook duplicate-on-reject MH when False — the latter
+        avoids all retry-loop waste under vmap (a retry loop reruns every
+        chain lane until the slowest lane accepts) and is the recommended
+        setting for large chain batches.
     :param mesh: optional ``jax.sharding.Mesh`` whose ``axis_name`` axis the
         chain batch is sharded over.
     :param axis_name: mesh axis to shard over (default "chains").
@@ -48,6 +53,7 @@ class ChainArray:
         epsilon: float = 0.1,
         steps: int = 50,
         inverse_mass=None,
+        retry: bool = True,
         mesh=None,
         axis_name: str = "chains",
         seed=None,
@@ -84,6 +90,7 @@ class ChainArray:
                 steps=steps,
                 mass_velocity=mass_velocity,
                 mass_sample=mass_sample,
+                retry=retry,
             )
             state = jax.vmap(
                 lambda t, p, k: hmc_kernel.init_hmc_state(t, p, epsilon, k)

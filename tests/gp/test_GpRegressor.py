@@ -178,8 +178,13 @@ def test_gpr_alternative_kernels(kernel):
     gp = GpRegressor(x, y, y_err=err, kernel=k)
     mu, sig = gp(np.array([5.0]))
     assert np.isfinite(mu).all() and np.isfinite(sig).all()
-    # gradient of LML matches finite differences for each kernel
-    theta = gp.hyperpars
+    # gradient of LML matches finite differences for each kernel, checked at
+    # a deterministic mid-bounds point (fitted optima vary with the unseeded
+    # multistart and can sit in ill-conditioned corners where central
+    # differences themselves are inaccurate)
+    lwr = np.array([b[0] for b in gp.hp_bounds])
+    upr = np.array([b[1] for b in gp.hp_bounds])
+    theta = 0.5 * (lwr + upr)
     finite_difference_check(
         gp.marginal_likelihood_gradient, gp.marginal_likelihood, theta, rtol=1e-4
     )
@@ -191,7 +196,9 @@ def test_gpr_alternative_means(mean):
     gp = GpRegressor(x, y, y_err=err, mean=mean)
     mu, sig = gp(np.array([5.0]))
     assert np.isfinite(mu).all()
-    theta = gp.hyperpars
+    lwr = np.array([b[0] for b in gp.hp_bounds])
+    upr = np.array([b[1] for b in gp.hp_bounds])
+    theta = 0.5 * (lwr + upr)
     finite_difference_check(
         gp.marginal_likelihood_gradient, gp.marginal_likelihood, theta, rtol=1e-4
     )

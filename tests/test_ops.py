@@ -76,3 +76,28 @@ def test_ess_batched_matches_host():
     host = np.array([effective_sample_size(row) for row in x])
     # truncation points can differ by one lag; allow small deviation
     assert np.allclose(batched, host, rtol=0.1)
+
+
+def test_sqexp_pallas_custom_vjp_matches_autodiff():
+    """The hand-written VJP of the Pallas covariance kernel matches jax
+    autodiff of the XLA fallback (interpreter mode on CPU, float64)."""
+    from jax.experimental.pallas import tpu as pltpu
+    from inference_tpu.ops import pairwise
+
+    rng = np.random.default_rng(7)
+    u = jnp.asarray(rng.normal(size=(40, 2)))
+    kbar = jnp.asarray(rng.normal(size=(40, 40)))
+
+    def loss_ref(amp, ls):
+        return jnp.sum(pairwise._sqexp_fallback(u, u, amp, ls) * kbar)
+
+    def loss_pallas(amp, ls):
+        return jnp.sum(pairwise._sqexp_pallas_diff(u, u, amp, ls) * kbar)
+
+    amp = jnp.asarray(1.3)
+    ls = jnp.asarray([0.8, 1.2])
+    g_ref = jax.grad(loss_ref, argnums=(0, 1))(amp, ls)
+    with pltpu.force_tpu_interpret_mode():
+        g_pallas = jax.grad(loss_pallas, argnums=(0, 1))(amp, ls)
+    assert np.isclose(float(g_pallas[0]), float(g_ref[0]), rtol=1e-8)
+    assert np.allclose(np.asarray(g_pallas[1]), np.asarray(g_ref[1]), rtol=1e-8)
