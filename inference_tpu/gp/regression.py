@@ -144,10 +144,15 @@ class GpRegressor:
         self.cov_slice = slice(self.mean.n_params, self.n_hyperpars)
         self.hyperpar_labels = [*self.mean.hyperpar_labels, *self.cov.hyperpar_labels]
 
-        # device copies and jitted objectives
+        # device copies and jitted objectives; diagonal error models keep
+        # only the variance vector on device (the dense matrix would cost
+        # O(N^2) memory and compile-payload size at large N)
         self._x_dev = jnp.asarray(self.x)
         self._y_dev = jnp.asarray(self.y)
-        self._sig_dev = jnp.asarray(self.sig)
+        if self._sig_is_diag:
+            self._sig_dev = jnp.asarray(np.diagonal(self.sig))
+        else:
+            self._sig_dev = jnp.asarray(self.sig)
         self._build_compiled_functions()
 
         self.cross_val = cross_val
@@ -180,12 +185,25 @@ class GpRegressor:
     # ------------------------------------------------------------------ #
     def _build_compiled_functions(self):
         cov, mean = self.cov, self.mean
-        y, sig = self._y_dev, self._sig_dev
+        y = self._y_dev
         n = self.n_points
         mean_slc, cov_slc = self.mean_slice, self.cov_slice
 
-        def lml(theta):
-            K = cov.build_covariance(theta[cov_slc]) + sig
+        # the error covariance 'sig' is passed as a runtime argument rather
+        # than captured in the closure: captured arrays are baked into the
+        # compiled program as constants, and an N x N constant makes the
+        # HLO payload enormous at large N (it broke remote compilation at
+        # N = 8192 and slowed every compile before that)
+
+        sig_is_diag = self._sig_is_diag
+
+        def add_sig(K, sig):
+            if sig_is_diag:
+                return K + jnp.diag(sig)
+            return K + sig
+
+        def lml(theta, sig):
+            K = add_sig(cov.build_covariance(theta[cov_slc]), sig)
             mu = mean.build_mean(theta[mean_slc])
             L = jnp.linalg.cholesky(K)
             ok = jnp.isfinite(L).all()
@@ -197,8 +215,8 @@ class GpRegressor:
             floor = jnp.asarray(jnp.finfo(K.dtype).min / 4, K.dtype)
             return jnp.where(ok, value, floor)
 
-        def loo(theta):
-            K = cov.build_covariance(theta[cov_slc]) + sig
+        def loo(theta, sig):
+            K = add_sig(cov.build_covariance(theta[cov_slc]), sig)
             mu = mean.build_mean(theta[mean_slc])
             L = jnp.linalg.cholesky(K)
             ok = jnp.isfinite(L).all()
@@ -212,10 +230,14 @@ class GpRegressor:
             floor = jnp.asarray(jnp.finfo(K.dtype).min / 4, K.dtype)
             return jnp.where(ok, value, floor)
 
-        self._lml = jax.jit(lml)
-        self._lml_grad = jax.jit(jax.value_and_grad(lml))
-        self._loo = jax.jit(loo)
-        self._loo_grad = jax.jit(jax.value_and_grad(loo))
+        lml_jit = jax.jit(lml)
+        lml_grad_jit = jax.jit(jax.value_and_grad(lml, argnums=0))
+        loo_jit = jax.jit(loo)
+        loo_grad_jit = jax.jit(jax.value_and_grad(loo, argnums=0))
+        self._lml = lambda theta: lml_jit(theta, self._sig_dev)
+        self._lml_grad = lambda theta: lml_grad_jit(theta, self._sig_dev)
+        self._loo = lambda theta: loo_jit(theta, self._sig_dev)
+        self._loo_grad = lambda theta: loo_grad_jit(theta, self._sig_dev)
 
         x_dev = self._x_dev
 
@@ -278,7 +300,11 @@ class GpRegressor:
         self.mean_hyperpars = self.hyperpars[self.mean_slice]
         self.cov_hyperpars = self.hyperpars[self.cov_slice]
         theta = jnp.asarray(hyperpars)
-        K_xx = self.cov.build_covariance(theta[self.cov_slice]) + self._sig_dev
+        K_xx = self.cov.build_covariance(theta[self.cov_slice])
+        if self._sig_is_diag:
+            K_xx = K_xx + jnp.diag(self._sig_dev)
+        else:
+            K_xx = K_xx + self._sig_dev
         mu = self.mean.build_mean(theta[self.mean_slice])
         L = jnp.linalg.cholesky(K_xx)
         alpha = solve_triangular(
@@ -292,6 +318,7 @@ class GpRegressor:
         self._mean_pars_dev = theta[self.mean_slice]
 
     def check_error_data(self, y_err, y_cov):
+        self._sig_is_diag = y_cov is None
         if y_cov is not None:
             if type(y_cov) in (list, tuple):
                 y_cov = np.array(y_cov).squeeze()

@@ -119,8 +119,6 @@ class ChainArray:
         self._step = jax.vmap(step)
         self._state = state
         if mesh is not None:
-            spec = P(axis_name)
-            sharding = NamedSharding(mesh, spec)
             self._state = jax.tree.map(
                 lambda x: jax.device_put(
                     x, NamedSharding(mesh, P(axis_name, *([None] * (x.ndim - 1))))

@@ -4,6 +4,7 @@ from .progress import ChainProgressPrinter
 from .random import make_key
 from .dtypes import default_float
 from .wrap import as_device_logp, validate_posterior, is_traceable
+from .profiling import device_trace, PhaseTimer
 
 __all__ = [
     "Bounds",
@@ -16,4 +17,6 @@ __all__ = [
     "as_device_logp",
     "validate_posterior",
     "is_traceable",
+    "device_trace",
+    "PhaseTimer",
 ]
