@@ -28,6 +28,7 @@ import jax
 import jax.numpy as jnp
 
 from ..ops.pairwise import scaled_sq_distances, sqexp_covariance
+from ..ops.linalg import add_diagonal
 
 
 class CovarianceFunction(ABC):
@@ -139,7 +140,8 @@ class WhiteNoise(CovarianceFunction):
 
     def build_covariance(self, theta):
         theta = jnp.asarray(theta)
-        return jnp.exp(2 * theta[0]) * jnp.eye(self.n_data)
+        # diag of a traced vector (never an N x N identity constant)
+        return jnp.diag(jnp.full(self.n_data, jnp.exp(2 * theta[0])))
 
     def get_bounds(self):
         return self.bounds
@@ -192,7 +194,7 @@ class SquaredExponential(CovarianceFunction):
         L = jnp.exp(theta[1:])
         K = sqexp_covariance(self.x, self.x, a, L)
         # diagonal jitter scaled by the amplitude (reference: covariance.py:221)
-        return K + (a**2 * 1e-12) * jnp.eye(self.x.shape[0])
+        return add_diagonal(K, a**2 * 1e-12)
 
     def gradient_terms(self, v, x, theta):
         """Kernel-specific terms for predictive-gradient calculations
@@ -254,7 +256,7 @@ class RationalQuadratic(CovarianceFunction):
         k = jnp.exp(theta[1])
         L = jnp.exp(theta[2:])
         Z = 0.5 * scaled_sq_distances(self.x, self.x, L)
-        return (a**2) * ((1 + Z / k) ** (-k) + 1e-12 * jnp.eye(self.x.shape[0]))
+        return add_diagonal((a**2) * (1 + Z / k) ** (-k), a**2 * 1e-12)
 
     def get_bounds(self):
         return self.bounds

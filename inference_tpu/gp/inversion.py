@@ -18,6 +18,7 @@ from jax.scipy.linalg import solve_triangular
 from scipy.optimize import minimize
 
 from .covariance import CovarianceFunction, SquaredExponential
+from ..ops.linalg import identity_like, add_diagonal
 from .mean import MeanFunction, ConstantMean
 
 
@@ -101,32 +102,37 @@ class GpLinearInverter:
         self.cov_slice = slice(self.mean.n_params, self.n_hyperpars)
         self.hyperpar_labels = [*self.mean.hyperpar_labels, *self.cov.hyperpar_labels]
 
+        # dense forms kept as attributes for API parity; the compiled
+        # functions use the diagonal vectors (dense N x N constants captured
+        # in closures would bloat the compile payload at large N)
         self.sigma = jnp.diag(jnp.asarray(y_err) ** 2)
         self.inv_sigma = jnp.diag(jnp.asarray(y_err) ** -2.0)
         self.I = jnp.eye(self.A.shape[1])
+        self._sigma_diag = jnp.asarray(y_err) ** 2
         self._build_compiled()
 
     def _build_compiled(self):
         cov, mean = self.cov, self.mean
-        A, y, sigma, inv_sigma, I = self.A, self.y, self.sigma, self.inv_sigma, self.I
+        A, y, sigma_diag = self.A, self.y, self._sigma_diag
+        inv_sigma_diag = 1.0 / sigma_diag
         mean_slc, cov_slc = self.mean_slice, self.cov_slice
 
         def posterior(theta):
             K = cov.build_covariance(theta[cov_slc])
             prior_mean = mean.build_mean(theta[mean_slc])
-            W = A.T @ inv_sigma @ A
-            u = A.T @ (inv_sigma @ (y - A @ prior_mean))
-            posterior_cov = jnp.linalg.solve(I + K @ W, K)
+            W = A.T @ (inv_sigma_diag[:, None] * A)
+            u = A.T @ (inv_sigma_diag * (y - A @ prior_mean))
+            posterior_cov = jnp.linalg.solve(add_diagonal(K @ W, 1.0), K)
             posterior_mean = posterior_cov @ u + prior_mean
             return posterior_mean, posterior_cov
 
         def lml(theta):
             K = cov.build_covariance(theta[cov_slc])
             prior_mean = mean.build_mean(theta[mean_slc])
-            J = A @ K @ A.T + sigma
+            J = add_diagonal(A @ K @ A.T, sigma_diag)
             L = jnp.linalg.cholesky(J)
             ok = jnp.isfinite(L).all()
-            L_safe = jnp.where(ok, L, jnp.eye(J.shape[0], dtype=J.dtype))
+            L_safe = jnp.where(ok, L, identity_like(L))
             v = solve_triangular(L_safe, y - A @ prior_mean, lower=True)
             value = -0.5 * (v @ v) - jnp.log(jnp.diagonal(L_safe)).sum()
             # likelihood floor for failed factorisations; kept inside

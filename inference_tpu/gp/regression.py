@@ -36,6 +36,7 @@ from jax.scipy.linalg import solve_triangular, cho_solve
 from scipy.optimize import differential_evolution, fmin_l_bfgs_b
 
 from .covariance import CovarianceFunction, SquaredExponential
+from ..ops.linalg import identity_like
 from .mean import MeanFunction, ConstantMean
 
 
@@ -207,7 +208,7 @@ class GpRegressor:
             mu = mean.build_mean(theta[mean_slc])
             L = jnp.linalg.cholesky(K)
             ok = jnp.isfinite(L).all()
-            L_safe = jnp.where(ok, L, jnp.eye(n, dtype=K.dtype))
+            L_safe = jnp.where(ok, L, identity_like(L))
             v = solve_triangular(L_safe, y - mu, lower=True)
             value = -0.5 * (v @ v) - jnp.log(jnp.diagonal(L_safe)).sum()
             # likelihood floor for failed factorisations; kept inside
@@ -220,8 +221,8 @@ class GpRegressor:
             mu = mean.build_mean(theta[mean_slc])
             L = jnp.linalg.cholesky(K)
             ok = jnp.isfinite(L).all()
-            L_safe = jnp.where(ok, L, jnp.eye(n, dtype=K.dtype))
-            iK = cho_solve((L_safe, True), jnp.eye(n, dtype=K.dtype))
+            L_safe = jnp.where(ok, L, identity_like(L))
+            iK = cho_solve((L_safe, True), identity_like(L))
             alpha = iK @ (y - mu)
             var = 1.0 / jnp.diagonal(iK)
             value = -0.5 * (var * alpha**2 + jnp.log(var)).sum()
@@ -451,7 +452,7 @@ class GpRegressor:
         Leave-one-out predictions for each data point
         (Rasmussen & Williams eq. 5.12).
         """
-        iK = cho_solve((self.L, True), jnp.eye(self.n_points, dtype=self.L.dtype))
+        iK = cho_solve((self.L, True), identity_like(self.L))
         var = 1.0 / jnp.diagonal(iK)
         alpha = iK @ (self._y_dev - self.mu)
         mu = self._y_dev - alpha * var

@@ -148,3 +148,23 @@ def test_gibbs_numpy_posterior_callback():
     chain.advance(400)
     s = chain.get_sample(burn=100)
     assert abs(s.mean() - 1.0) < 0.3
+
+
+def test_gibbs_run_for_wall_clock():
+    """run_for advances the chain for (at least) the requested duration."""
+    from time import time
+
+    chain = GibbsChain(
+        posterior=rosenbrock,
+        start=np.array([2.0, -4.0]),
+        widths=np.array([0.2, 0.4]),
+        display_progress=False,
+        seed=1,
+    )
+    chain.advance(10)  # compile outside the timed window
+    start_len = chain.chain_length
+    t0 = time()
+    chain.run_for(minutes=0.03)
+    elapsed = time() - t0
+    assert chain.chain_length > start_len
+    assert elapsed >= 0.03 * 60 * 0.9
