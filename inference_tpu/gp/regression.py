@@ -240,6 +240,22 @@ class GpRegressor:
         self._loo = lambda theta: loo_jit(theta, self._sig_dev)
         self._loo_grad = lambda theta: loo_grad_jit(theta, self._sig_dev)
 
+        def fit_state(theta, sig):
+            """K_xx, mean, Cholesky factor and alpha for given
+            hyperparameters — one compiled program (eager op-by-op execution
+            round-trips the N x N intermediates through the host on remote
+            backends)."""
+            K_xx = add_sig(cov.build_covariance(theta[cov_slc]), sig)
+            mu = mean.build_mean(theta[mean_slc])
+            L = jnp.linalg.cholesky(K_xx)
+            alpha = solve_triangular(
+                L.T, solve_triangular(L, y - mu, lower=True)
+            )
+            return K_xx, mu, L, alpha
+
+        fit_state_jit = jax.jit(fit_state)
+        self._fit_state = lambda theta: fit_state_jit(theta, self._sig_dev)
+
         x_dev = self._x_dev
 
         def predict(q, L, alpha, cov_pars, mean_pars):
@@ -301,16 +317,7 @@ class GpRegressor:
         self.mean_hyperpars = self.hyperpars[self.mean_slice]
         self.cov_hyperpars = self.hyperpars[self.cov_slice]
         theta = jnp.asarray(hyperpars)
-        K_xx = self.cov.build_covariance(theta[self.cov_slice])
-        if self._sig_is_diag:
-            K_xx = K_xx + jnp.diag(self._sig_dev)
-        else:
-            K_xx = K_xx + self._sig_dev
-        mu = self.mean.build_mean(theta[self.mean_slice])
-        L = jnp.linalg.cholesky(K_xx)
-        alpha = solve_triangular(
-            L.T, solve_triangular(L, self._y_dev - mu, lower=True)
-        )
+        K_xx, mu, L, alpha = self._fit_state(theta)
         self.K_xx = K_xx
         self.mu = mu
         self.L = L

@@ -38,7 +38,6 @@ from ._kernels.metropolis import (
     run_steps,
     MH_TARGET,
     GIBBS_TARGET,
-    WIDTH_CHK_INT,
     WIDTH_GROWTH,
     WIDTH_POWER,
     MAX_TRIES,

@@ -23,8 +23,6 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from .base import MarkovChain
-
 
 class ChainPool:
     """

@@ -14,8 +14,6 @@ squared-exponential covariance into the distance matmul, avoiding an extra
 round-trip of the N x N distance matrix through HBM.
 """
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 
