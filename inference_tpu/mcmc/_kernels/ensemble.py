@@ -54,11 +54,18 @@ def make_ensemble_step(
     alpha: float = 2.0,
     max_attempts: int = 100,
     bounds_reflect=None,
+    retry: bool = True,
 ):
     """
     Build the compiled one-iteration update (all walkers refreshed once).
 
     :param logp_fn: traceable ``theta -> log-probability`` for one walker.
+    :param retry: with True (default), each walker re-proposes until
+        acceptance, matching the reference (reference: ensemble.py:193-205).
+        With False each walker makes a single stretch-move proposal per
+        iteration, keeping its position on rejection — the standard
+        Goodman & Weare update — which wastes no work under vmap (the retry
+        loop reruns every walker lane until the slowest lane accepts).
     """
     x_lwr = (2.0 / alpha) ** 0.5
     x_width = (2.0 * alpha) ** 0.5 - x_lwr
@@ -112,8 +119,18 @@ def make_ensemble_step(
             accepted=jnp.zeros(h, bool),
             attempts=jnp.zeros(h, jnp.int32),
         )
-        final = lax.while_loop(cond, body, init)
-        return final.movers, final.logps, final.attempts, ~final.accepted
+        if retry:
+            final = lax.while_loop(cond, body, init)
+            return final.movers, final.logps, final.attempts, ~final.accepted
+        final = body(init)
+        # single-proposal mode: rejection keeps the old position and is a
+        # valid transition, not a failure
+        return (
+            final.movers,
+            final.logps,
+            final.attempts,
+            jnp.zeros(h, bool),
+        )
 
     def step(state: EnsembleState):
         key, k_a, k_b = jax.random.split(state.key, 3)

@@ -56,6 +56,11 @@ class EnsembleSampler(MarkovChain):
 
     :param seed: \
         Optional integer PRNG seed.
+
+    :param retry: \
+        Repeat-until-accept walker updates (the reference semantics) when
+        True; standard single-proposal Goodman & Weare updates when False —
+        recommended for large ensembles (no vmap retry waste).
     """
 
     def __init__(
@@ -66,12 +71,14 @@ class EnsembleSampler(MarkovChain):
         bounds=None,
         display_progress=True,
         seed=None,
+        retry: bool = True,
     ):
         self.posterior = posterior
         self._key = make_key(seed)
         self._step = None
         self._state = None
         self.max_attempts = 100
+        self.retry = retry
 
         if not alpha > 1.0:
             raise ValueError(
@@ -188,6 +195,7 @@ class EnsembleSampler(MarkovChain):
                 alpha=self.alpha,
                 max_attempts=self.max_attempts,
                 bounds_reflect=reflect,
+                retry=self.retry,
             )
         return self._step
 
