@@ -53,7 +53,7 @@ class AcquisitionFunction:
         """Traceable predictive mean and variance at a single point."""
         gp = self.gp
         return gp._predict_single(
-            q, gp.L, gp.alpha, gp._cov_pars_dev, gp._mean_pars_dev
+            q, gp.L, gp.alpha, gp._cov_pars_dev, gp._mean_pars_dev, gp._mask_dev
         )
 
     def _build_compiled(self):

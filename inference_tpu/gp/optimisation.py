@@ -70,6 +70,10 @@ class GpOptimiser:
         self.n_processes = n_processes
         self.optimizer = optimizer
 
+        # bucket padding: the optimisation loop refits on a growing dataset
+        # every iteration; padding to a bucket keeps the compiled-program
+        # shapes stable so refits reuse compilations
+        self.pad_to = 64
         self.gp = GpRegressor(
             x=self.x,
             y=self.y,
@@ -80,6 +84,7 @@ class GpOptimiser:
             cross_val=cross_val,
             optimizer=self.optimizer,
             n_processes=self.n_processes,
+            pad_to=self.pad_to,
         )
 
         self.acquisition = acquisition() if isclass(acquisition) else acquisition
@@ -134,6 +139,7 @@ class GpOptimiser:
             cross_val=self.cross_val,
             optimizer=self.optimizer,
             n_processes=self.n_processes,
+            pad_to=self.pad_to,
         )
         self.mu_max = self.y.max()
         self.acquisition.update_gp(self.gp)

@@ -81,6 +81,15 @@ class GpRegressor:
 
     :param n_starts: \
         Number of L-BFGS-B starting positions.
+
+    :param pad_to: \
+        Optional bucket size for shape padding. The data is padded up to the
+        next multiple of ``pad_to`` with masked rows (padded rows become
+        identity rows of the covariance, contributing exactly zero to the
+        likelihood), so models refit on growing datasets — e.g. the
+        ``GpOptimiser`` loop — reuse their compiled programs instead of
+        recompiling at every new data size. Results are numerically
+        identical to the unpadded computation.
     """
 
     def __init__(
@@ -96,6 +105,7 @@ class GpRegressor:
         optimizer: str = "bfgs",
         n_processes: int = 1,
         n_starts: int = None,
+        pad_to: int = None,
     ):
         # data validation / reshaping (reference: regression.py:93-130)
         self.x = x if isinstance(x, np.ndarray) else np.array(x)
@@ -140,6 +150,32 @@ class GpRegressor:
         self.hp_bounds = copy(self.mean.bounds)
         self.hp_bounds.extend(copy(self.cov.bounds))
 
+        # shape padding: bounds above were estimated from the real data;
+        # the kernel/mean objects are now re-pointed at the padded arrays.
+        # Padded x rows sit at the data centroid (keeps centred means exact)
+        self.pad_to = pad_to
+        if pad_to is not None:
+            self._n_padded = max(-(-self.n_points // pad_to) * pad_to, pad_to)
+        else:
+            self._n_padded = self.n_points
+        n_extra = self._n_padded - self.n_points
+        if n_extra > 0:
+            centroid = self.x.mean(axis=0, keepdims=True)
+            x_padded = np.concatenate(
+                [self.x, np.repeat(centroid, n_extra, axis=0)], axis=0
+            )
+            y_padded = np.concatenate([self.y, np.zeros(n_extra)])
+            self.cov.pass_spatial_data(x_padded)
+            self.mean.pass_spatial_data(x_padded)
+        else:
+            x_padded = self.x
+            y_padded = self.y
+        mask = np.zeros(self._n_padded)
+        mask[: self.n_points] = 1.0
+        self._x_padded = x_padded
+        self._y_padded = y_padded
+        self._mask = mask
+
         self.n_hyperpars = len(self.hp_bounds)
         self.mean_slice = slice(0, self.mean.n_params)
         self.cov_slice = slice(self.mean.n_params, self.n_hyperpars)
@@ -148,12 +184,17 @@ class GpRegressor:
         # device copies and jitted objectives; diagonal error models keep
         # only the variance vector on device (the dense matrix would cost
         # O(N^2) memory and compile-payload size at large N)
-        self._x_dev = jnp.asarray(self.x)
-        self._y_dev = jnp.asarray(self.y)
+        self._x_dev = jnp.asarray(self._x_padded)
+        self._y_dev = jnp.asarray(self._y_padded)
+        self._mask_dev = jnp.asarray(self._mask)
         if self._sig_is_diag:
-            self._sig_dev = jnp.asarray(np.diagonal(self.sig))
+            sig_diag = np.zeros(self._n_padded)
+            sig_diag[: self.n_points] = np.diagonal(self.sig)
+            self._sig_dev = jnp.asarray(sig_diag)
         else:
-            self._sig_dev = jnp.asarray(self.sig)
+            sig_full = np.zeros([self._n_padded, self._n_padded])
+            sig_full[: self.n_points, : self.n_points] = self.sig
+            self._sig_dev = jnp.asarray(sig_full)
         self._build_compiled_functions()
 
         self.cross_val = cross_val
@@ -203,27 +244,36 @@ class GpRegressor:
                 return K + jnp.diag(sig)
             return K + sig
 
-        def lml(theta, sig):
-            K = add_sig(cov.build_covariance(theta[cov_slc]), sig)
+        def apply_mask(K, m):
+            """Padded (masked-out) rows/columns become identity rows of K,
+            decoupling them: they contribute exactly zero to the quadratic
+            form and the log-determinant. With an all-ones mask this is the
+            identity operation."""
+            from ..ops.linalg import add_diagonal
+
+            return add_diagonal(K * (m[:, None] * m[None, :]), 1.0 - m)
+
+        def lml(theta, sig, m):
+            K = apply_mask(add_sig(cov.build_covariance(theta[cov_slc]), sig), m)
             mu = mean.build_mean(theta[mean_slc])
             L = jnp.linalg.cholesky(K)
             ok = jnp.isfinite(L).all()
             L_safe = jnp.where(ok, L, identity_like(L))
-            v = solve_triangular(L_safe, y - mu, lower=True)
+            v = solve_triangular(L_safe, (y - mu) * m, lower=True)
             value = -0.5 * (v @ v) - jnp.log(jnp.diagonal(L_safe)).sum()
             # likelihood floor for failed factorisations; kept inside
             # the dtype's finite range (-1e50 overflows float32)
             floor = jnp.asarray(jnp.finfo(K.dtype).min / 4, K.dtype)
             return jnp.where(ok, value, floor)
 
-        def loo(theta, sig):
-            K = add_sig(cov.build_covariance(theta[cov_slc]), sig)
+        def loo(theta, sig, m):
+            K = apply_mask(add_sig(cov.build_covariance(theta[cov_slc]), sig), m)
             mu = mean.build_mean(theta[mean_slc])
             L = jnp.linalg.cholesky(K)
             ok = jnp.isfinite(L).all()
             L_safe = jnp.where(ok, L, identity_like(L))
             iK = cho_solve((L_safe, True), identity_like(L))
-            alpha = iK @ (y - mu)
+            alpha = iK @ ((y - mu) * m)
             var = 1.0 / jnp.diagonal(iK)
             value = -0.5 * (var * alpha**2 + jnp.log(var)).sum()
             # likelihood floor for failed factorisations; kept inside
@@ -235,31 +285,39 @@ class GpRegressor:
         lml_grad_jit = jax.jit(jax.value_and_grad(lml, argnums=0))
         loo_jit = jax.jit(loo)
         loo_grad_jit = jax.jit(jax.value_and_grad(loo, argnums=0))
-        self._lml = lambda theta: lml_jit(theta, self._sig_dev)
-        self._lml_grad = lambda theta: lml_grad_jit(theta, self._sig_dev)
-        self._loo = lambda theta: loo_jit(theta, self._sig_dev)
-        self._loo_grad = lambda theta: loo_grad_jit(theta, self._sig_dev)
+        self._lml = lambda theta: lml_jit(theta, self._sig_dev, self._mask_dev)
+        self._lml_grad = lambda theta: lml_grad_jit(
+            theta, self._sig_dev, self._mask_dev
+        )
+        self._loo = lambda theta: loo_jit(theta, self._sig_dev, self._mask_dev)
+        self._loo_grad = lambda theta: loo_grad_jit(
+            theta, self._sig_dev, self._mask_dev
+        )
 
-        def fit_state(theta, sig):
+        def fit_state(theta, sig, m):
             """K_xx, mean, Cholesky factor and alpha for given
             hyperparameters — one compiled program (eager op-by-op execution
             round-trips the N x N intermediates through the host on remote
             backends)."""
-            K_xx = add_sig(cov.build_covariance(theta[cov_slc]), sig)
+            K_xx = apply_mask(
+                add_sig(cov.build_covariance(theta[cov_slc]), sig), m
+            )
             mu = mean.build_mean(theta[mean_slc])
             L = jnp.linalg.cholesky(K_xx)
             alpha = solve_triangular(
-                L.T, solve_triangular(L, y - mu, lower=True)
+                L.T, solve_triangular(L, (y - mu) * m, lower=True)
             )
             return K_xx, mu, L, alpha
 
         fit_state_jit = jax.jit(fit_state)
-        self._fit_state = lambda theta: fit_state_jit(theta, self._sig_dev)
+        self._fit_state = lambda theta: fit_state_jit(
+            theta, self._sig_dev, self._mask_dev
+        )
 
         x_dev = self._x_dev
 
-        def predict(q, L, alpha, cov_pars, mean_pars):
-            K_qx = cov(q, x_dev, cov_pars)
+        def predict(q, L, alpha, cov_pars, mean_pars, m):
+            K_qx = cov(q, x_dev, cov_pars) * m[None, :]
             mu_q = K_qx @ alpha + jax.vmap(lambda p: mean(p, mean_pars))(q)
             v = solve_triangular(L, K_qx.T, lower=True)
             kqq = jax.vmap(
@@ -270,8 +328,8 @@ class GpRegressor:
 
         self._predict = jax.jit(predict)
 
-        def predict_single(q, L, alpha, cov_pars, mean_pars):
-            K_qx = cov(q[None, :], x_dev, cov_pars)[0]
+        def predict_single(q, L, alpha, cov_pars, mean_pars, m):
+            K_qx = cov(q[None, :], x_dev, cov_pars)[0] * m
             mu = K_qx @ alpha + mean(q, mean_pars)
             v = solve_triangular(L, K_qx, lower=True)
             kqq = cov(q[None, :], q[None, :], cov_pars)[0, 0]
@@ -280,9 +338,9 @@ class GpRegressor:
 
         self._predict_single = predict_single
 
-        def grad_single(q, L, alpha, cov_pars, mean_pars):
+        def grad_single(q, L, alpha, cov_pars, mean_pars, m):
             """Mean vector and covariance matrix of the GP gradient."""
-            k_vec = lambda qq: cov(qq[None, :], x_dev, cov_pars)[0]
+            k_vec = lambda qq: cov(qq[None, :], x_dev, cov_pars)[0] * m
             dK = jax.jacfwd(k_vec)(q)  # (N, D)
             dmu = dK.T @ alpha + jax.grad(lambda qq: mean(qq, mean_pars) + 0.0)(q)
             pair = lambda q1, q2: cov(q1[None, :], q2[None, :], cov_pars)[0, 0]
@@ -293,9 +351,13 @@ class GpRegressor:
 
         self._grad_single = jax.jit(grad_single)
 
-        def spatial_derivs_single(q, L, alpha, cov_pars, mean_pars):
-            mu_fn = lambda qq: predict_single(qq, L, alpha, cov_pars, mean_pars)[0]
-            var_fn = lambda qq: predict_single(qq, L, alpha, cov_pars, mean_pars)[1]
+        def spatial_derivs_single(q, L, alpha, cov_pars, mean_pars, m):
+            mu_fn = lambda qq: predict_single(
+                qq, L, alpha, cov_pars, mean_pars, m
+            )[0]
+            var_fn = lambda qq: predict_single(
+                qq, L, alpha, cov_pars, mean_pars, m
+            )[1]
             return jax.grad(mu_fn)(q), jax.grad(var_fn)(q)
 
         self._spatial_derivs_single = jax.jit(spatial_derivs_single)
@@ -405,7 +467,12 @@ class GpRegressor:
         """
         p = jnp.asarray(self.process_points(points))
         mu, sig = self._predict(
-            p, self.L, self.alpha, self._cov_pars_dev, self._mean_pars_dev
+            p,
+            self.L,
+            self.alpha,
+            self._cov_pars_dev,
+            self._mean_pars_dev,
+            self._mask_dev,
         )
         return np.asarray(mu), np.asarray(sig)
 
@@ -419,7 +486,12 @@ class GpRegressor:
         p = jnp.asarray(self.process_points(points))
         mu_g, cov_g = jax.vmap(
             lambda q: self._grad_single(
-                q, self.L, self.alpha, self._cov_pars_dev, self._mean_pars_dev
+                q,
+                self.L,
+                self.alpha,
+                self._cov_pars_dev,
+                self._mean_pars_dev,
+                self._mask_dev,
             )
         )(p)
         return np.asarray(mu_g).squeeze(), np.asarray(cov_g).squeeze()
@@ -432,7 +504,12 @@ class GpRegressor:
         p = jnp.asarray(self.process_points(points))
         dmu, dvar = jax.vmap(
             lambda q: self._spatial_derivs_single(
-                q, self.L, self.alpha, self._cov_pars_dev, self._mean_pars_dev
+                q,
+                self.L,
+                self.alpha,
+                self._cov_pars_dev,
+                self._mean_pars_dev,
+                self._mask_dev,
             )
         )(p)
         return np.asarray(dmu).squeeze(), np.asarray(dvar).squeeze()
@@ -443,7 +520,7 @@ class GpRegressor:
         points.
         """
         v = jnp.asarray(self.process_points(points))
-        K_qx = self.cov(v, self._x_dev, self._cov_pars_dev)
+        K_qx = self.cov(v, self._x_dev, self._cov_pars_dev) * self._mask_dev[None, :]
         mu = K_qx @ self.alpha + jax.vmap(
             lambda p: self.mean(p, self._mean_pars_dev)
         )(v)
@@ -461,9 +538,10 @@ class GpRegressor:
         """
         iK = cho_solve((self.L, True), identity_like(self.L))
         var = 1.0 / jnp.diagonal(iK)
-        alpha = iK @ (self._y_dev - self.mu)
+        alpha = iK @ ((self._y_dev - self.mu) * self._mask_dev)
         mu = self._y_dev - alpha * var
-        return np.asarray(mu), np.asarray(jnp.sqrt(var))
+        n = self.n_points
+        return np.asarray(mu)[:n], np.asarray(jnp.sqrt(var))[:n]
 
     # ------------------------------------------------------------------ #
     # model-selection objectives

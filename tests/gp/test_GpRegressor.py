@@ -233,3 +233,40 @@ def test_gpr_diffev_optimizer():
     gp = GpRegressor(x, y, y_err=err, optimizer="diffev")
     mu, sig = gp(np.array([5.0]))
     assert np.isfinite(mu).all()
+
+
+def test_gpr_padding_is_exact():
+    """pad_to bucket padding produces numerically identical results to the
+    unpadded computation (masked rows are identity rows of K)."""
+    x, y, err = make_data(n=23)
+    theta = np.array([1.0, 0.3, 0.7])
+    plain = GpRegressor(x, y, y_err=err, hyperpars=theta)
+    padded = GpRegressor(x, y, y_err=err, hyperpars=theta, pad_to=16)
+    assert padded._n_padded == 32
+
+    for t in [theta, theta + 0.2]:
+        assert np.isclose(
+            plain.marginal_likelihood(t), padded.marginal_likelihood(t), rtol=1e-12
+        )
+        assert np.isclose(
+            plain.loo_likelihood(t), padded.loo_likelihood(t), rtol=1e-12
+        )
+        _, g1 = plain.marginal_likelihood_gradient(t)
+        _, g2 = padded.marginal_likelihood_gradient(t)
+        assert np.allclose(g1, g2, rtol=1e-10)
+
+    xq = np.linspace(0.5, 9.5, 11)
+    mu1, sig1 = plain(xq)
+    mu2, sig2 = padded(xq)
+    assert np.allclose(mu1, mu2, rtol=1e-10)
+    assert np.allclose(sig1, sig2, rtol=1e-8)
+
+    lm1, ls1 = plain.loo_predictions()
+    lm2, ls2 = padded.loo_predictions()
+    assert np.allclose(lm1, lm2, rtol=1e-8)
+    assert np.allclose(ls1, ls2, rtol=1e-8)
+
+    dm1, dv1 = plain.spatial_derivatives(np.array([[5.0]]))
+    dm2, dv2 = padded.spatial_derivatives(np.array([[5.0]]))
+    assert np.isclose(float(dm1), float(dm2), rtol=1e-8)
+    assert np.isclose(float(dv1), float(dv2), rtol=1e-6, atol=1e-12)
