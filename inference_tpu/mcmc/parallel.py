@@ -92,10 +92,113 @@ class ParallelTempering:
             lambda *xs: jnp.stack(xs), *[c._state for c in self.chains]
         )
         self._vstep = jax.vmap(self.chains[0]._get_step())
+        self._swap_key = jax.random.PRNGKey(
+            int(self.rng.integers(0, 2**31 - 1))
+        )
+        # PCA chains need host-side eigendecompositions mid-run, which rules
+        # out fusing many cycles into one compiled program
+        self._fusable = not any(hasattr(c, "next_update") for c in self.chains)
+        self._fused_run = self._build_fused_run() if self._fusable else None
 
     # ------------------------------------------------------------------ #
     # advancement
     # ------------------------------------------------------------------ #
+    def _build_fused_run(self):
+        """
+        One compiled program for a whole advance: ``lax.scan`` over swap
+        cycles, each cycle being ``swap_interval`` sampler steps followed by
+        an on-device Metropolis swap using host-precomputed pairings. The
+        host sees the device exactly once per ``advance`` call — the
+        reference pays two pipe round-trips per cycle
+        (reference: parallel.py:233-281), and the earlier host-orchestrated
+        variant here paid several tunnel round-trips per cycle.
+        """
+        vstep = self._vstep
+        n_rungs = self.N_chains
+
+        def swap_on_device(state, pair_row, key):
+            """pair_row: (P2, 2) int32 rung indices proposed for exchange."""
+            theta, logp, inv_t = state.theta, state.logp, state.inv_temp
+            i = pair_row[:, 0]
+            j = pair_row[:, 1]
+            d_beta = inv_t[i] - inv_t[j]
+            pi = logp[i] / inv_t[i]
+            pj = logp[j] / inv_t[j]
+            accept = jax.random.uniform(key, i.shape, logp.dtype) <= jnp.exp(
+                -d_beta * (pi - pj)
+            )
+
+            # permutation realising the accepted swaps
+            perm = jnp.arange(n_rungs)
+            perm = perm.at[i].set(jnp.where(accept, j, i))
+            perm = perm.at[j].set(jnp.where(accept, i, j))
+            new_theta = theta[perm]
+            # probabilities are re-tempered at the receiving rung
+            new_logp = (logp[perm] / inv_t[perm]) * inv_t
+            return (
+                state._replace(theta=new_theta, logp=new_logp),
+                accept,
+            )
+
+        def fused(state, pairs, keys, swap_interval: int):
+            def cycle(carry, inputs):
+                state = carry
+                pair_row, key = inputs
+                state, outs = jax.lax.scan(
+                    lambda s, _: vstep(s), state, None, length=swap_interval
+                )
+                state, accepted = swap_on_device(state, pair_row, key)
+                return state, (outs, accepted)
+
+            state, (outs, accepted) = jax.lax.scan(
+                cycle, state, (pairs, keys)
+            )
+            # merge (cycles, swap_interval, rungs, ...) -> (steps, rungs, ...)
+            outs = jax.tree.map(
+                lambda x: x.reshape((-1,) + x.shape[2:]), outs
+            )
+            return state, outs, accepted
+
+        return jax.jit(fused, static_argnames="swap_interval")
+
+    def _advance_fused(self, cycles: int, swap_interval: int):
+        """Run ``cycles`` sample+swap cycles in one device dispatch."""
+        pairs = np.array(
+            [self.tight_pairs() for _ in range(cycles)], dtype=np.int32
+        )
+        self._swap_key, sub = jax.random.split(self._swap_key)
+        keys = jax.random.split(sub, cycles)
+
+        state, outs, accepted = self._fused_run(
+            self._batched_state, jnp.asarray(pairs), keys, swap_interval
+        )
+        self._batched_state = state
+
+        outs_np = type(outs)(*[np.asarray(f) for f in outs])
+        for k, chain in enumerate(self.chains):
+            sliced = type(outs)(*[f[:, k] for f in outs_np])
+            chain._absorb_outputs(sliced)
+
+        accepted = np.asarray(accepted)  # (cycles, P2)
+        for c in range(cycles):
+            for p, (i, j) in enumerate(pairs[c]):
+                self.attempted_swaps[i, j] += 1
+                if accepted[c, p]:
+                    self.successful_swaps[i, j] += 1
+
+        # swaps changed the last recorded positions
+        theta = np.asarray(state.theta)
+        logp = np.asarray(state.logp)
+        for k, chain in enumerate(self.chains):
+            chain._consolidated_theta()[-1, :] = theta[k]
+            chain._consolidated_probs()[-1] = logp[k]
+
+        if hasattr(state, "failed") and bool(np.asarray(state.failed).any()):
+            raise ValueError(
+                "[ ParallelTempering error ] A chain failed to take a step "
+                "within its maximum allowed attempts."
+            )
+
     def _run_batch(self, n: int):
         """Advance all rungs ``n`` steps in one compiled scan."""
         from ._kernels.hmc import run_steps  # generic over step/state pytrees
@@ -213,32 +316,32 @@ class ParallelTempering:
         Advance each chain ``n`` steps, attempting swaps every
         ``swap_interval`` steps.
         """
-        k = 50
         total_cycles = n // swap_interval
-        if k < total_cycles:
-            k = total_cycles
-            cycles = 1
+
+        if self._fusable and total_cycles > 0:
+            # power-of-two cycle chunks keep the compiled-shape set small
+            remaining = total_cycles
+            t_start = time()
+            done = 0
+            while remaining > 0:
+                chunk = 1 << (remaining.bit_length() - 1)
+                chunk = min(chunk, 512)
+                self._advance_fused(chunk, swap_interval)
+                remaining -= chunk
+                done += chunk
+                dt = time() - t_start
+                pct = int(100 * done / total_cycles)
+                eta = int(dt * (total_cycles / done - 1))
+                sys.stdout.write(
+                    f"\r  [ Running ParallelTempering - {pct}% complete   "
+                    f"ETA: {eta} sec ]    "
+                )
+                sys.stdout.flush()
         else:
-            cycles = total_cycles // k
-
-        t_start = time()
-        for j in range(k):
-            for _ in range(cycles):
+            for _ in range(total_cycles):
                 self.take_steps(swap_interval)
                 self.swap()
-            dt = time() - t_start
-            pct = int(100 * (j + 1) / k)
-            eta = int(dt * (k / (j + 1) - 1))
-            sys.stdout.write(
-                f"\r  [ Running ParallelTempering - {pct}% complete   "
-                f"ETA: {eta} sec ]    "
-            )
-            sys.stdout.flush()
 
-        if total_cycles % k != 0:
-            for _ in range(total_cycles % k):
-                self.take_steps(swap_interval)
-                self.swap()
         if n % swap_interval != 0:
             self.take_steps(n % swap_interval)
 
@@ -254,17 +357,25 @@ class ParallelTempering:
         end_time = start_time + run_time
 
         t1 = time()
-        self.take_steps(swap_interval)
-        self.swap()
+        if self._fusable:
+            self._advance_fused(1, swap_interval)
+        else:
+            self.take_steps(swap_interval)
+            self.swap()
         t2 = time()
 
-        # cycles chosen to give a print-out roughly every 2 seconds
+        # cycles chosen to give a print-out roughly every 2 seconds,
+        # rounded to a power of two to bound the compiled-shape set
         N = max(1, int(2.0 / max(t2 - t1, 1e-9)))
+        N = 1 << (N.bit_length() - 1)
 
         while time() < end_time:
-            for _ in range(N):
-                self.take_steps(swap_interval)
-                self.swap()
+            if self._fusable:
+                self._advance_fused(min(N, 512), swap_interval)
+            else:
+                for _ in range(N):
+                    self.take_steps(swap_interval)
+                    self.swap()
             seconds_remaining = end_time - time()
             m, s = divmod(max(seconds_remaining, 0), 60)
             h, m = divmod(m, 60)
