@@ -173,3 +173,43 @@ class ChainArray:
             return np.empty([0])
         h = np.concatenate(self._prob_history, axis=0)[burn::thin]
         return h.reshape(-1)
+
+    # ------------------------------------------------------------------ #
+    # checkpoint / resume (device state as flat .npz arrays)
+    # ------------------------------------------------------------------ #
+    def save(self, filename: str):
+        """Checkpoint the full device state (positions, log-probabilities,
+        adaptation state, PRNG keys) so a long run can restart exactly."""
+        leaves, treedef = jax.tree.flatten(self._state)
+        items = {f"leaf_{i}": np.asarray(v) for i, v in enumerate(leaves)}
+        items["kind"] = self.kind
+        items["n_chains"] = self.n_chains
+        items["n_parameters"] = self.n_parameters
+        np.savez(filename, **items)
+
+    def restore(self, filename: str):
+        """Restore a device state saved by ``save`` into this ChainArray
+        (which must have been constructed with the same configuration)."""
+        D = np.load(filename)
+        if str(D["kind"]) != self.kind or int(D["n_chains"]) != self.n_chains:
+            raise ValueError(
+                "[ ChainArray error ] checkpoint configuration does not match "
+                "this ChainArray (kind / n_chains differ)."
+            )
+        leaves, treedef = jax.tree.flatten(self._state)
+        new_leaves = [
+            jnp.asarray(D[f"leaf_{i}"], v.dtype) for i, v in enumerate(leaves)
+        ]
+        self._state = jax.tree.unflatten(treedef, new_leaves)
+        if self.mesh is not None:
+            self._state = jax.tree.map(
+                lambda x: jax.device_put(
+                    x,
+                    NamedSharding(
+                        self.mesh,
+                        P(self.axis_name, *([None] * (x.ndim - 1))),
+                    ),
+                ),
+                self._state,
+            )
+        return self

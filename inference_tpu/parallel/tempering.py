@@ -227,3 +227,42 @@ class ShardedTempering:
     def cold_chain_positions(self) -> np.ndarray:
         """Positions of the T=1 (first) rung, shape (n_chains, P)."""
         return self.theta[0]
+
+    # ------------------------------------------------------------------ #
+    # checkpoint / resume for long multi-chip runs
+    # ------------------------------------------------------------------ #
+    def save(self, filename: str):
+        """Checkpoint the sharded replica-exchange state (gathered to the
+        host as flat arrays)."""
+        leaves, _ = jax.tree.flatten(self._state)
+        items = {f"leaf_{i}": np.asarray(v) for i, v in enumerate(leaves)}
+        items["temperatures"] = self.temperatures
+        items["n_chains"] = self.n_chains
+        items["swap_counter"] = self._swap_counter
+        np.savez(filename, **items)
+
+    def restore(self, filename: str):
+        """Restore a checkpoint saved by ``save`` into this instance
+        (same mesh / temperatures / chain count), re-applying the
+        rung x chain shardings."""
+        D = np.load(filename)
+        if int(D["n_chains"]) != self.n_chains or not np.allclose(
+            D["temperatures"], self.temperatures
+        ):
+            raise ValueError(
+                "[ ShardedTempering error ] checkpoint configuration does "
+                "not match this instance."
+            )
+        leaves, treedef = jax.tree.flatten(self._state)
+        new_leaves = [
+            jnp.asarray(D[f"leaf_{i}"], v.dtype) for i, v in enumerate(leaves)
+        ]
+        state = jax.tree.unflatten(treedef, new_leaves)
+
+        def shard(x):
+            spec = P("rungs", "chains", *([None] * (x.ndim - 2)))
+            return jax.device_put(x, NamedSharding(self.mesh, spec))
+
+        self._state = jax.tree.map(shard, state)
+        self._swap_counter = int(D["swap_counter"])
+        return self

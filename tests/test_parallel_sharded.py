@@ -121,3 +121,53 @@ def test_graft_entry_points():
     assert np.isfinite(np.asarray(logp)).all()
 
     g.dryrun_multichip(8)
+
+
+def test_chain_array_checkpoint_roundtrip(tmp_path):
+    logp, _ = correlated_gaussian()
+    starts = np.random.default_rng(0).normal(0, 1, size=(8, 2))
+    ca = ChainArray("hmc", logp, starts, seed=6)
+    ca.advance(50, store=False)
+    f = tmp_path / "chains.npz"
+    ca.save(str(f))
+    theta_before = ca.theta.copy()
+
+    ca2 = ChainArray("hmc", logp, starts, seed=99)
+    ca2.restore(str(f))
+    assert np.allclose(ca2.theta, theta_before)
+    # restored state continues deterministically from the saved keys
+    ca.advance(20, store=False)
+    ca2.advance(20, store=False)
+    assert np.allclose(ca.theta, ca2.theta)
+
+
+def test_sharded_tempering_checkpoint_roundtrip(tmp_path):
+    def logp(t):
+        return -0.5 * (t**2).sum()
+
+    mesh = tempering_mesh(n_rungs=2)
+    st = ShardedTempering(
+        logp,
+        start=np.zeros(2),
+        temperatures=[1.0, 5.0],
+        n_chains=4,
+        mesh=mesh,
+        steps=5,
+        seed=7,
+    )
+    st.advance(40, swap_interval=10)
+    f = tmp_path / "pt.npz"
+    st.save(str(f))
+    theta_before = st.theta.copy()
+
+    st2 = ShardedTempering(
+        logp,
+        start=np.zeros(2),
+        temperatures=[1.0, 5.0],
+        n_chains=4,
+        mesh=mesh,
+        steps=5,
+        seed=123,
+    )
+    st2.restore(str(f))
+    assert np.allclose(st2.theta, theta_before)
