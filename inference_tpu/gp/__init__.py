@@ -1,6 +1,7 @@
 from .regression import GpRegressor
 from .optimisation import GpOptimiser
 from .inversion import GpLinearInverter
+from .large_scale import LargeScaleGP
 from .acquisition import (
     ExpectedImprovement,
     UpperConfidenceBound,
@@ -21,6 +22,7 @@ __all__ = [
     "GpRegressor",
     "GpOptimiser",
     "GpLinearInverter",
+    "LargeScaleGP",
     "ExpectedImprovement",
     "UpperConfidenceBound",
     "MaxVariance",

@@ -1,0 +1,252 @@
+"""Matrix-free Gaussian-process regression for very large datasets.
+
+The exact `GpRegressor` factorises the N x N covariance (O(N^2) memory,
+O(N^3) flops) — beyond N ~ 2-3 x 10^4 that no longer fits a single chip.
+``LargeScaleGP`` solves the same linear systems **matrix-free**: the kernel
+matrix is never materialised; its action ``(K + sigma^2 I) v`` is computed
+in row blocks (each block one MXU-friendly kernel-block matmul, SURVEY.md
+section 7 item 6 — the reference's N x N x D precompute at these sizes is a
+hard memory wall, reference: covariance.py:218-219), and the training
+solve uses conjugate gradients.
+
+Sharding: the data rows and the solve vectors carry a ``NamedSharding``
+when a mesh is given, so XLA partitions each blocked matvec across devices
+and inserts the psum for the row-block products — the same program scales
+from one chip to a pod slice.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+# TPU matmuls default to bfloat16 operands; conjugate gradients cannot
+# tolerate ~1e-2 relative matvec noise, so every solve-critical matmul
+# here requests full float32 precision
+_HI = jax.lax.Precision.HIGHEST
+from jax.scipy.sparse.linalg import cg
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from ..ops.pairwise import sqexp_covariance
+from ..utils.dtypes import default_float
+
+
+class LargeScaleGP:
+    """
+    Squared-exponential GP regression with matrix-free training solves,
+    for datasets beyond the reach of dense factorisation.
+
+    :param x: data positions, shape (n_points, n_dims).
+    :param y: data values, shape (n_points,).
+    :param y_err: per-point Gaussian error standard deviations.
+    :param hyperpars: ``[ln A, ln l_1, ..., ln l_D]`` (as ``GpRegressor``
+        with a SquaredExponential kernel and known constant mean).
+    :param mean_value: constant mean (defaults to the data mean).
+    :param block_size: rows per kernel-block matmul.
+    :param cg_tol: conjugate-gradient relative tolerance.
+    :param cg_maxiter: conjugate-gradient iteration cap.
+    :param preconditioner_rank: number of inducing rows for the Nystrom
+        preconditioner (0 disables it). The kernel matrix of a smooth GP is
+        severely ill-conditioned at large N (lambda_max ~ N vs
+        lambda_min ~ noise variance), where unpreconditioned CG stalls —
+        especially in float32. The preconditioner approximates
+        ``K ~ U U^T`` from ``m`` random rows and applies
+        ``(sigma^2 I + U U^T)^{-1}`` by the Woodbury identity: two (N, m)
+        matmuls per CG iteration, negligible next to the O(N^2) matvec.
+    :param mesh: optional 1D mesh; data rows and solves shard over its
+        first axis.
+    """
+
+    def __init__(
+        self,
+        x,
+        y,
+        y_err,
+        hyperpars,
+        mean_value: float = None,
+        block_size: int = 4096,
+        cg_tol: float = 1e-6,
+        cg_maxiter: int = 1000,
+        preconditioner_rank: int = 512,
+        mesh=None,
+    ):
+        dtype = default_float()
+        x = np.atleast_2d(np.asarray(x, dtype=float))
+        if x.shape[0] == 1 and x.shape[1] > 1 and np.asarray(y).size > 1:
+            x = x.T
+        y = np.asarray(y, dtype=float).squeeze()
+        y_err = np.asarray(y_err, dtype=float).squeeze()
+        self.n_points, self.n_dimensions = x.shape
+        hyperpars = np.asarray(hyperpars, dtype=float)
+        self.hyperpars = hyperpars
+
+        self.block_size = int(block_size)
+        # pad rows to a block multiple; padded rows carry huge noise and a
+        # zero residual so they leave the solve unchanged
+        n_pad = -(-self.n_points // self.block_size) * self.block_size
+        extra = n_pad - self.n_points
+        if extra > 0:
+            x = np.concatenate(
+                [x, np.repeat(x.mean(axis=0, keepdims=True), extra, axis=0)]
+            )
+            y = np.concatenate([y, np.zeros(extra)])
+            y_err = np.concatenate([y_err, np.full(extra, 1e8)])
+        self._n_padded = n_pad
+        self._mask = np.zeros(n_pad)
+        self._mask[: self.n_points] = 1.0
+
+        self.mean_value = (
+            float(np.mean(y[: self.n_points])) if mean_value is None else mean_value
+        )
+
+        self._x = jnp.asarray(x, dtype)
+        self._y = jnp.asarray(y, dtype)
+        self._sig_diag = jnp.asarray(y_err**2, dtype)
+        self._mask_dev = jnp.asarray(self._mask, dtype)
+        self._amp = jnp.exp(jnp.asarray(hyperpars[0], dtype))
+        self._ls = jnp.exp(jnp.asarray(hyperpars[1:], dtype))
+
+        if mesh is not None:
+            axis = mesh.axis_names[0]
+            shard_rows = NamedSharding(mesh, P(axis, None))
+            shard_vec = NamedSharding(mesh, P(axis))
+            self._x = jax.device_put(self._x, shard_rows)
+            self._y = jax.device_put(self._y, shard_vec)
+            self._sig_diag = jax.device_put(self._sig_diag, shard_vec)
+            self._mask_dev = jax.device_put(self._mask_dev, shard_vec)
+
+        self._build_preconditioner(preconditioner_rank)
+        self._build_compiled(cg_tol, cg_maxiter)
+        self.alpha = self._solve_alpha()
+        self.cg_iterations_estimate = None  # jax cg does not report count
+
+    def _build_preconditioner(self, rank: int):
+        """Nystrom preconditioner: K ~ U U^T from ``rank`` random rows,
+        with (sigma^2 I + U U^T)^{-1} applied by the Woodbury identity."""
+        if rank <= 0 or rank >= self.n_points:
+            self._precond = None
+            return
+        dtype = self._x.dtype
+        idx = np.random.default_rng(0).choice(self.n_points, rank, replace=False)
+        xm = self._x[jnp.asarray(np.sort(idx))]
+
+        @jax.jit
+        def build():
+            K_mm = sqexp_covariance(xm, xm, self._amp, self._ls)
+            n = K_mm.shape[0]
+            # generous jitter: inducing rows of a smooth kernel are highly
+            # correlated and K_mm is near-singular in float32; the
+            # preconditioner only needs K ~ U U^T approximately, so a large
+            # diagonal shift costs a few extra CG iterations, not accuracy
+            jit_scale = 1e-3 if K_mm.dtype == jnp.float32 else 1e-8
+            K_mm = K_mm.at[jnp.arange(n), jnp.arange(n)].add(
+                self._amp**2 * jit_scale
+            )
+            L_mm = jnp.linalg.cholesky(K_mm)
+            K_nm = sqexp_covariance(self._x, xm, self._amp, self._ls)
+            # U = K_nm L^-T  =>  U U^T = K_nm K_mm^-1 K_mn (Nystrom)
+            U = jax.scipy.linalg.solve_triangular(
+                L_mm, K_nm.T, lower=True
+            ).T
+            # mask padded rows out of the preconditioner
+            U = U * self._mask_dev[:, None]
+            # Woodbury core: C = I_m + U^T D^-1 U with D = sig + jitter
+            d = self._sig_diag + self._amp**2 * 1e-12
+            C = jnp.eye(n, dtype=dtype) + jnp.dot(
+                (U / d[:, None]).T, U, precision=_HI
+            )
+            L_c = jnp.linalg.cholesky(C)
+            return U, d, L_c
+
+        # stored as arrays and passed to the jitted solve as runtime
+        # arguments — capturing the (N, m) factor in a closure would embed
+        # it in the compiled program as a constant (hundreds of MB at large
+        # N, breaking remote compilation)
+        U, d, L_c = build()
+        self._precond = (U, d, L_c)
+
+    def _build_compiled(self, cg_tol, cg_maxiter):
+        x, sig_diag = self._x, self._sig_diag
+        amp, ls = self._amp, self._ls
+        n_pad, block = self._n_padded, self.block_size
+        n_blocks = n_pad // block
+        jitter = amp**2 * 1e-12
+        has_precond = self._precond is not None
+
+        def matvec(v):
+            """(K + diag(sig) + jitter I) @ v, in row blocks."""
+            x_blocks = x.reshape(n_blocks, block, -1)
+
+            def one_block(xb):
+                return jnp.dot(
+                    sqexp_covariance(xb, x, amp, ls), v, precision=_HI
+                )
+
+            Kv = lax.map(one_block, x_blocks).reshape(n_pad)
+            return Kv + (sig_diag + jitter) * v
+
+        def solve(rhs, pc):
+            if has_precond:
+                U, d, L_c = pc
+
+                def M(v):
+                    # (D + U U^T)^{-1} v by the Woodbury identity
+                    w = v / d
+                    t = jnp.dot(U.T, w, precision=_HI)
+                    t = jax.scipy.linalg.cho_solve((L_c, True), t)
+                    return w - jnp.dot(U, t, precision=_HI) / d
+
+            else:
+                M = None
+            sol, _ = cg(matvec, rhs, tol=cg_tol, maxiter=cg_maxiter, M=M)
+            return sol
+
+        def solve_alpha(pc):
+            rhs = (self._y - self.mean_value) * self._mask_dev
+            return solve(rhs, pc)
+
+        solve_alpha_jit = jax.jit(solve_alpha)
+        self._solve_alpha = lambda: solve_alpha_jit(self._precond)
+        self._matvec = jax.jit(matvec)
+
+        def predict_mean(q, alpha):
+            K_qx = sqexp_covariance(q, x, amp, ls)
+            return jnp.dot(K_qx, alpha, precision=_HI) + self.mean_value
+
+        self._predict_mean = jax.jit(predict_mean)
+
+        def predict_var(q, alpha, pc):
+            K_qx = sqexp_covariance(q, x, amp, ls)  # (M, n_pad)
+
+            def solve_one(k_row):
+                return jnp.dot(k_row, solve(k_row, pc), precision=_HI)
+
+            quad = lax.map(solve_one, K_qx)
+            return amp**2 - quad
+
+        predict_var_jit = jax.jit(predict_var)
+        self._predict_var = lambda q, alpha: predict_var_jit(
+            q, alpha, self._precond
+        )
+
+    def __call__(self, points, with_variance: bool = False):
+        """
+        Predictive means (and optionally standard deviations — one CG solve
+        per query point) at the given locations.
+        """
+        q = np.atleast_2d(np.asarray(points, dtype=float))
+        if q.shape[1] != self.n_dimensions:
+            q = q.reshape(-1, self.n_dimensions)
+        q = jnp.asarray(q, self._x.dtype)
+        mu = np.asarray(self._predict_mean(q, self.alpha))
+        if not with_variance:
+            return mu
+        var = np.asarray(self._predict_var(q, self.alpha))
+        return mu, np.sqrt(np.abs(var))
+
+    def residual_norm(self) -> float:
+        """Relative residual of the training solve over the real (unpadded)
+        rows — a CG convergence check."""
+        rhs = (self._y - self.mean_value) * self._mask_dev
+        r = (self._matvec(self.alpha) - rhs) * self._mask_dev
+        return float(jnp.linalg.norm(r) / jnp.linalg.norm(rhs))

@@ -318,7 +318,10 @@ class GpRegressor:
 
         def predict(q, L, alpha, cov_pars, mean_pars, m):
             K_qx = cov(q, x_dev, cov_pars) * m[None, :]
-            mu_q = K_qx @ alpha + jax.vmap(lambda p: mean(p, mean_pars))(q)
+            # full float32 precision (TPU matmuls default to bfloat16)
+            mu_q = jnp.dot(
+                K_qx, alpha, precision=jax.lax.Precision.HIGHEST
+            ) + jax.vmap(lambda p: mean(p, mean_pars))(q)
             v = solve_triangular(L, K_qx.T, lower=True)
             kqq = jax.vmap(
                 lambda p: cov(p[None, :], p[None, :], cov_pars)[0, 0]
@@ -330,7 +333,9 @@ class GpRegressor:
 
         def predict_single(q, L, alpha, cov_pars, mean_pars, m):
             K_qx = cov(q[None, :], x_dev, cov_pars)[0] * m
-            mu = K_qx @ alpha + mean(q, mean_pars)
+            mu = jnp.dot(
+                K_qx, alpha, precision=jax.lax.Precision.HIGHEST
+            ) + mean(q, mean_pars)
             v = solve_triangular(L, K_qx, lower=True)
             kqq = cov(q[None, :], q[None, :], cov_pars)[0, 0]
             var = kqq - v @ v

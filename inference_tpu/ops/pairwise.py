@@ -33,7 +33,9 @@ def scaled_sq_distances(u, v, lengthscales):
     vs = v / ls[None, :]
     uu = (us * us).sum(axis=1)
     vv = (vs * vs).sum(axis=1)
-    cross = us @ vs.T
+    # full float32 precision: TPU matmuls default to bfloat16 operands,
+    # which is far too coarse for distance cancellation
+    cross = jnp.dot(us, vs.T, precision=jax.lax.Precision.HIGHEST)
     # cancellation can leave tiny negative values (~ -1e-16); these are
     # harmless for the exp/power kernels applied downstream, and clamping
     # with max(d, 0) would corrupt second derivatives at d == 0 (jax

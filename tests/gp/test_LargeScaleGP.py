@@ -1,0 +1,55 @@
+import numpy as np
+import pytest
+
+from inference_tpu.gp import GpRegressor, LargeScaleGP
+
+
+def make_problem(n=1200, seed=0):
+    rng = np.random.default_rng(seed)
+    x = rng.uniform(0, 10, size=(n, 2))
+    y = np.sin(x[:, 0]) * np.cos(x[:, 1]) + rng.normal(0, 0.1, n)
+    return x, y, np.full(n, 0.1)
+
+
+def test_large_scale_matches_exact_gp():
+    """Matrix-free CG predictions agree with the dense-factorisation GP."""
+    x, y, err = make_problem()
+    theta = np.array([0.0, 0.5, 0.5])
+    mean_val = float(np.mean(y))
+
+    exact = GpRegressor(x, y, y_err=err, hyperpars=np.array([mean_val, *theta]))
+    big = LargeScaleGP(
+        x, y, err, hyperpars=theta, mean_value=mean_val, block_size=512
+    )
+    assert big.residual_norm() < 1e-5
+
+    q = np.random.default_rng(1).uniform(1, 9, size=(6, 2))
+    mu_e, sig_e = exact(q)
+    mu_b, sig_b = big(q, with_variance=True)
+    assert np.allclose(mu_e, mu_b, atol=1e-4)
+    assert np.allclose(sig_e, sig_b, atol=1e-4)
+
+
+def test_large_scale_sharded_over_mesh():
+    """Row-sharded matvecs produce the same solution on an 8-device mesh."""
+    from inference_tpu.parallel import chain_mesh
+
+    x, y, err = make_problem(n=1024)
+    theta = np.array([0.0, 0.5, 0.5])
+    plain = LargeScaleGP(x, y, err, hyperpars=theta, block_size=256)
+    sharded = LargeScaleGP(
+        x, y, err, hyperpars=theta, block_size=256, mesh=chain_mesh()
+    )
+    q = np.array([[3.0, 4.0], [7.0, 2.0]])
+    assert np.allclose(plain(q), sharded(q), atol=1e-8)
+
+
+def test_large_scale_prediction_accuracy():
+    x, y, err = make_problem(n=2000, seed=2)
+    big = LargeScaleGP(
+        x, y, err, hyperpars=np.array([0.0, 0.3, 0.3]), block_size=512
+    )
+    q = np.random.default_rng(3).uniform(1, 9, size=(50, 2))
+    mu = big(q)
+    truth = np.sin(q[:, 0]) * np.cos(q[:, 1])
+    assert np.sqrt(np.mean((mu - truth) ** 2)) < 0.1
