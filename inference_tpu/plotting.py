@@ -22,6 +22,88 @@ import matplotlib.patheffects as path_effects
 from .pdf.hdi import sample_hdi
 from .pdf.kde import GaussianKDE, KDE2D
 
+_GRID_RESOLUTION = 200
+
+
+def _get_cmap(name, fallback):
+    if name in colormaps:
+        return colormaps[name]
+    warn(f"'{name}' is not a valid colormap from matplotlib.colormaps")
+    return colormaps[fallback]
+
+
+def _default_labels(n):
+    prefix = "p" if n >= 10 else "param "
+    return [f"{prefix}{i}" for i in range(n)]
+
+
+def _marginal_axis(sample):
+    """Plot limits and evaluation grid from the 98% HDI, padded by 30%."""
+    lo, hi = sample_hdi(np.asarray(sample), fraction=0.98)
+    span = hi - lo
+    limits = [lo - 0.3 * span, hi + 0.3 * span]
+    grid = np.linspace(lo - 0.35 * span, hi + 0.35 * span, _GRID_RESOLUTION)
+    return limits, grid
+
+
+def _draw_diagonal_panel(ax, sample, grid, color, reference_value):
+    """1D marginal: normalised KDE curve with fill."""
+    density = np.asarray(GaussianKDE(np.asarray(sample))(grid))
+    curve = 0.9 * density / density.max()
+    ax.plot(grid, curve, lw=1, color=color)
+    ax.fill_between(grid, curve, color=color, alpha=0.1)
+    if reference_value is not None:
+        ax.plot([reference_value] * 2, [0, 1], lw=1.5, ls="dashed", color="red")
+    ax.set_ylim([0, 1])
+
+
+def _eval_kde2d_grid(x, y, x_grid, y_grid):
+    pdf = KDE2D(x=x, y=y)
+    X, Y = np.meshgrid(x_grid, y_grid)
+    Z = np.asarray(pdf(X.flatten(), Y.flatten())).reshape(X.shape)
+    return pdf, X, Y, Z
+
+
+def _draw_pair_panel(
+    ax, x, y, x_grid, y_grid, style, cmap, color, point_colors,
+    point_size, hdi_fractions,
+):
+    """2D marginal in the chosen style."""
+    if style == "contour":
+        _, X, Y, Z = _eval_kde2d_grid(x, y, x_grid[::4], y_grid[::4])
+        ax.set_facecolor(cmap(256 // 20))
+        ax.contourf(X, Y, Z, 10, cmap=cmap)
+    elif style == "hdi":
+        pdf, X, Y, Z = _eval_kde2d_grid(x, y, x_grid[::4], y_grid[::4])
+        at_samples = np.asarray(pdf(x, y))
+        levels = sorted(
+            list(np.percentile(at_samples, [100 * (1 - f) for f in hdi_fractions]))
+            + [Z.max()]
+        )
+        ax.contourf(X, Y, Z, levels=levels, cmap=cmap)
+        ax.contour(X, Y, Z, levels=levels, alpha=0.2)
+    elif style == "histogram":
+        ax.set_facecolor(cmap(0))
+        ax.hexbin(x, y, gridsize=35, cmap=cmap)
+    else:  # scatter
+        if point_colors is None:
+            ax.scatter(x, y, color=color, s=point_size)
+        else:
+            ax.scatter(x, y, c=point_colors, s=point_size, cmap=cmap)
+
+
+def _draw_reference_marker(ax, rx, ry):
+    for edge_color, edge_width in (("white", 3.5), ("red", 2)):
+        ax.plot(
+            rx,
+            ry,
+            marker="o",
+            markersize=7,
+            markerfacecolor="none",
+            markeredgecolor=edge_color,
+            markeredgewidth=edge_width,
+        )
+
 
 def matrix_plot(
     samples,
@@ -54,23 +136,22 @@ def matrix_plot(
     :param point_size: marker size for the scatter style.
     :param label_size: axis-label font size.
     """
-    N_par = len(samples)
+    n_par = len(samples)
     if labels is None:
-        prefix = "p" if N_par >= 10 else "param "
-        labels = [f"{prefix}{i}" for i in range(N_par)]
-    elif len(labels) != N_par:
+        labels = _default_labels(n_par)
+    elif len(labels) != n_par:
         raise ValueError(
             "[ matrix_plot error ] The number of labels given does not match "
             "the number of plotted parameters."
         )
 
-    if reference is not None and len(reference) != N_par:
+    if reference is not None and len(reference) != n_par:
         raise ValueError(
             "[ matrix_plot error ] The number of reference values given does "
             "not match the number of plotted parameters."
         )
 
-    if plot_style not in ["contour", "hdi", "histogram", "scatter"]:
+    if plot_style not in ("contour", "hdi", "histogram", "scatter"):
         plot_style = "contour"
         warn(
             "'plot_style' must be set as either 'contour', 'hdi', 'histogram' "
@@ -86,139 +167,78 @@ def matrix_plot(
         )
 
     if show_ticks is None:
-        show_ticks = N_par < 6
+        show_ticks = n_par < 6
 
-    L = 200
-    if colormap in colormaps:
-        cmap = colormaps[colormap]
-    else:
-        cmap = colormaps["Blues"]
-        warn(f"'{colormap}' is not a valid colormap from matplotlib.colormaps")
-    marginal_color = sorted([cmap(10), cmap(245)], key=lambda c: sum(c[:-1]))[0]
+    cmap = _get_cmap(colormap, "Blues")
+    # darker colormap end for the 1D marginal curves
+    marginal_color = min((cmap(10), cmap(245)), key=lambda c: sum(c[:-1]))
 
-    # axis arrays and limits from the 98% HDI padded by 30%
-    axis_limits = []
-    axis_arrays = []
-    for sample in samples:
-        lwr, upr = sample_hdi(np.asarray(sample), fraction=0.98)
-        axis_limits.append([lwr - (upr - lwr) * 0.3, upr + (upr - lwr) * 0.3])
-        axis_arrays.append(
-            np.linspace(lwr - (upr - lwr) * 0.35, upr + (upr - lwr) * 0.35, L)
-        )
+    per_param = [_marginal_axis(s) for s in samples]
+    limits = [p[0] for p in per_param]
+    grids = [p[1] for p in per_param]
 
     fig = plt.figure(figsize=(8, 8))
-    # lower-triangular subplot indices in diagonal-striped order so shared
-    # axes exist before they are referenced
-    inds_list = [(N_par - 1, 0)]
-    for k in range(1, N_par):
-        inds_list.extend([(N_par - 1 - i, k - i) for i in range(k + 1)])
+
+    # create the lower-triangular grid of axes; walking anti-diagonals from
+    # the bottom-left corner guarantees each panel's share-target (bottom
+    # row for x, left column for y) exists before the panel itself
+    cells = [(n_par - 1, 0)]
+    for stripe in range(1, n_par):
+        cells.extend((n_par - 1 - k, stripe - k) for k in range(stripe + 1))
 
     axes = {}
-    for i, j in inds_list:
-        x_share = axes[(N_par - 1, j)] if i < N_par - 1 else None
-        y_share = axes[(i, 0)] if (j > 0 and i != j) else None
-        axes[(i, j)] = plt.subplot2grid(
-            (N_par, N_par), (i, j), sharex=x_share, sharey=y_share
+    for row, col in cells:
+        share_x = axes.get((n_par - 1, col)) if row < n_par - 1 else None
+        share_y = axes.get((row, 0)) if (col > 0 and row != col) else None
+        axes[(row, col)] = plt.subplot2grid(
+            (n_par, n_par), (row, col), sharex=share_x, sharey=share_y
         )
 
-    for i, j in inds_list:
-        ax = axes[(i, j)]
-        if i == j:
-            sample = np.asarray(samples[i])
-            pdf = GaussianKDE(sample)
-            estimate = np.asarray(pdf(axis_arrays[i]))
-            ax.plot(
-                axis_arrays[i],
-                0.9 * (estimate / estimate.max()),
-                lw=1,
-                color=marginal_color,
+    for (row, col), ax in axes.items():
+        if row == col:
+            _draw_diagonal_panel(
+                ax,
+                samples[row],
+                grids[row],
+                marginal_color,
+                None if reference is None else reference[row],
             )
-            ax.fill_between(
-                axis_arrays[i],
-                0.9 * (estimate / estimate.max()),
-                color=marginal_color,
-                alpha=0.1,
+        else:
+            _draw_pair_panel(
+                ax,
+                np.asarray(samples[col]),
+                np.asarray(samples[row]),
+                grids[col],
+                grids[row],
+                plot_style,
+                cmap,
+                marginal_color,
+                point_colors,
+                point_size,
+                hdi_fractions,
             )
             if reference is not None:
-                ax.plot(
-                    [reference[i], reference[i]],
-                    [0, 1],
-                    lw=1.5,
-                    ls="dashed",
-                    color="red",
-                )
-            ax.set_ylim([0, 1])
-        else:
-            x = np.asarray(samples[j])
-            y = np.asarray(samples[i])
+                _draw_reference_marker(ax, reference[col], reference[row])
 
-            if plot_style == "contour":
-                pdf = KDE2D(x=x, y=y)
-                x_ax = axis_arrays[j][::4]
-                y_ax = axis_arrays[i][::4]
-                X, Y = np.meshgrid(x_ax, y_ax)
-                prob = np.asarray(pdf(X.flatten(), Y.flatten())).reshape(
-                    [L // 4, L // 4]
-                )
-                ax.set_facecolor(cmap(256 // 20))
-                ax.contourf(X, Y, prob, 10, cmap=cmap)
+        bottom_row = row == n_par - 1
+        left_col = col == 0 and row != 0
+        if bottom_row:
+            ax.set_xlabel(labels[col], fontsize=label_size)
+            ax.set_xlim(limits[col])
+        if left_col:
+            ax.set_ylabel(labels[row], fontsize=label_size)
+            ax.set_ylim(limits[row])
 
-            elif plot_style == "hdi":
-                pdf = KDE2D(x=x, y=y)
-                sample_probs = np.asarray(pdf(x, y))
-                pcts = [100 * (1 - f) for f in hdi_fractions]
-                levels = list(np.percentile(sample_probs, pcts))
-
-                x_ax = axis_arrays[j][::4]
-                y_ax = axis_arrays[i][::4]
-                X, Y = np.meshgrid(x_ax, y_ax)
-                prob = np.asarray(pdf(X.flatten(), Y.flatten())).reshape(
-                    [L // 4, L // 4]
-                )
-                levels.append(prob.max())
-                levels = sorted(levels)
-                ax.contourf(X, Y, prob, levels=levels, cmap=cmap)
-                ax.contour(X, Y, prob, levels=levels, alpha=0.2)
-
-            elif plot_style == "histogram":
-                ax.set_facecolor(cmap(0))
-                ax.hexbin(x, y, gridsize=35, cmap=cmap)
-
-            else:
-                if point_colors is None:
-                    ax.scatter(x, y, color=marginal_color, s=point_size)
-                else:
-                    ax.scatter(x, y, c=point_colors, s=point_size, cmap=cmap)
-
-            if reference is not None:
-                for edge, width in [("white", 3.5), ("red", 2)]:
-                    ax.plot(
-                        reference[j],
-                        reference[i],
-                        marker="o",
-                        markersize=7,
-                        markerfacecolor="none",
-                        markeredgecolor=edge,
-                        markeredgewidth=width,
-                    )
-
-        if i == N_par - 1:
-            ax.set_xlabel(labels[j], fontsize=label_size)
-            ax.set_xlim(axis_limits[j])
-        if j == 0 and i != 0:
-            ax.set_ylabel(labels[i], fontsize=label_size)
-            ax.set_ylim(axis_limits[i])
-
-        if show_ticks:
-            if i < N_par - 1:
-                plt.setp(ax.get_xticklabels(), visible=False)
-            if j > 0:
-                plt.setp(ax.get_yticklabels(), visible=False)
-            if i == j:
-                ax.set_yticks([])
-        else:
+        if not show_ticks:
             ax.set_xticks([])
             ax.set_yticks([])
+        else:
+            if not bottom_row:
+                plt.setp(ax.get_xticklabels(), visible=False)
+            if col > 0:
+                plt.setp(ax.get_yticklabels(), visible=False)
+            if row == col:
+                ax.set_yticks([])
 
     fig.tight_layout()
     fig.subplots_adjust(wspace=0.0, hspace=0.0)
@@ -226,7 +246,6 @@ def matrix_plot(
         plt.savefig(filename)
     if show:
         plt.show()
-
     return fig
 
 
@@ -239,43 +258,44 @@ def trace_plot(samples, labels=None, show=True, filename=None):
     :param show: display the figure.
     :param filename: save path (not saved if omitted).
     """
-    N_par = len(samples)
+    n_par = len(samples)
     if labels is None:
-        prefix = "p" if N_par >= 10 else "param "
-        labels = [f"{prefix}{i}" for i in range(N_par)]
-    elif len(labels) != N_par:
+        labels = _default_labels(n_par)
+    elif len(labels) != n_par:
         raise ValueError(
             "number of labels must match the number of plotted parameters"
         )
 
-    # grid shape: allow up to twice as many rows as columns
-    n = int(np.ceil(np.sqrt(0.5 * N_par)))
-    m = int(np.ceil(float(N_par) / float(n)))
+    # smallest grid with at most twice as many rows as columns
+    n_cols = int(np.ceil(np.sqrt(0.5 * n_par)))
+    n_rows = int(np.ceil(n_par / n_cols))
 
     fig = plt.figure(figsize=(12, 8))
-    grid_inds = product(range(m), range(n))
-    colors = cycle(["C0", "C1", "C2", "C3", "C4"])
-    axes = {}
-    for s, label, coords, col in zip(samples, labels, grid_inds, colors):
-        i, j = coords
-        if i == 0 and j == 0:
-            axes[(i, j)] = plt.subplot2grid((m, n), (i, j))
-        else:
-            axes[(i, j)] = plt.subplot2grid((m, n), (i, j), sharex=axes[(0, 0)])
+    first_ax = None
+    palette = cycle(["C0", "C1", "C2", "C3", "C4"])
 
-        s = np.asarray(s)
-        axes[(i, j)].plot(s, ".", markersize=4, alpha=0.15, c=col)
-        axes[(i, j)].set_ylabel(label)
-        lwr, upr = sample_hdi(s, fraction=0.99)
-        mid = 0.5 * sum(sample_hdi(s, fraction=0.10))
-        axes[(i, j)].set_ylim([lwr - (mid - lwr) * 0.7, upr + (upr - mid) * 0.7])
-        axes[(i, j)].set_yticks(
-            [lwr - (mid - lwr) * 0.5, mid, upr + (upr - mid) * 0.5]
-        )
-        if i < m - 1:
-            plt.setp(axes[(i, j)].get_xticklabels(), visible=False)
+    for (series, name, (row, col), colour) in zip(
+        samples, labels, product(range(n_rows), range(n_cols)), palette
+    ):
+        ax = plt.subplot2grid((n_rows, n_cols), (row, col), sharex=first_ax)
+        if first_ax is None:
+            first_ax = ax
+
+        series = np.asarray(series)
+        ax.plot(series, ".", markersize=4, alpha=0.15, c=colour)
+        ax.set_ylabel(name)
+
+        # y-limits from the 99% HDI, ticks anchored on the 10%-HDI midpoint
+        lo, hi = sample_hdi(series, fraction=0.99)
+        mid = float(np.sum(sample_hdi(series, fraction=0.10))) / 2
+        ax.set_ylim([lo - 0.7 * (mid - lo), hi + 0.7 * (hi - mid)])
+        ax.set_yticks([lo - 0.5 * (mid - lo), mid, hi + 0.5 * (hi - mid)])
+
+        if row == n_rows - 1:
+            ax.set_xlabel("chain step #")
         else:
-            axes[(i, j)].set_xlabel("chain step #")
+            plt.setp(ax.get_xticklabels(), visible=False)
+
     fig.tight_layout()
     if filename is not None:
         plt.savefig(filename)
@@ -305,39 +325,30 @@ def hdi_plot(
     :param label_intervals: add legend labels per band.
     :param color_levels: explicit colormap levels (0-255) per band.
     """
-    intervals = np.sort(np.array(intervals))[::-1]
-
-    if not all((intervals > 0.0) & (intervals < 1.0)):
+    fractions = np.sort(np.asarray(intervals))[::-1]  # widest band first
+    if not ((fractions > 0.0) & (fractions < 1.0)).all():
         raise ValueError("All intervals must be greater than 0 and less than 1")
 
-    s = np.array(sample)
-    if s.shape[1] != len(x):
-        if s.shape[0] == len(x):
-            s = s.T
+    realisations = np.array(sample)
+    if realisations.shape[1] != len(x):
+        if realisations.shape[0] == len(x):
+            realisations = realisations.T
         else:
             raise ValueError('"x" and "sample" have incompatible dimensions')
+    realisations.sort(axis=0)
 
-    s.sort(axis=0)
-
-    if colormap in colormaps:
-        cmap = colormaps[colormap]
-    else:
-        cmap = colormaps["Blues"]
-        warn(f"'{colormap}' is not a valid colormap from matplotlib.colormaps")
-
+    cmap = _get_cmap(colormap, "Blues")
     if color_levels is None:
-        lwr, upr = 0.20, 1.0
-        color_levels = 255 * ((upr - lwr) * (1 - intervals) + lwr)
-
-    colors = [cmap(int(c)) for c in color_levels]
+        color_levels = 255 * (0.8 * (1 - fractions) + 0.2)
+    band_colors = [cmap(int(level)) for level in color_levels]
 
     if axis is None:
         _, axis = plt.subplots()
 
-    for frac, col in zip(intervals, colors):
-        lwr, upr = sample_hdi(s, fraction=frac)
-        lab = f"{int(100 * frac)}% HDI" if label_intervals else None
-        axis.fill_between(x, lwr, upr, color=col, label=lab)
+    for fraction, colour in zip(fractions, band_colors):
+        lo, hi = sample_hdi(realisations, fraction=fraction)
+        name = f"{int(100 * fraction)}% HDI" if label_intervals else None
+        axis.fill_between(x, lo, hi, color=colour, label=name)
 
     return axis
 
@@ -368,56 +379,45 @@ def transition_matrix_plot(
     if matrix.shape[0] == 1:
         raise ValueError("given matrix must be at least of size 2x2")
 
-    N = matrix.shape[0]
+    n = matrix.shape[0]
+    cells = [
+        (i, j)
+        for i in range(n)
+        for j in range(n)
+        if (not upper_triangular or i <= j)
+        and (not exclude_diagonal or i != j)
+    ]
 
-    if upper_triangular:
-        inds = [(i, j) for i in range(N) for j in range(N) if i <= j]
-    else:
-        inds = [(i, j) for i in range(N) for j in range(N)]
-    if exclude_diagonal:
-        inds = [(i, j) for i, j in inds if i != j]
-
-    rectangles = [Rectangle((i + 0.5, j + 0.5), 1, 1) for i, j in inds]
-
-    x_sorted = sorted(i[0] for i in inds)
-    y_sorted = sorted(i[1] for i in inds)
-    x_limits = [x_sorted[0] + 0.5, x_sorted[-1] + 1.5]
-    y_limits = [y_sorted[0] + 0.5, y_sorted[-1] + 1.5]
-
-    if colormap in colormaps:
-        cmap = colormaps[colormap]
-    else:
-        cmap = colormaps["viridis"]
-        warn(f"'{colormap}' is not a valid colormap from matplotlib.colormaps")
-
-    rectangle_colors = [cmap(matrix[i, j] / matrix.max()) for i, j in inds]
-    pc = PatchCollection(
-        rectangles, facecolors=rectangle_colors, edgecolors=["black"] * N
+    cmap = _get_cmap(colormap, "viridis")
+    peak = matrix.max()
+    patches = PatchCollection(
+        [Rectangle((i + 0.5, j + 0.5), 1, 1) for i, j in cells],
+        facecolors=[cmap(matrix[i, j] / peak) for i, j in cells],
+        edgecolors=["black"] * n,
     )
 
     if axis is None:
         _, axis = plt.subplots()
+    axis.add_collection(patches)
+    xs = [c[0] for c in cells]
+    ys = [c[1] for c in cells]
+    axis.set_xlim([min(xs) + 0.5, max(xs) + 1.5])
+    axis.set_ylim([min(ys) + 0.5, max(ys) + 1.5])
 
-    axis.add_collection(pc)
-    axis.set_xlim(x_limits)
-    axis.set_ylim(y_limits)
-
-    if N < 11:
-        fsize = 20 - N
-        for i, j in inds:
+    if n < 11:  # percentage labels only readable for small matrices
+        outline = [
+            path_effects.Stroke(linewidth=1.5, foreground="black"),
+            path_effects.Normal(),
+        ]
+        for i, j in cells:
             axis.text(
                 i + 1,
                 j + 1,
                 f"{int(matrix[i, j] * 100)}%",
-                horizontalalignment="center",
-                verticalalignment="center",
+                ha="center",
+                va="center",
                 color="white",
-                fontsize=fsize,
-            ).set_path_effects(
-                [
-                    path_effects.Stroke(linewidth=1.5, foreground="black"),
-                    path_effects.Normal(),
-                ]
-            )
+                fontsize=20 - n,
+            ).set_path_effects(outline)
 
     return axis
