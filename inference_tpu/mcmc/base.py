@@ -69,8 +69,15 @@ class MarkovChain(ABC):
 
         :param int m: Number of steps the chain will advance.
         """
-        k = 100  # divide chain steps into k progress groups
         t_start = time()
+        if not getattr(self, "display_progress", True):
+            # no progress display: run the minimal set of scan chunks
+            # (every host round-trip costs real latency on remote devices)
+            self._advance_n(m)
+            self.ProgressPrinter.percent_final(t_start, m)
+            return
+
+        k = 100  # divide chain steps into k progress groups
         group = m // k
         for j in range(k):
             if group > 0:

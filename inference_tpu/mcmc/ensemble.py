@@ -203,6 +203,7 @@ class EnsembleSampler(MarkovChain):
         state, outs = run_steps(self._get_step(), self._state, n)
         self._state = state
 
+        outs = jax.device_get(outs)  # one transfer for the whole pytree
         walkers = np.asarray(outs.walkers)      # (n, W, P)
         logps = np.asarray(outs.logps)          # (n, W)
         attempts = np.asarray(outs.attempts)    # (n, W)

@@ -196,7 +196,11 @@ class MetropolisChain(MarkovChain):
         self._absorb_outputs(outs)
 
     def _absorb_outputs(self, outs):
-        """Append a chunk of device outputs to the host history."""
+        """Append a chunk of device outputs to the host history (one
+        device-to-host transfer for the whole output pytree)."""
+        import jax
+
+        outs = jax.device_get(outs)
         theta = np.asarray(outs.theta)
         logp = np.asarray(outs.logp)
         sigmas = np.asarray(outs.sigmas)

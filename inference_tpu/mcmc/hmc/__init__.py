@@ -226,7 +226,9 @@ class HamiltonianChain(MarkovChain):
         self.ES.sync_counters(eps.avg, eps.var, eps.num, eps.chk_int)
 
     def _absorb_outputs(self, outs):
-        """Append a chunk of device outputs to the host history."""
+        """Append a chunk of device outputs to the host history (one
+        device-to-host transfer for the whole output pytree)."""
+        outs = jax.device_get(outs)
         n = len(np.asarray(outs.logp))
         start_step = self.chain_length
         self._theta_chunks.append(np.asarray(outs.theta))

@@ -174,9 +174,9 @@ class ParallelTempering:
         )
         self._batched_state = state
 
-        outs_np = type(outs)(*[np.asarray(f) for f in outs])
+        outs_np, accepted = jax.device_get((outs, accepted))
         for k, chain in enumerate(self.chains):
-            sliced = type(outs)(*[f[:, k] for f in outs_np])
+            sliced = type(outs_np)(*[f[:, k] for f in outs_np])
             chain._absorb_outputs(sliced)
 
         accepted = np.asarray(accepted)  # (cycles, P2)
@@ -206,7 +206,7 @@ class ParallelTempering:
         state, outs = run_steps(self._vstep, self._batched_state, n)
         self._batched_state = state
 
-        outs_np = type(outs)(*[np.asarray(f) for f in outs])
+        outs_np = jax.device_get(outs)
         for k, chain in enumerate(self.chains):
             sliced = type(outs)(*[f[:, k] for f in outs_np])
             chain._absorb_outputs(sliced)
