@@ -22,26 +22,41 @@ class AcquisitionFunction:
         """
         Multistart seeds: a small random search around each observed data
         point inside the bounds, plus uniform draws for points outside
-        (reference: acquisition.py:13-37).
+        (reference: acquisition.py:13-37). All candidates are scored in ONE
+        batched device call (the reference evaluates them one at a time;
+        on a remote accelerator each evaluation is a network round-trip).
         """
         lwr, upr = [np.array([k[i] for k in bounds], dtype=float) for i in [0, 1]]
         widths = upr - lwr
         lwr = lwr + widths * 0.01
         upr = upr - widths * 0.01
         rng = np.random.default_rng()
-        starts = []
         L = len(widths)
+
+        starts = []
+        groups = []  # (index into starts, 20 candidate rows) for inside points
+        candidates = []
         for x0 in self.gp.x:
             inside = ((x0 >= lwr) & (x0 <= upr)).all()
             if inside:
-                samples = [
-                    np.clip(x0 + 0.02 * widths * (2 * rng.random(L) - 1), lwr, upr)
-                    for _ in range(20)
-                ]
-                samples.sort(key=lambda s: float(self.opt_func(s)))
-                starts.append(samples[0])
+                samples = np.clip(
+                    x0[None, :] + 0.02 * widths * (2 * rng.random((20, L)) - 1),
+                    lwr,
+                    upr,
+                )
+                groups.append((len(starts), len(candidates)))
+                candidates.append(samples)
+                starts.append(None)  # filled in after batch scoring
             else:
                 starts.append(lwr + (upr - lwr) * rng.random(L))
+
+        if candidates:
+            cand = np.concatenate(candidates, axis=0)  # (20 * n_inside, L)
+            scores = np.asarray(self._opt_batch_jit(jnp.asarray(cand)))
+            # per-group winner: candidates were appended in 20-row blocks
+            for g, (start_idx, _) in enumerate(groups):
+                block = scores[g * 20 : (g + 1) * 20]
+                starts[start_idx] = cand[g * 20 + int(np.argmin(block))]
         return starts
 
     def update_gp(self, gp):
@@ -60,6 +75,7 @@ class AcquisitionFunction:
         objective = self._objective
         self._opt_func_jit = jax.jit(objective)
         self._opt_func_grad_jit = jax.jit(jax.value_and_grad(objective))
+        self._opt_batch_jit = jax.jit(jax.vmap(objective))
 
     def _objective(self, q):
         raise NotImplementedError

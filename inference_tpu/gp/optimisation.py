@@ -36,7 +36,10 @@ class GpOptimiser:
     :param cross_val: use LOO-CV instead of marginal likelihood.
     :param acquisition: acquisition-function class or instance
         (default ExpectedImprovement).
-    :param optimizer: "bfgs" or "diffev".
+    :param optimizer: "bfgs" (host multistart L-BFGS-B), "diffev"
+        (differential evolution), or "device" (all starts optimised in
+        parallel on device via a vmapped BFGS, one dispatch per proposal —
+        the fast path on remote accelerators).
     :param n_processes: accepted for API compatibility (runs serially
         against the accelerator).
     """
@@ -169,6 +172,52 @@ class GpOptimiser:
         best_result = sorted(results, key=lambda x: float(x[1]))[0]
         return best_result[0], float(best_result[1])
 
+    def multistart_device(self):
+        """
+        Maximise the acquisition with every start running in parallel on
+        device: a vmapped BFGS over sigmoid-bounded coordinates (one
+        dispatch for all starts), followed by one host L-BFGS-B polish of
+        the winner. Replaces the host loop of ``multistart_bfgs``, which
+        pays a device round-trip per objective evaluation per start.
+        """
+        import jax
+        import jax.numpy as jnp
+        from jax.scipy.optimize import minimize as jax_minimize
+
+        lwr = np.array([b[0] for b in self.bounds], dtype=float)
+        upr = np.array([b[1] for b in self.bounds], dtype=float)
+        span = upr - lwr
+
+        starts = np.asarray(self.acquisition.starting_positions(self.bounds))
+        # map starts into unconstrained sigmoid coordinates, keeping them
+        # off the boundary where the reparameterisation gradient vanishes
+        frac = np.clip((starts - lwr) / span, 0.01, 0.99)
+        z0 = np.log(frac / (1.0 - frac))
+        # pad the start count to a bucket so the compiled program shape is
+        # reused as the data set grows between iterations
+        bucket = 16
+        n_pad = -len(z0) % bucket
+        if n_pad:
+            z0 = np.concatenate([z0, np.repeat(z0[:1], n_pad, axis=0)])
+
+        lwr_d, span_d = jnp.asarray(lwr), jnp.asarray(span)
+        objective = self.acquisition._objective
+
+        def neg(z):
+            return objective(lwr_d + span_d * jax.nn.sigmoid(z))
+
+        def solve_one(z):
+            res = jax_minimize(neg, z, method="BFGS", options={"maxiter": 150})
+            return res.x, res.fun
+
+        zs, fs = jax.jit(jax.vmap(solve_one))(jnp.asarray(z0))
+        zs, fs = np.asarray(zs), np.asarray(fs)
+        best = int(np.nanargmin(np.where(np.isfinite(fs), fs, np.inf)))
+        x_best = lwr + span / (1.0 + np.exp(-zs[best]))
+
+        solution, fun_val, _ = self.launch_bfgs(np.clip(x_best, lwr, upr))
+        return solution, float(fun_val)
+
     def propose_evaluation(self, optimizer=None):
         """
         Propose the next evaluation location by maximising the acquisition
@@ -177,6 +226,8 @@ class GpOptimiser:
         opt = optimizer if optimizer is not None else self.optimizer
         if opt == "bfgs":
             proposed_ev, _ = self.multistart_bfgs()
+        elif opt == "device":
+            proposed_ev, _ = self.multistart_device()
         else:
             proposed_ev, _ = self.diff_evo()
         if hasattr(proposed_ev, "__len__") and len(proposed_ev) == 1:

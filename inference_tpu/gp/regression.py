@@ -73,7 +73,9 @@ class GpRegressor:
         likelihood for hyperparameter selection.
 
     :param optimizer: \
-        "bfgs" (multistart L-BFGS-B) or "diffev" (differential evolution).
+        "bfgs" (host multistart L-BFGS-B), "diffev" (differential
+        evolution), or "device" (all starts optimised in parallel on
+        device as one compiled program — see ``fit_device``).
 
     :param n_processes: \
         Accepted for API compatibility; optimisation runs serially against
@@ -206,15 +208,19 @@ class GpRegressor:
             self.model_selector_gradient = self.marginal_likelihood_gradient
 
         if hyperpars is None:
-            if optimizer not in ["bfgs", "diffev"]:
+            if optimizer not in ["bfgs", "diffev", "device"]:
                 optimizer = "bfgs"
                 warn(
                     "An invalid option was passed to the 'optimizer' keyword "
                     "argument. The default option 'bfgs' was used instead. "
-                    "Valid options are 'bfgs' and 'diffev'."
+                    "Valid options are 'bfgs', 'diffev' and 'device'."
                 )
             if optimizer == "diffev":
                 hyperpars = self.differential_evo()
+            elif optimizer == "device":
+                hyperpars = self.fit_device(
+                    starts=n_starts if n_starts is not None else 16
+                )
             else:
                 hyperpars = self.multistart_bfgs(
                     n_processes=n_processes, starts=n_starts
@@ -280,6 +286,11 @@ class GpRegressor:
             # the dtype's finite range (-1e50 overflows float32)
             floor = jnp.asarray(jnp.finfo(K.dtype).min / 4, K.dtype)
             return jnp.where(ok, value, floor)
+
+        # raw (unjitted) objectives kept for composition into larger
+        # compiled programs (e.g. the vmapped multistart fit)
+        self._lml_raw = lml
+        self._loo_raw = loo
 
         lml_jit = jax.jit(lml)
         lml_grad_jit = jax.jit(jax.value_and_grad(lml, argnums=0))
@@ -588,6 +599,69 @@ class GpRegressor:
         return fmin_l_bfgs_b(
             func=self.bfgs_cost_func, x0=x0, approx_grad=False, bounds=self.hp_bounds
         )
+
+    def fit_device(self, starts: int = 16, seed: int = 0, polish: bool = True):
+        """
+        Hyperparameter fit run as a single compiled device program.
+
+        ``starts`` BFGS optimisations of the model-selection objective (LML,
+        or LOO likelihood when ``cross_val=True``) run in parallel on device
+        via ``vmap`` over ``jax.scipy.optimize.minimize``. Box bounds are
+        enforced by a sigmoid reparameterisation of the hyperparameters, so
+        the inner optimiser is unconstrained. The winning start is then
+        (optionally) polished by one host-side L-BFGS-B.
+
+        This replaces the reference's serial host multistart
+        (reference: inference/gp/regression.py:482-504) with one device
+        dispatch: on a remote accelerator the host loop pays a network
+        round-trip per objective evaluation, while the device multistart
+        pays one.
+
+        :param starts: number of parallel starting positions.
+        :param seed: RNG seed for the start positions.
+        :param polish: run one host L-BFGS-B from the device winner.
+        :return: the optimised hyperparameter vector (numpy array).
+        """
+        from jax.scipy.optimize import minimize as _jax_minimize
+
+        lwr = jnp.asarray([b[0] for b in self.hp_bounds])
+        upr = jnp.asarray([b[1] for b in self.hp_bounds])
+        obj = self._loo_raw if self.cross_val else self._lml_raw
+
+        cache = getattr(self, "_fit_ms_cache", None)
+        if cache is None:
+            cache = self._fit_ms_cache = {}
+        fit_ms = cache.get(starts)
+        if fit_ms is None:
+
+            def neg(z, sig, m):
+                theta = lwr + (upr - lwr) * jax.nn.sigmoid(z)
+                return -obj(theta, sig, m)
+
+            def solve_one(z0, sig, m):
+                res = _jax_minimize(
+                    neg, z0, args=(sig, m), method="BFGS",
+                    options={"maxiter": 250},
+                )
+                return res.x, res.fun
+
+            fit_ms = jax.jit(jax.vmap(solve_one, in_axes=(0, None, None)))
+            cache[starts] = fit_ms
+
+        # start positions: uniform in the middle 90% of the box (in sigmoid
+        # coordinates, logit of the box fraction), plus the box centre (z=0)
+        rng = np.random.default_rng(seed)
+        u = rng.uniform(0.05, 0.95, size=(max(starts - 1, 0), self.n_hyperpars))
+        z0 = np.concatenate([np.log(u / (1 - u)), np.zeros((1, self.n_hyperpars))])
+
+        zs, fs = fit_ms(jnp.asarray(z0), self._sig_dev, self._mask_dev)
+        zs, fs = np.asarray(zs), np.asarray(fs)
+        best = int(np.nanargmin(np.where(np.isfinite(fs), fs, np.inf)))
+        theta = np.asarray(lwr + (upr - lwr) * jax.nn.sigmoid(jnp.asarray(zs[best])))
+
+        if polish:
+            theta, _, _ = self.launch_bfgs(theta)
+        return np.asarray(theta, dtype=float)
 
     def multistart_bfgs(self, starts: int = None, n_processes: int = 1):
         if starts is None:

@@ -75,3 +75,14 @@ def test_gpo_plot_results():
     nx = float(np.atleast_1d(opt.propose_evaluation())[0])
     opt.add_evaluation(np.array([nx]), np.array([objective_1d(nx)]))
     opt.plot_results(show_plot=False)
+
+def test_gpo_device_proposal_matches_host():
+    """The on-device vmapped acquisition multistart must find a proposal at
+    least as good as the host multistart L-BFGS-B from the same seeds."""
+    x = np.array([0.5, 1.5, 2.5, 3.5])
+    y = objective_1d(x)
+    opt = GpOptimiser(x, y, bounds=[(0.0, 4.0)])
+    x_host, f_host = opt.multistart_bfgs()
+    x_dev, f_dev = opt.multistart_device()
+    assert 0.0 <= float(np.atleast_1d(x_dev)[0]) <= 4.0
+    assert f_dev <= f_host + 1e-6

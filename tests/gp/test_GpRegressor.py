@@ -235,6 +235,23 @@ def test_gpr_diffev_optimizer():
     assert np.isfinite(mu).all()
 
 
+def test_gpr_device_optimizer():
+    """The on-device vmapped multistart fit must find the same optimum as
+    the host multistart L-BFGS-B."""
+    x, y, err = make_data(n=30)
+    gp_dev = GpRegressor(x, y, y_err=err, optimizer="device")
+    gp_host = GpRegressor(x, y, y_err=err, optimizer="bfgs", n_starts=8)
+    lml_dev = gp_dev.marginal_likelihood(gp_dev.hyperpars)
+    lml_host = gp_host.marginal_likelihood(gp_host.hyperpars)
+    assert lml_dev >= lml_host - 1e-4
+
+
+def test_gpr_fit_device_cross_val():
+    x, y, err = make_data(n=20)
+    gp = GpRegressor(x, y, y_err=err, cross_val=True, optimizer="device")
+    assert np.isfinite(gp.loo_likelihood(gp.hyperpars))
+
+
 def test_gpr_padding_is_exact():
     """pad_to bucket padding produces numerically identical results to the
     unpadded computation (masked rows are identity rows of K)."""
