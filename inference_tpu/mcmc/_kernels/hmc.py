@@ -46,6 +46,8 @@ class HmcState(NamedTuple):
     failed: jnp.ndarray       # () bool — max_attempts exhausted at some step
     inv_temp: jnp.ndarray     # () inverse temperature (traced: rungs can be
                               # batched over a vmapped/sharded axis)
+    steps: jnp.ndarray        # () int32 nominal leapfrog steps (traced: the
+                              # facade can change it without a recompile)
 
 
 class HmcOutput(NamedTuple):
@@ -55,7 +57,7 @@ class HmcOutput(NamedTuple):
     epsilon: jnp.ndarray        # () step size after this sample
 
 
-def init_hmc_state(theta0, logp0, epsilon, key, inv_temp=1.0) -> HmcState:
+def init_hmc_state(theta0, logp0, epsilon, key, inv_temp=1.0, steps=50) -> HmcState:
     theta0 = jnp.asarray(theta0)
     return HmcState(
         theta=theta0,
@@ -64,6 +66,7 @@ def init_hmc_state(theta0, logp0, epsilon, key, inv_temp=1.0) -> HmcState:
         key=key,
         failed=jnp.asarray(False),
         inv_temp=jnp.asarray(inv_temp, theta0.dtype),
+        steps=jnp.asarray(steps, jnp.int32),
     )
 
 
@@ -71,7 +74,6 @@ def make_hmc_step(
     logp_fn,
     grad_fn,
     *,
-    steps: int = 50,
     max_attempts: int = 200,
     mass_velocity=None,
     mass_sample=None,
@@ -83,7 +85,6 @@ def make_hmc_step(
 
     :param logp_fn: traceable ``theta -> log-probability`` (untempered).
     :param grad_fn: traceable gradient of ``logp_fn``.
-    :param steps: nominal leapfrog steps per proposal (jittered +-10%).
     :param max_attempts: proposal retries before flagging failure.
     :param mass_velocity: ``r -> velocity`` map (inverse-mass application).
     :param mass_sample: ``(key, dtype) -> momentum sample``.
@@ -98,9 +99,13 @@ def make_hmc_step(
         wastes no work when vmapped over large chain batches (under vmap a
         retry loop reruns every lane until the slowest lane accepts).
 
-    The inverse temperature is read from the state so tempering rungs can
-    share one compiled program. Tempering scales both the log-probability
-    and the leapfrog force (reference: hmc/__init__.py:167,181).
+    The inverse temperature AND the nominal leapfrog step count are read
+    from the state: tempering rungs share one compiled program, and the
+    facade's ``steps`` attribute can change between calls without triggering
+    a recompile (the per-proposal count is already a traced value because of
+    the +-10% jitter, reference: hmc/__init__.py:137). Tempering scales both
+    the log-probability and the leapfrog force
+    (reference: hmc/__init__.py:167,181).
     """
     if mass_velocity is None:
         mass_velocity = lambda r: r
@@ -152,7 +157,9 @@ def make_hmc_step(
             h0 = kinetic_energy(r0) - state.logp
 
             u = jax.random.uniform(k_steps, dtype=dtype)
-            n_steps = (steps * (1 + (u - 0.5) * 0.2)).astype(jnp.int32)
+            n_steps = (
+                state.steps.astype(dtype) * (1 + (u - 0.5) * 0.2)
+            ).astype(jnp.int32)
 
             t, r = leapfrog(state.theta, r0, n_steps, epsilon, inv_temp)
 
@@ -211,6 +218,7 @@ def make_hmc_step(
             key=key,
             failed=state.failed | ~final.accepted,
             inv_temp=state.inv_temp,
+            steps=state.steps,
         )
         out = HmcOutput(
             theta=final.theta,

@@ -132,7 +132,7 @@ class HamiltonianChain(MarkovChain):
             p0 = float(self._logp(jnp.asarray(start, dtype))) * self.inv_temp
             self._state = init_hmc_state(
                 jnp.asarray(start, dtype), p0, epsilon, self._key,
-                inv_temp=self.inv_temp,
+                inv_temp=self.inv_temp, steps=self.steps,
             )
             # host-side history (numpy chunks, concatenated lazily)
             self._theta_chunks = [start.reshape(1, -1)]
@@ -184,8 +184,9 @@ class HamiltonianChain(MarkovChain):
         return fd_grad
 
     def _get_step(self):
+        # 'steps' is deliberately absent: it lives in the state as a traced
+        # value, so changing it does not rebuild (recompile) the kernel
         config = (
-            self.steps,
             self.max_attempts,
             id(self.mass),
             id(self.bounds),
@@ -197,7 +198,6 @@ class HamiltonianChain(MarkovChain):
             self._step = make_hmc_step(
                 self._logp,
                 grad_fn,
-                steps=self.steps,
                 max_attempts=self.max_attempts,
                 mass_velocity=self.mass.get_velocity,
                 mass_sample=self.mass.sample_momentum,
@@ -213,6 +213,11 @@ class HamiltonianChain(MarkovChain):
                 "a 'posterior' callable."
             )
         step = self._get_step()
+        # sync the (possibly user-modified) steps attribute into the traced
+        # state — a tiny async host->device transfer, never a recompile
+        self._state = self._state._replace(
+            steps=jnp.asarray(self.steps, jnp.int32)
+        )
         state, outs = run_steps(step, self._state, n)
         failed = bool(state.failed)
         if failed:
@@ -494,6 +499,7 @@ class HamiltonianChain(MarkovChain):
                 key=chain._key,
                 failed=jnp.asarray(False),
                 inv_temp=jnp.asarray(chain.inv_temp, dtype),
+                steps=jnp.asarray(chain.steps, jnp.int32),
             )
         else:
             chain._logp = None

@@ -87,13 +87,14 @@ class ChainArray:
             step = hmc_kernel.make_hmc_step(
                 self._logp,
                 jax.grad(self._logp),
-                steps=steps,
                 mass_velocity=mass_velocity,
                 mass_sample=mass_sample,
                 retry=retry,
             )
             state = jax.vmap(
-                lambda t, p, k: hmc_kernel.init_hmc_state(t, p, epsilon, k)
+                lambda t, p, k: hmc_kernel.init_hmc_state(
+                    t, p, epsilon, k, steps=steps
+                )
             )(starts_dev, logp0, keys)
         elif kind in ("gibbs", "metropolis"):
             if widths is None:

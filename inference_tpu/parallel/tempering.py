@@ -105,7 +105,7 @@ class ShardedTempering:
         init = jax.vmap(
             jax.vmap(
                 lambda t, p, k, it: hmc_kernel.init_hmc_state(
-                    t, p, epsilon, k, inv_temp=it
+                    t, p, epsilon, k, inv_temp=it, steps=steps
                 ),
                 in_axes=(0, 0, 0, None),
             ),
@@ -123,7 +123,6 @@ class ShardedTempering:
         step = hmc_kernel.make_hmc_step(
             self._logp,
             jax.grad(self._logp),
-            steps=steps,
             mass_velocity=lambda r: r,
             mass_sample=lambda k, d: jax.random.normal(k, (self.n_parameters,), d),
         )

@@ -141,3 +141,23 @@ def test_hamiltonian_mode_and_burn_in():
     assert 0 <= burn <= 0.9 * chain.chain_length + 1
     mode = chain.mode()
     assert mode.shape == (3,)
+
+
+def test_hamiltonian_steps_change_no_rebuild():
+    """'steps' lives in the traced state: changing it must not rebuild the
+    compiled kernel, and the recorded leapfrog counts must follow it."""
+    posterior = ToroidalGaussian()
+    chain = HamiltonianChain(
+        posterior=posterior, start=np.array([1.0, 0.1, 0.1]),
+        display_progress=False,
+    )
+    chain.advance(20)
+    step_obj = chain._step
+    first = np.concatenate(chain._leapfrog_chunks)[1:21]
+
+    chain.steps = 10
+    chain.advance(20)
+    assert chain._step is step_obj  # same compiled kernel object
+    second = np.concatenate(chain._leapfrog_chunks)[21:41]
+    # jitter is +-10%, so the two regimes are cleanly separated
+    assert first.mean() > 40 and second.mean() < 15
