@@ -45,14 +45,17 @@ class LargeScaleGP:
     :param block_size: rows per kernel-block matmul.
     :param cg_tol: conjugate-gradient relative tolerance.
     :param cg_maxiter: conjugate-gradient iteration cap.
-    :param preconditioner_rank: number of inducing rows for the Nystrom
-        preconditioner (0 disables it). The kernel matrix of a smooth GP is
-        severely ill-conditioned at large N (lambda_max ~ N vs
-        lambda_min ~ noise variance), where unpreconditioned CG stalls —
-        especially in float32. The preconditioner approximates
-        ``K ~ U U^T`` from ``m`` random rows and applies
+    :param preconditioner_rank: rank ``m`` of the low-rank preconditioner
+        (0 disables it). The kernel matrix of a smooth GP is severely
+        ill-conditioned at large N (lambda_max ~ N vs lambda_min ~ noise
+        variance), where unpreconditioned CG stalls — especially in
+        float32. The preconditioner approximates ``K ~ U U^T`` and applies
         ``(sigma^2 I + U U^T)^{-1}`` by the Woodbury identity: two (N, m)
         matmuls per CG iteration, negligible next to the O(N^2) matvec.
+    :param preconditioner: "pivchol" (default) builds ``U`` by on-device
+        pivoted Cholesky — m greedy pivots chosen by largest residual
+        diagonal, capturing the top of K's spectrum adaptively; "nystrom"
+        builds it from m random inducing rows.
     :param mesh: optional 1D mesh; data rows and solves shard over its
         first axis.
     """
@@ -68,6 +71,7 @@ class LargeScaleGP:
         cg_tol: float = 1e-6,
         cg_maxiter: int = 1000,
         preconditioner_rank: int = 512,
+        preconditioner: str = "pivchol",
         mesh=None,
     ):
         dtype = default_float()
@@ -115,18 +119,80 @@ class LargeScaleGP:
             self._sig_diag = jax.device_put(self._sig_diag, shard_vec)
             self._mask_dev = jax.device_put(self._mask_dev, shard_vec)
 
+        if preconditioner not in ("pivchol", "nystrom"):
+            raise ValueError(
+                f"[ LargeScaleGP error ] 'preconditioner' must be 'pivchol' "
+                f"or 'nystrom', but '{preconditioner}' was given."
+            )
+        self.preconditioner = preconditioner
         self._build_preconditioner(preconditioner_rank)
         self._build_compiled(cg_tol, cg_maxiter)
         self.alpha = self._solve_alpha()
         self.cg_iterations_estimate = None  # jax cg does not report count
 
+    def _pivoted_cholesky(self, rank: int):
+        """Partial pivoted Cholesky of the kernel matrix, entirely on
+        device: ``rank`` greedy steps, each picking the point with the
+        largest residual diagonal, evaluating one kernel column against all
+        data, and subtracting the projection onto the factors found so far.
+        Returns U with K ~ U U^T. O(N m^2) flops, never forms K. This is
+        the adaptive low-rank approximation (optimal pivots track the
+        kernel spectrum), where Nystrom uses blind random rows."""
+        x, amp, ls, mask = self._x, self._amp, self._ls, self._mask_dev
+        n, D = x.shape
+        dtype = x.dtype
+
+        @jax.jit
+        def build():
+            diag = amp**2 * mask  # padded rows have zero diagonal: never pivoted
+            U = jnp.zeros((n, rank), dtype)
+            tiny = jnp.asarray(jnp.finfo(dtype).tiny, dtype)
+
+            def body(i, carry):
+                diag, U = carry
+                j = jnp.argmax(diag)
+                xj = lax.dynamic_slice(x, (j, 0), (1, D))
+                col = sqexp_covariance(x, xj, amp, ls)[:, 0] * mask * mask[j]
+                uj = lax.dynamic_slice(U, (j, 0), (1, rank))[0]
+                # columns of U beyond i are still zero, so the full-width
+                # matvec projects onto exactly the first i factors
+                proj = jnp.dot(U, uj, precision=_HI)
+                root = jnp.sqrt(jnp.maximum(diag[j], tiny))
+                u = (col - proj) / root
+                U = lax.dynamic_update_slice(U, u[:, None], (0, i))
+                diag = jnp.maximum(diag - u * u, 0.0) * mask
+                return diag, U
+
+            _, U = lax.fori_loop(0, rank, body, (diag, U))
+            return U
+
+        return build()
+
     def _build_preconditioner(self, rank: int):
-        """Nystrom preconditioner: K ~ U U^T from ``rank`` random rows,
-        with (sigma^2 I + U U^T)^{-1} applied by the Woodbury identity."""
+        """Low-rank preconditioner: K ~ U U^T (pivoted Cholesky or
+        Nystrom), with (sigma^2 I + U U^T)^{-1} applied by the Woodbury
+        identity."""
         if rank <= 0 or rank >= self.n_points:
             self._precond = None
             return
         dtype = self._x.dtype
+
+        if self.preconditioner == "pivchol":
+            U = self._pivoted_cholesky(rank)
+
+            @jax.jit
+            def woodbury(U):
+                d = self._sig_diag + self._amp**2 * 1e-12
+                C = jnp.eye(rank, dtype=dtype) + jnp.dot(
+                    (U / d[:, None]).T, U, precision=_HI
+                )
+                L_c = jnp.linalg.cholesky(C)
+                return d, L_c
+
+            d, L_c = woodbury(U)
+            self._precond = (U, d, L_c)
+            return
+
         idx = np.random.default_rng(0).choice(self.n_points, rank, replace=False)
         xm = self._x[jnp.asarray(np.sort(idx))]
 

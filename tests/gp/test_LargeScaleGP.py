@@ -53,3 +53,32 @@ def test_large_scale_prediction_accuracy():
     mu = big(q)
     truth = np.sin(q[:, 0]) * np.cos(q[:, 1])
     assert np.sqrt(np.mean((mu - truth) ** 2)) < 0.1
+
+
+def test_pivoted_cholesky_full_rank_exact():
+    """At full rank the on-device pivoted Cholesky factor must reproduce
+    the kernel matrix exactly (it is a complete factorisation)."""
+    from inference_tpu.ops.pairwise import sqexp_covariance
+
+    x, y, err = make_problem(n=200)
+    gp = LargeScaleGP(
+        x, y, err, hyperpars=np.array([0.0, 0.0, 0.0]), block_size=128,
+        preconditioner="pivchol", preconditioner_rank=150,
+    )
+    U = np.asarray(gp._pivoted_cholesky(gp.n_points))
+    K = np.asarray(sqexp_covariance(gp._x, gp._x, gp._amp, gp._ls))
+    K = K * np.outer(gp._mask, gp._mask)
+    assert np.abs(U @ U.T - K).max() < 1e-5
+
+
+def test_preconditioner_options():
+    x, y, err = make_problem(n=600)
+    theta = np.array([0.0, 0.3, 0.3])
+    for kind in ("pivchol", "nystrom"):
+        gp = LargeScaleGP(
+            x, y, err, hyperpars=theta, block_size=256,
+            preconditioner=kind, preconditioner_rank=128,
+        )
+        assert gp.residual_norm() < 1e-5
+    with pytest.raises(ValueError):
+        LargeScaleGP(x, y, err, hyperpars=theta, preconditioner="bogus")
