@@ -52,7 +52,9 @@ class AcquisitionFunction:
 
         if candidates:
             cand = np.concatenate(candidates, axis=0)  # (20 * n_inside, L)
-            scores = np.asarray(self._opt_batch_jit(jnp.asarray(cand)))
+            scores = np.asarray(
+                self._opt_batch_jit(jnp.asarray(cand), self.gp_state())
+            )
             # per-group winner: candidates were appended in 20-row blocks
             for g, (start_idx, _) in enumerate(groups):
                 block = scores[g * 20 : (g + 1) * 20]
@@ -60,33 +62,52 @@ class AcquisitionFunction:
         return starts
 
     def update_gp(self, gp):
+        """Point the acquisition at (fresh or refit) GP state. The compiled
+        programs take the whole GP state as runtime arguments, so a refit of
+        the same padded shape reuses every compilation; the jits are rebuilt
+        only when a different ``GpRegressor`` object is supplied."""
+        rebuild = getattr(self, "_compiled_gp_id", None) != id(gp)
         self.gp = gp
         self.mu_max = gp.y.max()
-        self._build_compiled()
+        if rebuild:
+            self._build_compiled()
+            self._compiled_gp_id = id(gp)
 
-    def _mu_var(self, q):
-        """Traceable predictive mean and variance at a single point."""
+    def gp_state(self):
+        """The runtime-argument pytree for the compiled acquisition
+        programs: fitted GP state plus the current best observed value."""
         gp = self.gp
-        return gp._predict_single(
-            q, gp.L, gp.alpha, gp._cov_pars_dev, gp._mean_pars_dev, gp._mask_dev
+        return (
+            gp._x_dev,
+            gp.L,
+            gp.alpha,
+            gp._cov_pars_dev,
+            gp._mean_pars_dev,
+            gp._mask_dev,
+            jnp.asarray(self.mu_max, gp.L.dtype),
         )
+
+    def _mu_var(self, q, st):
+        """Traceable predictive mean and variance at a single point."""
+        x, L, alpha, cov_pars, mean_pars, m, _ = st
+        return self.gp._predict_single(q, x, L, alpha, cov_pars, mean_pars, m)
 
     def _build_compiled(self):
         objective = self._objective
         self._opt_func_jit = jax.jit(objective)
-        self._opt_func_grad_jit = jax.jit(jax.value_and_grad(objective))
-        self._opt_batch_jit = jax.jit(jax.vmap(objective))
+        self._opt_func_grad_jit = jax.jit(jax.value_and_grad(objective, argnums=0))
+        self._opt_batch_jit = jax.jit(jax.vmap(objective, in_axes=(0, None)))
 
-    def _objective(self, q):
+    def _objective(self, q, st):
         raise NotImplementedError
 
     def opt_func(self, x) -> float:
         q = jnp.asarray(np.asarray(x, dtype=float).flatten())
-        return float(self._opt_func_jit(q))
+        return float(self._opt_func_jit(q, self.gp_state()))
 
     def opt_func_gradient(self, x):
         q = jnp.asarray(np.asarray(x, dtype=float).flatten())
-        value, grad = self._opt_func_grad_jit(q)
+        value, grad = self._opt_func_grad_jit(q, self.gp_state())
         return np.asarray(value, dtype=float), np.asarray(grad, dtype=float).squeeze()
 
 
@@ -105,10 +126,10 @@ class ExpectedImprovement(AcquisitionFunction):
             r"y_{\mathrm{min}})$"
         )
 
-    def _log_ei(self, q):
-        mu, var = self._mu_var(q)
+    def _log_ei(self, q, st):
+        mu, var = self._mu_var(q, st)
         sig = jnp.sqrt(jnp.abs(var))
-        z = (mu - self.mu_max) / sig
+        z = (mu - st[-1]) / sig
         # EI = sig * phi(z) * (1 + z * Phi(z)/phi(z)); the ratio is computed
         # stably as exp(log_ndtr(z) - log phi(z))
         log_phi = -0.5 * (z**2 + jnp.log(2 * jnp.pi))
@@ -116,12 +137,12 @@ class ExpectedImprovement(AcquisitionFunction):
         h = 1.0 + z * ratio
         return jnp.log(sig) + log_phi + jnp.log(jnp.maximum(h, 1e-300))
 
-    def _objective(self, q):
-        return -self._log_ei(q)
+    def _objective(self, q, st):
+        return -self._log_ei(q, st)
 
     def __call__(self, x) -> float:
         q = jnp.asarray(np.asarray(x, dtype=float).flatten())
-        return float(jnp.exp(self._log_ei(q)))
+        return float(jnp.exp(self._log_ei(q, self.gp_state())))
 
     def convergence_metric(self, x) -> float:
         return self.__call__(x) / (self.mu_max - float(self.gp.y.min()))
@@ -140,8 +161,8 @@ class UpperConfidenceBound(AcquisitionFunction):
             r"$\mathrm{UCB}_{\mathrm{max}} - y_{\mathrm{max}}$"
         )
 
-    def _objective(self, q):
-        mu, var = self._mu_var(q)
+    def _objective(self, q, st):
+        mu, var = self._mu_var(q, st)
         return -(mu + self.kappa * jnp.sqrt(jnp.abs(var)))
 
     def __call__(self, x) -> float:
@@ -161,8 +182,8 @@ class MaxVariance(AcquisitionFunction):
         self.name = "Max variance"
         self.convergence_description = r"$\sqrt{\mathrm{Var}\left[x\right]}$"
 
-    def _objective(self, q):
-        _, var = self._mu_var(q)
+    def _objective(self, q, st):
+        _, var = self._mu_var(q, st)
         return -var
 
     def __call__(self, x) -> float:

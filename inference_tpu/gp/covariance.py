@@ -50,6 +50,13 @@ class CovarianceFunction(ABC):
     def build_covariance(self, theta):
         pass
 
+    def matrix(self, x, theta):
+        """Data covariance built from an explicitly-passed (traceable) data
+        array rather than the stored spatial data. Compiled programs that
+        use ``matrix`` can take the data as a runtime argument, so refitting
+        on new data of the same (padded) shape reuses the compilation."""
+        return self(x, x, theta)
+
     def covariance_and_gradients(self, theta):
         """
         The data covariance matrix and its gradients with respect to each
@@ -114,6 +121,13 @@ class CompositeCovariance(CovarianceFunction):
             for comp, slc in zip(self.components, self.slices)
         )
 
+    def matrix(self, x, theta):
+        theta = jnp.asarray(theta)
+        return sum(
+            comp.matrix(x, theta[slc])
+            for comp, slc in zip(self.components, self.slices)
+        )
+
 
 class WhiteNoise(CovarianceFunction):
     r"""
@@ -142,6 +156,10 @@ class WhiteNoise(CovarianceFunction):
         theta = jnp.asarray(theta)
         # diag of a traced vector (never an N x N identity constant)
         return jnp.diag(jnp.full(self.n_data, jnp.exp(2 * theta[0])))
+
+    def matrix(self, x, theta):
+        theta = jnp.asarray(theta)
+        return jnp.diag(jnp.full(x.shape[0], jnp.exp(2 * theta[0])))
 
     def get_bounds(self):
         return self.bounds
@@ -189,10 +207,13 @@ class SquaredExponential(CovarianceFunction):
         return sqexp_covariance(jnp.asarray(u), jnp.asarray(v), a, L)
 
     def build_covariance(self, theta):
+        return self.matrix(self.x, theta)
+
+    def matrix(self, x, theta):
         theta = jnp.asarray(theta)
         a = jnp.exp(theta[0])
         L = jnp.exp(theta[1:])
-        K = sqexp_covariance(self.x, self.x, a, L)
+        K = sqexp_covariance(jnp.asarray(x), jnp.asarray(x), a, L)
         # diagonal jitter scaled by the amplitude (reference: covariance.py:221)
         return add_diagonal(K, a**2 * 1e-12)
 
@@ -251,11 +272,15 @@ class RationalQuadratic(CovarianceFunction):
         return (a**2) * (1 + Z / k) ** (-k)
 
     def build_covariance(self, theta):
+        return self.matrix(self.x, theta)
+
+    def matrix(self, x, theta):
         theta = jnp.asarray(theta)
         a = jnp.exp(theta[0])
         k = jnp.exp(theta[1])
         L = jnp.exp(theta[2:])
-        Z = 0.5 * scaled_sq_distances(self.x, self.x, L)
+        x = jnp.asarray(x)
+        Z = 0.5 * scaled_sq_distances(x, x, L)
         return add_diagonal((a**2) * (1 + Z / k) ** (-k), a**2 * 1e-12)
 
     def get_bounds(self):
@@ -289,6 +314,9 @@ class HeteroscedasticNoise(CovarianceFunction):
 
     def build_covariance(self, theta):
         return jnp.diag(jnp.exp(2 * jnp.asarray(theta)))
+
+    def matrix(self, x, theta):
+        return self.build_covariance(theta)
 
     def covariance_and_gradients(self, theta):
         """Structured gradients: dK/dtheta_i = 2 sigma_i^2 e_i e_i^T,
@@ -443,6 +471,17 @@ class ChangePoint(CovarianceFunction):
         coeffs = self._kernel_coefficients(w_list)
         return sum(
             self.cov[i].build_covariance(theta[self.cov_slc[i]]) * coeffs[i]
+            for i in range(self.n_kernels)
+        )
+
+    def matrix(self, x, theta):
+        theta = jnp.asarray(theta)
+        x = jnp.asarray(x)
+        x_cp = x[:, self.axis]
+        w_list = [(self.logistic(x_cp, theta[slc]),) * 2 for slc in self.cp_slc]
+        coeffs = self._kernel_coefficients(w_list)
+        return sum(
+            self.cov[i].matrix(x, theta[self.cov_slc[i]]) * coeffs[i]
             for i in range(self.n_kernels)
         )
 

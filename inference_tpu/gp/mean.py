@@ -31,6 +31,21 @@ class MeanFunction(ABC):
     def build_mean(self, theta):
         pass
 
+    def vector(self, x, theta):
+        """Mean vector at explicitly-passed (traceable) data rows.
+        Compiled programs that use ``vector``/``point`` can take the data as
+        a runtime argument, so refits of the same padded shape reuse their
+        compilation. The default falls back to the stored-data methods
+        (correct, but bakes the stored arrays into the compilation)."""
+        import jax
+
+        return jax.vmap(lambda q: self(q, theta))(x)
+
+    def point(self, q, theta, x):
+        """Mean at a single query point; ``x`` provides the data context
+        (e.g. the centroid for centred means)."""
+        return self(q, theta)
+
     def mean_and_gradients(self, theta):
         """Mean vector and per-hyperparameter gradients via autodiff."""
         theta = jnp.asarray(theta)
@@ -60,6 +75,12 @@ class ConstantMean(MeanFunction):
 
     def build_mean(self, theta):
         return jnp.full(self.n_data, jnp.asarray(theta)[0])
+
+    def vector(self, x, theta):
+        return jnp.full(x.shape[0], jnp.asarray(theta)[0])
+
+    def point(self, q, theta, x):
+        return jnp.asarray(theta)[0]
 
 
 class LinearMean(MeanFunction):
@@ -93,6 +114,20 @@ class LinearMean(MeanFunction):
     def build_mean(self, theta):
         theta = jnp.asarray(theta)
         return theta[0] + self.dx @ theta[1:]
+
+    def vector(self, x, theta):
+        # padded rows sit exactly at the real-data centroid, so the mean
+        # over the padded array IS the real centroid — vector/point stay
+        # exact under shape padding
+        theta = jnp.asarray(theta)
+        xm = x.mean(axis=0)
+        return theta[0] + (x - xm[None, :]) @ theta[1:]
+
+    def point(self, q, theta, x):
+        theta = jnp.asarray(theta)
+        return theta[0] + jnp.dot(
+            jnp.asarray(q) - x.mean(axis=0), theta[1:]
+        ).squeeze()
 
 
 class QuadraticMean(MeanFunction):
@@ -133,3 +168,15 @@ class QuadraticMean(MeanFunction):
     def build_mean(self, theta):
         theta = jnp.asarray(theta)
         return theta[0] + self.dx @ theta[self.lin_slc] + self.dx_sqr @ theta[self.quad_slc]
+
+    def vector(self, x, theta):
+        theta = jnp.asarray(theta)
+        d = x - x.mean(axis=0)[None, :]
+        return theta[0] + d @ theta[self.lin_slc] + d**2 @ theta[self.quad_slc]
+
+    def point(self, q, theta, x):
+        theta = jnp.asarray(theta)
+        d = jnp.asarray(q) - x.mean(axis=0)
+        lin_term = jnp.dot(d, theta[self.lin_slc]).squeeze()
+        quad_term = jnp.dot(d**2, theta[self.quad_slc]).squeeze()
+        return theta[0] + lin_term + quad_term

@@ -133,16 +133,12 @@ class GpOptimiser:
                     "was initialised."
                 )
 
-        self.gp = GpRegressor(
-            x=self.x,
-            y=self.y,
-            y_err=self.y_err,
-            kernel=self.kernel,
-            mean=self.mean,
-            cross_val=self.cross_val,
-            optimizer=self.optimizer,
-            n_processes=self.n_processes,
-            pad_to=self.pad_to,
+        # in-place data update: every compiled GP / acquisition program
+        # takes the data as runtime arguments, so the refit reuses all
+        # compilations while the padded shape (pad_to bucket) is unchanged
+        self.gp.update_data(self.x, self.y, y_err=self.y_err)
+        self.gp.set_hyperparameters(
+            self.gp.fit(optimizer=self.optimizer, n_processes=self.n_processes)
         )
         self.mu_max = self.y.max()
         self.acquisition.update_gp(self.gp)
@@ -200,17 +196,27 @@ class GpOptimiser:
         if n_pad:
             z0 = np.concatenate([z0, np.repeat(z0[:1], n_pad, axis=0)])
 
-        lwr_d, span_d = jnp.asarray(lwr), jnp.asarray(span)
-        objective = self.acquisition._objective
+        solver = getattr(self, "_ms_solver", None)
+        if solver is None:
+            objective = self.acquisition._objective
 
-        def neg(z):
-            return objective(lwr_d + span_d * jax.nn.sigmoid(z))
+            def neg(z, lo, sp, st):
+                return objective(lo + sp * jax.nn.sigmoid(z), st)
 
-        def solve_one(z):
-            res = jax_minimize(neg, z, method="BFGS", options={"maxiter": 150})
-            return res.x, res.fun
+            def solve_one(z, lo, sp, st):
+                res = jax_minimize(
+                    neg, z, args=(lo, sp, st), method="BFGS",
+                    options={"maxiter": 150},
+                )
+                return res.x, res.fun
 
-        zs, fs = jax.jit(jax.vmap(solve_one))(jnp.asarray(z0))
+            solver = jax.jit(jax.vmap(solve_one, in_axes=(0, None, None, None)))
+            self._ms_solver = solver
+
+        zs, fs = solver(
+            jnp.asarray(z0), jnp.asarray(lwr), jnp.asarray(span),
+            self.acquisition.gp_state(),
+        )
         zs, fs = np.asarray(zs), np.asarray(fs)
         best = int(np.nanargmin(np.where(np.isfinite(fs), fs, np.inf)))
         x_best = lwr + span / (1.0 + np.exp(-zs[best]))

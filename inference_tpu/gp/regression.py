@@ -109,6 +109,36 @@ class GpRegressor:
         n_starts: int = None,
         pad_to: int = None,
     ):
+        self.cov = kernel() if isclass(kernel) else kernel
+        self.mean = mean() if isclass(mean) else mean
+        # user-specified bounds persist across data updates; auto-estimated
+        # bounds are recomputed from the data each time
+        self._cov_bounds_user = self.cov.bounds is not None
+        self._mean_bounds_user = getattr(self.mean, "bounds", None) is not None
+        self.pad_to = pad_to
+
+        self._ingest_data(x, y, y_err, y_cov)
+        self._build_compiled_functions()
+
+        self.cross_val = cross_val
+        if cross_val:
+            self.model_selector = self.loo_likelihood
+            self.model_selector_gradient = self.loo_likelihood_gradient
+        else:
+            self.model_selector = self.marginal_likelihood
+            self.model_selector_gradient = self.marginal_likelihood_gradient
+
+        if hyperpars is None:
+            hyperpars = self.fit(
+                optimizer=optimizer, n_starts=n_starts, n_processes=n_processes
+            )
+        self.set_hyperparameters(hyperpars)
+
+    # ------------------------------------------------------------------ #
+    # data handling
+    # ------------------------------------------------------------------ #
+    def _ingest_data(self, x, y, y_err, y_cov):
+        """Validate, pad and stage the training data (host and device)."""
         # data validation / reshaping (reference: regression.py:93-130)
         self.x = x if isinstance(x, np.ndarray) else np.array(x)
         self.y = np.asarray(y).squeeze()
@@ -140,14 +170,11 @@ class GpRegressor:
 
         self.sig = self.check_error_data(y_err, y_cov)
 
-        self.cov = kernel() if isclass(kernel) else kernel
-        self.mean = mean() if isclass(mean) else mean
-
         self.cov.pass_spatial_data(self.x)
         self.mean.pass_spatial_data(self.x)
-        if self.cov.bounds is None:
+        if not self._cov_bounds_user:
             self.cov.estimate_hyperpar_bounds(self.y)
-        if self.mean.bounds is None:
+        if not self._mean_bounds_user:
             self.mean.estimate_hyperpar_bounds(self.y)
         self.hp_bounds = copy(self.mean.bounds)
         self.hp_bounds.extend(copy(self.cov.bounds))
@@ -155,9 +182,10 @@ class GpRegressor:
         # shape padding: bounds above were estimated from the real data;
         # the kernel/mean objects are now re-pointed at the padded arrays.
         # Padded x rows sit at the data centroid (keeps centred means exact)
-        self.pad_to = pad_to
-        if pad_to is not None:
-            self._n_padded = max(-(-self.n_points // pad_to) * pad_to, pad_to)
+        if self.pad_to is not None:
+            self._n_padded = max(
+                -(-self.n_points // self.pad_to) * self.pad_to, self.pad_to
+            )
         else:
             self._n_padded = self.n_points
         n_extra = self._n_padded - self.n_points
@@ -183,9 +211,9 @@ class GpRegressor:
         self.cov_slice = slice(self.mean.n_params, self.n_hyperpars)
         self.hyperpar_labels = [*self.mean.hyperpar_labels, *self.cov.hyperpar_labels]
 
-        # device copies and jitted objectives; diagonal error models keep
-        # only the variance vector on device (the dense matrix would cost
-        # O(N^2) memory and compile-payload size at large N)
+        # device copies; diagonal error models keep only the variance vector
+        # on device (the dense matrix would cost O(N^2) memory and
+        # compile-payload size at large N)
         self._x_dev = jnp.asarray(self._x_padded)
         self._y_dev = jnp.asarray(self._y_padded)
         self._mask_dev = jnp.asarray(self._mask)
@@ -197,51 +225,67 @@ class GpRegressor:
             sig_full = np.zeros([self._n_padded, self._n_padded])
             sig_full[: self.n_points, : self.n_points] = self.sig
             self._sig_dev = jnp.asarray(sig_full)
-        self._build_compiled_functions()
 
-        self.cross_val = cross_val
-        if cross_val:
-            self.model_selector = self.loo_likelihood
-            self.model_selector_gradient = self.loo_likelihood_gradient
-        else:
-            self.model_selector = self.marginal_likelihood
-            self.model_selector_gradient = self.marginal_likelihood_gradient
+    def update_data(self, x, y, y_err=None, y_cov=None):
+        """
+        Replace the training data without rebuilding the model. All compiled
+        programs take the data as runtime arguments, so when the padded
+        shape is unchanged (``pad_to`` buckets) a refit on updated data
+        reuses every compilation — this is what makes the ``GpOptimiser``
+        loop cheap. Hyperparameters are NOT refit automatically: call
+        ``fit``/``set_hyperparameters`` afterwards.
+        """
+        old_n_hyperpars = self.n_hyperpars
+        old_sig_is_diag = self._sig_is_diag
+        self._ingest_data(x, y, y_err, y_cov)
+        if self.n_hyperpars != old_n_hyperpars:
+            raise ValueError(
+                f"[ GpRegressor error ] 'update_data' changed the number of "
+                f"hyperparameters ({old_n_hyperpars} -> {self.n_hyperpars}); "
+                f"this happens with data-sized kernels such as "
+                f"HeteroscedasticNoise — construct a new GpRegressor instead."
+            )
+        if self._sig_is_diag != old_sig_is_diag:
+            # the error-model structure changed (y_err <-> y_cov): the
+            # traced programs are specialised on it, so rebuild them
+            self._compiled_built = False
+            self._build_compiled_functions()
+        if getattr(self, "hyperpars", None) is not None:
+            self.set_hyperparameters(self.hyperpars)
 
-        if hyperpars is None:
-            if optimizer not in ["bfgs", "diffev", "device"]:
-                optimizer = "bfgs"
-                warn(
-                    "An invalid option was passed to the 'optimizer' keyword "
-                    "argument. The default option 'bfgs' was used instead. "
-                    "Valid options are 'bfgs', 'diffev' and 'device'."
-                )
-            if optimizer == "diffev":
-                hyperpars = self.differential_evo()
-            elif optimizer == "device":
-                hyperpars = self.fit_device(
-                    starts=n_starts if n_starts is not None else 16
-                )
-            else:
-                hyperpars = self.multistart_bfgs(
-                    n_processes=n_processes, starts=n_starts
-                )
-
-        self.set_hyperparameters(hyperpars)
+    def fit(self, optimizer: str = "bfgs", n_starts: int = None,
+            n_processes: int = 1):
+        """Select hyperparameters by maximising the model-selection
+        objective; returns the optimised vector (does not set it)."""
+        if optimizer not in ["bfgs", "diffev", "device"]:
+            optimizer = "bfgs"
+            warn(
+                "An invalid option was passed to the 'optimizer' keyword "
+                "argument. The default option 'bfgs' was used instead. "
+                "Valid options are 'bfgs', 'diffev' and 'device'."
+            )
+        if optimizer == "diffev":
+            return self.differential_evo()
+        if optimizer == "device":
+            return self.fit_device(starts=n_starts if n_starts is not None else 16)
+        return self.multistart_bfgs(n_processes=n_processes, starts=n_starts)
 
     # ------------------------------------------------------------------ #
     # compiled objectives and predictors
     # ------------------------------------------------------------------ #
     def _build_compiled_functions(self):
+        if getattr(self, "_compiled_built", False):
+            return
         cov, mean = self.cov, self.mean
-        y = self._y_dev
-        n = self.n_points
         mean_slc, cov_slc = self.mean_slice, self.cov_slice
 
-        # the error covariance 'sig' is passed as a runtime argument rather
-        # than captured in the closure: captured arrays are baked into the
-        # compiled program as constants, and an N x N constant makes the
-        # HLO payload enormous at large N (it broke remote compilation at
-        # N = 8192 and slowed every compile before that)
+        # ALL data (x, y, the error covariance 'sig', the padding mask) is
+        # passed as runtime arguments rather than captured in closures:
+        # captured arrays are baked into the compiled program as constants.
+        # Large constants blow up the HLO payload (an N x N constant broke
+        # remote compilation at N = 8192); small ones are inlined as
+        # literals, which changes the program hash on every data update and
+        # defeats compilation reuse across ``update_data`` refits.
 
         sig_is_diag = self._sig_is_diag
 
@@ -259,9 +303,9 @@ class GpRegressor:
 
             return add_diagonal(K * (m[:, None] * m[None, :]), 1.0 - m)
 
-        def lml(theta, sig, m):
-            K = apply_mask(add_sig(cov.build_covariance(theta[cov_slc]), sig), m)
-            mu = mean.build_mean(theta[mean_slc])
+        def lml(theta, x, y, sig, m):
+            K = apply_mask(add_sig(cov.matrix(x, theta[cov_slc]), sig), m)
+            mu = mean.vector(x, theta[mean_slc])
             L = jnp.linalg.cholesky(K)
             ok = jnp.isfinite(L).all()
             L_safe = jnp.where(ok, L, identity_like(L))
@@ -272,9 +316,9 @@ class GpRegressor:
             floor = jnp.asarray(jnp.finfo(K.dtype).min / 4, K.dtype)
             return jnp.where(ok, value, floor)
 
-        def loo(theta, sig, m):
-            K = apply_mask(add_sig(cov.build_covariance(theta[cov_slc]), sig), m)
-            mu = mean.build_mean(theta[mean_slc])
+        def loo(theta, x, y, sig, m):
+            K = apply_mask(add_sig(cov.matrix(x, theta[cov_slc]), sig), m)
+            mu = mean.vector(x, theta[mean_slc])
             L = jnp.linalg.cholesky(K)
             ok = jnp.isfinite(L).all()
             L_safe = jnp.where(ok, L, identity_like(L))
@@ -296,24 +340,22 @@ class GpRegressor:
         lml_grad_jit = jax.jit(jax.value_and_grad(lml, argnums=0))
         loo_jit = jax.jit(loo)
         loo_grad_jit = jax.jit(jax.value_and_grad(loo, argnums=0))
-        self._lml = lambda theta: lml_jit(theta, self._sig_dev, self._mask_dev)
-        self._lml_grad = lambda theta: lml_grad_jit(
-            theta, self._sig_dev, self._mask_dev
-        )
-        self._loo = lambda theta: loo_jit(theta, self._sig_dev, self._mask_dev)
-        self._loo_grad = lambda theta: loo_grad_jit(
-            theta, self._sig_dev, self._mask_dev
-        )
 
-        def fit_state(theta, sig, m):
+        def data_args(self):
+            return (self._x_dev, self._y_dev, self._sig_dev, self._mask_dev)
+
+        self._lml = lambda theta: lml_jit(theta, *data_args(self))
+        self._lml_grad = lambda theta: lml_grad_jit(theta, *data_args(self))
+        self._loo = lambda theta: loo_jit(theta, *data_args(self))
+        self._loo_grad = lambda theta: loo_grad_jit(theta, *data_args(self))
+
+        def fit_state(theta, x, y, sig, m):
             """K_xx, mean, Cholesky factor and alpha for given
             hyperparameters — one compiled program (eager op-by-op execution
             round-trips the N x N intermediates through the host on remote
             backends)."""
-            K_xx = apply_mask(
-                add_sig(cov.build_covariance(theta[cov_slc]), sig), m
-            )
-            mu = mean.build_mean(theta[mean_slc])
+            K_xx = apply_mask(add_sig(cov.matrix(x, theta[cov_slc]), sig), m)
+            mu = mean.vector(x, theta[mean_slc])
             L = jnp.linalg.cholesky(K_xx)
             alpha = solve_triangular(
                 L.T, solve_triangular(L, (y - mu) * m, lower=True)
@@ -321,18 +363,14 @@ class GpRegressor:
             return K_xx, mu, L, alpha
 
         fit_state_jit = jax.jit(fit_state)
-        self._fit_state = lambda theta: fit_state_jit(
-            theta, self._sig_dev, self._mask_dev
-        )
+        self._fit_state = lambda theta: fit_state_jit(theta, *data_args(self))
 
-        x_dev = self._x_dev
-
-        def predict(q, L, alpha, cov_pars, mean_pars, m):
-            K_qx = cov(q, x_dev, cov_pars) * m[None, :]
+        def predict(q, x, L, alpha, cov_pars, mean_pars, m):
+            K_qx = cov(q, x, cov_pars) * m[None, :]
             # full float32 precision (TPU matmuls default to bfloat16)
             mu_q = jnp.dot(
                 K_qx, alpha, precision=jax.lax.Precision.HIGHEST
-            ) + jax.vmap(lambda p: mean(p, mean_pars))(q)
+            ) + jax.vmap(lambda p: mean.point(p, mean_pars, x))(q)
             v = solve_triangular(L, K_qx.T, lower=True)
             kqq = jax.vmap(
                 lambda p: cov(p[None, :], p[None, :], cov_pars)[0, 0]
@@ -342,11 +380,11 @@ class GpRegressor:
 
         self._predict = jax.jit(predict)
 
-        def predict_single(q, L, alpha, cov_pars, mean_pars, m):
-            K_qx = cov(q[None, :], x_dev, cov_pars)[0] * m
+        def predict_single(q, x, L, alpha, cov_pars, mean_pars, m):
+            K_qx = cov(q[None, :], x, cov_pars)[0] * m
             mu = jnp.dot(
                 K_qx, alpha, precision=jax.lax.Precision.HIGHEST
-            ) + mean(q, mean_pars)
+            ) + mean.point(q, mean_pars, x)
             v = solve_triangular(L, K_qx, lower=True)
             kqq = cov(q[None, :], q[None, :], cov_pars)[0, 0]
             var = kqq - v @ v
@@ -354,11 +392,13 @@ class GpRegressor:
 
         self._predict_single = predict_single
 
-        def grad_single(q, L, alpha, cov_pars, mean_pars, m):
+        def grad_single(q, x, L, alpha, cov_pars, mean_pars, m):
             """Mean vector and covariance matrix of the GP gradient."""
-            k_vec = lambda qq: cov(qq[None, :], x_dev, cov_pars)[0] * m
+            k_vec = lambda qq: cov(qq[None, :], x, cov_pars)[0] * m
             dK = jax.jacfwd(k_vec)(q)  # (N, D)
-            dmu = dK.T @ alpha + jax.grad(lambda qq: mean(qq, mean_pars) + 0.0)(q)
+            dmu = dK.T @ alpha + jax.grad(
+                lambda qq: mean.point(qq, mean_pars, x) + 0.0
+            )(q)
             pair = lambda q1, q2: cov(q1[None, :], q2[None, :], cov_pars)[0, 0]
             R = jax.jacfwd(jax.grad(pair, argnums=0), argnums=1)(q, q)
             Q = solve_triangular(L, dK, lower=True)
@@ -367,16 +407,18 @@ class GpRegressor:
 
         self._grad_single = jax.jit(grad_single)
 
-        def spatial_derivs_single(q, L, alpha, cov_pars, mean_pars, m):
+        def spatial_derivs_single(q, x, L, alpha, cov_pars, mean_pars, m):
             mu_fn = lambda qq: predict_single(
-                qq, L, alpha, cov_pars, mean_pars, m
+                qq, x, L, alpha, cov_pars, mean_pars, m
             )[0]
             var_fn = lambda qq: predict_single(
-                qq, L, alpha, cov_pars, mean_pars, m
+                qq, x, L, alpha, cov_pars, mean_pars, m
             )[1]
             return jax.grad(mu_fn)(q), jax.grad(var_fn)(q)
 
         self._spatial_derivs_single = jax.jit(spatial_derivs_single)
+        self._compiled_built = True
+        self._compiled_sig_is_diag = sig_is_diag
 
     # ------------------------------------------------------------------ #
     # state
@@ -484,6 +526,7 @@ class GpRegressor:
         p = jnp.asarray(self.process_points(points))
         mu, sig = self._predict(
             p,
+            self._x_dev,
             self.L,
             self.alpha,
             self._cov_pars_dev,
@@ -503,6 +546,7 @@ class GpRegressor:
         mu_g, cov_g = jax.vmap(
             lambda q: self._grad_single(
                 q,
+                self._x_dev,
                 self.L,
                 self.alpha,
                 self._cov_pars_dev,
@@ -521,6 +565,7 @@ class GpRegressor:
         dmu, dvar = jax.vmap(
             lambda q: self._spatial_derivs_single(
                 q,
+                self._x_dev,
                 self.L,
                 self.alpha,
                 self._cov_pars_dev,
@@ -624,8 +669,8 @@ class GpRegressor:
         """
         from jax.scipy.optimize import minimize as _jax_minimize
 
-        lwr = jnp.asarray([b[0] for b in self.hp_bounds])
-        upr = jnp.asarray([b[1] for b in self.hp_bounds])
+        lwr = np.array([b[0] for b in self.hp_bounds], dtype=float)
+        upr = np.array([b[1] for b in self.hp_bounds], dtype=float)
         obj = self._loo_raw if self.cross_val else self._lml_raw
 
         cache = getattr(self, "_fit_ms_cache", None)
@@ -633,19 +678,22 @@ class GpRegressor:
             cache = self._fit_ms_cache = {}
         fit_ms = cache.get(starts)
         if fit_ms is None:
+            # bounds and data are runtime arguments so the compiled solver
+            # is reused across ``update_data`` refits
+            def neg(z, lo, hi, x, y, sig, m):
+                theta = lo + (hi - lo) * jax.nn.sigmoid(z)
+                return -obj(theta, x, y, sig, m)
 
-            def neg(z, sig, m):
-                theta = lwr + (upr - lwr) * jax.nn.sigmoid(z)
-                return -obj(theta, sig, m)
-
-            def solve_one(z0, sig, m):
+            def solve_one(z0, lo, hi, x, y, sig, m):
                 res = _jax_minimize(
-                    neg, z0, args=(sig, m), method="BFGS",
+                    neg, z0, args=(lo, hi, x, y, sig, m), method="BFGS",
                     options={"maxiter": 250},
                 )
                 return res.x, res.fun
 
-            fit_ms = jax.jit(jax.vmap(solve_one, in_axes=(0, None, None)))
+            fit_ms = jax.jit(
+                jax.vmap(solve_one, in_axes=(0,) + (None,) * 6)
+            )
             cache[starts] = fit_ms
 
         # start positions: uniform in the middle 90% of the box (in sigmoid
@@ -654,10 +702,13 @@ class GpRegressor:
         u = rng.uniform(0.05, 0.95, size=(max(starts - 1, 0), self.n_hyperpars))
         z0 = np.concatenate([np.log(u / (1 - u)), np.zeros((1, self.n_hyperpars))])
 
-        zs, fs = fit_ms(jnp.asarray(z0), self._sig_dev, self._mask_dev)
+        zs, fs = fit_ms(
+            jnp.asarray(z0), jnp.asarray(lwr), jnp.asarray(upr),
+            self._x_dev, self._y_dev, self._sig_dev, self._mask_dev,
+        )
         zs, fs = np.asarray(zs), np.asarray(fs)
         best = int(np.nanargmin(np.where(np.isfinite(fs), fs, np.inf)))
-        theta = np.asarray(lwr + (upr - lwr) * jax.nn.sigmoid(jnp.asarray(zs[best])))
+        theta = lwr + (upr - lwr) / (1.0 + np.exp(-zs[best]))
 
         if polish:
             theta, _, _ = self.launch_bfgs(theta)
