@@ -141,3 +141,21 @@ def test_sample_hdi_validation():
         sample_hdi(np.array([1.0]), 0.5)
     with pytest.warns(UserWarning):
         sample_hdi(np.linspace(0, 1, 30), 0.95)
+
+
+def test_unimodal_cdf_matches_adaptive_quadrature():
+    """The batched Gauss-Legendre CDF must match adaptive quadrature of the
+    PDF to high accuracy."""
+    from scipy.integrate import quad
+
+    rng = np.random.default_rng(1)
+    pdf = UnimodalPdf(rng.gamma(4.0, 1.5, size=3000))
+    xs = np.array([2.0, 5.0, 8.0, 12.0, 3.3])
+    got = pdf.cdf(xs)
+    ref = np.array(
+        [
+            quad(pdf, pdf.lwr_limit, v)[0] if v > pdf.lwr_limit else 0.0
+            for v in xs
+        ]
+    )
+    assert np.abs(got - ref).max() < 1e-7
