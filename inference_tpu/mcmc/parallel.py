@@ -48,9 +48,12 @@ class ParallelTempering:
     Replica-exchange ('parallel tempering') sampling over a list of chains
     covering a range of temperatures, sorted in increasing-temperature order.
 
-    All chains must be of the same sampler class with matching
-    configuration (posterior, bounds, mass, parameter count) — they are
-    batched into a single compiled program vmapped over the rung axis.
+    Chains of the same sampler class (the common case) are batched into a
+    single compiled program vmapped over the rung axis, with sampling and
+    swaps fused into one device dispatch per advance. A mixed list of
+    sampler classes is also supported (reference: parallel.py:21-60 accepts
+    any chain types): each rung then advances through its own compiled
+    kernel and swaps are performed on the host.
 
     :param chains: \
         A list of chain objects (``GibbsChain``, ``PcaChain``,
@@ -63,11 +66,7 @@ class ParallelTempering:
         self.rng = np.random.default_rng()
 
         cls = type(self.chains[0])
-        if not all(type(c) is cls for c in self.chains):
-            raise ValueError(
-                "[ ParallelTempering error ] All chains must be of the same "
-                "sampler class to be batched into one compiled program."
-            )
+        self._heterogeneous = not all(type(c) is cls for c in self.chains)
         n_params = {c.n_parameters for c in self.chains}
         if len(n_params) != 1:
             raise ValueError(
@@ -87,17 +86,24 @@ class ParallelTempering:
                 "be sorted in order of increasing chain temperature."
             )
 
-        # stack the per-rung states into one pytree and vmap the step
-        self._batched_state = jax.tree.map(
-            lambda *xs: jnp.stack(xs), *[c._state for c in self.chains]
-        )
-        self._vstep = jax.vmap(self.chains[0]._get_step())
+        if not self._heterogeneous:
+            # stack the per-rung states into one pytree and vmap the step
+            self._batched_state = jax.tree.map(
+                lambda *xs: jnp.stack(xs), *[c._state for c in self.chains]
+            )
+            self._vstep = jax.vmap(self.chains[0]._get_step())
+        else:
+            self._batched_state = None
+            self._vstep = None
         self._swap_key = jax.random.PRNGKey(
             int(self.rng.integers(0, 2**31 - 1))
         )
         # PCA chains need host-side eigendecompositions mid-run, which rules
-        # out fusing many cycles into one compiled program
-        self._fusable = not any(hasattr(c, "next_update") for c in self.chains)
+        # out fusing many cycles into one compiled program; a mixed list of
+        # sampler classes cannot be batched into one program at all
+        self._fusable = not self._heterogeneous and not any(
+            hasattr(c, "next_update") for c in self.chains
+        )
         self._fused_run = self._build_fused_run() if self._fusable else None
 
     # ------------------------------------------------------------------ #
@@ -219,6 +225,12 @@ class ParallelTempering:
 
     def take_steps(self, n: int):
         """Advance all chains ``n`` steps without swap attempts."""
+        if self._heterogeneous:
+            # mixed sampler classes: each rung advances through its own
+            # compiled kernel (one scan dispatch per rung)
+            for c in self.chains:
+                c._advance_n(n)
+            return
         remaining = int(n)
         while remaining > 0:
             run = remaining
@@ -278,8 +290,16 @@ class ParallelTempering:
 
     def swap(self):
         """Propose Metropolis position swaps between randomly-paired rungs."""
-        positions = np.array(self._batched_state.theta)
-        probabilities = np.array(self._batched_state.logp)
+        if self._heterogeneous:
+            positions = np.array(
+                [np.asarray(c._state.theta) for c in self.chains]
+            )
+            probabilities = np.array(
+                [float(np.asarray(c._state.logp)) for c in self.chains]
+            )
+        else:
+            positions = np.array(self._batched_state.theta)
+            probabilities = np.array(self._batched_state.logp)
 
         proposed_swaps = self.tight_pairs()
         for pair in proposed_swaps:
@@ -302,11 +322,19 @@ class ParallelTempering:
                 changed = True
 
         if changed:
-            dtype = self._batched_state.theta.dtype
-            self._batched_state = self._batched_state._replace(
-                theta=jnp.asarray(positions, dtype),
-                logp=jnp.asarray(probabilities, dtype),
-            )
+            if self._heterogeneous:
+                for k, chain in enumerate(self.chains):
+                    dtype = chain._state.theta.dtype
+                    chain._state = chain._state._replace(
+                        theta=jnp.asarray(positions[k], dtype),
+                        logp=jnp.asarray(probabilities[k], dtype),
+                    )
+            else:
+                dtype = self._batched_state.theta.dtype
+                self._batched_state = self._batched_state._replace(
+                    theta=jnp.asarray(positions, dtype),
+                    logp=jnp.asarray(probabilities, dtype),
+                )
             for k, chain in enumerate(self.chains):
                 chain._consolidated_theta()[-1, :] = positions[k]
                 chain._consolidated_probs()[-1] = probabilities[k]

@@ -129,3 +129,25 @@ def test_chain_pool():
     pool.advance(100)
     for c in chains:
         assert c.chain_length == 101
+
+
+def test_parallel_tempering_heterogeneous_chains():
+    """A mixed list of sampler classes advances each rung through its own
+    kernel and swaps on the host (reference allows arbitrary chain types)."""
+    start = np.array([4.0])
+    temps = [1.0, 3.0, 10.0]
+    chains = [
+        GibbsChain(posterior=bimodal, start=start, temperature=temps[0],
+                   display_progress=False),
+        HamiltonianChain(posterior=bimodal, start=start,
+                         temperature=temps[1], display_progress=False),
+        GibbsChain(posterior=bimodal, start=start, temperature=temps[2],
+                   display_progress=False),
+    ]
+    pt = ParallelTempering(chains=chains)
+    assert pt._heterogeneous and not pt._fusable
+    pt.advance(60, swap_interval=10)
+    for c in pt.chains:
+        assert c.chain_length == 61
+        assert np.isfinite(c.get_probabilities(burn=0)).all()
+    assert pt.attempted_swaps.sum() > len(temps)  # diagonal + attempts
