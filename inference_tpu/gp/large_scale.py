@@ -56,6 +56,11 @@ class LargeScaleGP:
         pivoted Cholesky — m greedy pivots chosen by largest residual
         diagonal, capturing the top of K's spectrum adaptively; "nystrom"
         builds it from m random inducing rows.
+    :param dtype: optional dtype override for the solve. Float32 CG hits an
+        arithmetic wall when the noise is very small relative to the
+        amplitude (alpha ~ y/sigma^2 amplifies matvec rounding);
+        ``dtype="float64"`` runs the whole solve in (TPU-emulated) float64.
+        Requires ``jax.config.update("jax_enable_x64", True)``.
     :param mesh: optional 1D mesh; data rows and solves shard over its
         first axis.
     """
@@ -72,9 +77,19 @@ class LargeScaleGP:
         cg_maxiter: int = 1000,
         preconditioner_rank: int = 512,
         preconditioner: str = "pivchol",
+        dtype=None,
         mesh=None,
     ):
-        dtype = default_float()
+        if dtype is None:
+            dtype = default_float()
+        else:
+            dtype = jnp.dtype(dtype)
+            if dtype == jnp.float64 and not jax.config.read("jax_enable_x64"):
+                raise ValueError(
+                    "[ LargeScaleGP error ] dtype='float64' requires "
+                    "jax.config.update('jax_enable_x64', True) before any "
+                    "arrays are created."
+                )
         x = np.atleast_2d(np.asarray(x, dtype=float))
         if x.shape[0] == 1 and x.shape[1] > 1 and np.asarray(y).size > 1:
             x = x.T

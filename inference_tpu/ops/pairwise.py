@@ -161,6 +161,14 @@ def sqexp_covariance(u, v, amplitude, lengthscales):
     u = jnp.atleast_2d(jnp.asarray(u))
     v = jnp.atleast_2d(jnp.asarray(v))
     on_tpu = jax.default_backend() == "tpu"
-    if on_tpu and u.shape[0] >= _PALLAS_MIN_N and v.shape[0] >= _PALLAS_MIN_N:
+    # the Pallas kernel exists to avoid float32 cancellation; float64 inputs
+    # don't need it (and TPU Pallas has no f64 support — it faults)
+    f32 = u.dtype == jnp.float32 and v.dtype == jnp.float32
+    if (
+        on_tpu
+        and f32
+        and u.shape[0] >= _PALLAS_MIN_N
+        and v.shape[0] >= _PALLAS_MIN_N
+    ):
         return _sqexp_pallas_diff(u, v, amplitude, jnp.asarray(lengthscales))
     return _sqexp_fallback(u, v, amplitude, jnp.asarray(lengthscales))

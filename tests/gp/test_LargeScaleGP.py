@@ -82,3 +82,16 @@ def test_preconditioner_options():
         assert gp.residual_norm() < 1e-5
     with pytest.raises(ValueError):
         LargeScaleGP(x, y, err, hyperpars=theta, preconditioner="bogus")
+
+
+def test_dtype_override_float64():
+    """dtype="float64" runs the whole solve in f64 (needed when the noise is
+    tiny relative to the amplitude and f32 CG hits its arithmetic wall)."""
+    x, y, err = make_problem(n=400)
+    gp = LargeScaleGP(
+        x, y, err, hyperpars=np.array([0.0, 0.3, 0.3]), block_size=128,
+        preconditioner_rank=64, dtype="float64",
+    )
+    assert gp._x.dtype == np.float64
+    assert gp.alpha.dtype == np.float64
+    assert gp.residual_norm() < 1e-6
