@@ -13,7 +13,9 @@ def main():
     x = np.array([0.5, 2.0, 3.8])
     y = expensive_objective(x)
 
-    opt = GpOptimiser(x, y, bounds=[(0.0, 4.0)])
+    # optimizer="device" runs all multistart fits / acquisition maximisations
+    # as single vmapped device programs (the fast path on accelerators)
+    opt = GpOptimiser(x, y, bounds=[(0.0, 4.0)], optimizer="device")
 
     for i in range(8):
         new_x = float(np.atleast_1d(opt.propose_evaluation())[0])
