@@ -105,13 +105,20 @@ def _halve_on_max_tries(widths, try_count, mask_extra=True):
     return rescale(widths, 0.25, mask=halve), try_count
 
 
-def make_metropolis_step(logp_fn, modes: ProposalModes):
+def make_metropolis_step(logp_fn, modes: ProposalModes, *, retry: bool = True):
     """
     Joint-proposal Metropolis-Hastings step with repeat-until-accept
     (reference: gibbs.py:288-307). Widths adapt only through the
     max-tries halving — the reference's ``MetropolisChain`` never submits
     acceptance statistics. The inverse temperature is read from the state
     so tempering rungs can share one compiled program.
+
+    :param retry: with True (default) proposals repeat until acceptance,
+        matching the reference's semantics. With False the step is the
+        textbook MH kernel — one proposal, duplicating the current point on
+        rejection — which has no retry loop at all and therefore wastes no
+        work when vmapped over large chain batches (a retry loop reruns
+        every lane until the slowest lane accepts).
     """
 
     def step(state: MetropolisState):
@@ -145,7 +152,12 @@ def make_metropolis_step(logp_fn, modes: ProposalModes):
             state.try_count,
             step_key,
         )
-        _, theta, logp, widths, _, _ = lax.while_loop(cond, body, init)
+        if retry:
+            _, theta, logp, widths, _, _ = lax.while_loop(cond, body, init)
+        else:
+            accepted, theta, logp, widths, _, _ = body(init)
+            theta = jnp.where(accepted, theta, state.theta)
+            logp = jnp.where(accepted, logp, state.logp)
 
         new_state = MetropolisState(
             theta=theta,
@@ -165,11 +177,19 @@ def make_gibbs_step(
     modes: ProposalModes,
     *,
     target_rate: float = GIBBS_TARGET,
+    retry: bool = True,
 ):
     """
     Componentwise Gibbs sweep: one repeat-until-accept 1D Metropolis update
     per parameter per step, with per-parameter acceptance statistics driving
     the width adaptation (reference: gibbs.py:627-656).
+
+    :param retry: with True (default) proposals repeat until acceptance,
+        matching the reference's semantics. With False the step is the
+        textbook MH kernel — one proposal, duplicating the current point on
+        rejection — which has no retry loop at all and therefore wastes no
+        work when vmapped over large chain batches (a retry loop reruns
+        every lane until the slowest lane accepts).
     """
 
     def step(state: MetropolisState):
@@ -217,9 +237,14 @@ def make_gibbs_step(
                 return (accepted, theta_try, p_new, widths, try_count, k)
 
             init = (jnp.asarray(False), theta, p_old, widths, try_count, k)
-            _, theta_new, p_new, widths, try_count, k = lax.while_loop(
-                cond, body, init
-            )
+            if retry:
+                _, theta_new, p_new, widths, try_count, k = lax.while_loop(
+                    cond, body, init
+                )
+            else:
+                acc, theta_new, p_new, widths, try_count, k = body(init)
+                theta_new = jnp.where(acc, theta_new, theta)
+                p_new = jnp.where(acc, p_new, p_old)
             return (theta_new, p_new, widths, try_count, k)
 
         theta, logp, widths, _, _ = lax.fori_loop(
@@ -264,6 +289,7 @@ def make_pca_step(
     *,
     target_rate: float = GIBBS_TARGET,
     bounds_reflect=None,
+    retry: bool = True,
 ):
     """
     Gibbs sweep along direction vectors (the eigenvectors of the sample
@@ -317,9 +343,14 @@ def make_pca_step(
                 return (accepted, prop, p_new, widths, try_count, k)
 
             init = (jnp.asarray(False), theta, p_old, widths, try_count, k)
-            _, theta_new, p_new, widths, try_count, k = lax.while_loop(
-                cond, body, init
-            )
+            if retry:
+                _, theta_new, p_new, widths, try_count, k = lax.while_loop(
+                    cond, body, init
+                )
+            else:
+                acc, theta_new, p_new, widths, try_count, k = body(init)
+                theta_new = jnp.where(acc, theta_new, theta)
+                p_new = jnp.where(acc, p_new, p_old)
             return (theta_new, p_new, widths, try_count, k)
 
         theta, logp, widths, _, _ = lax.fori_loop(

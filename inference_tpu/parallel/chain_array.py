@@ -108,7 +108,7 @@ class ChainArray:
                 )
             widths_dev = jnp.asarray(widths, dtype)
             if kind == "pca":
-                step = met_kernel.make_pca_step(self._logp)
+                step = met_kernel.make_pca_step(self._logp, retry=retry)
                 eye = np.broadcast_to(
                     np.eye(self.n_parameters),
                     (self.n_chains, self.n_parameters, self.n_parameters),
@@ -125,7 +125,7 @@ class ChainArray:
                     if kind == "gibbs"
                     else met_kernel.make_metropolis_step
                 )
-                step = factory(self._logp, modes)
+                step = factory(self._logp, modes, retry=retry)
                 state = jax.vmap(
                     lambda t, p, w, k: met_kernel.init_metropolis_state(
                         t, p, w, k

@@ -196,3 +196,25 @@ def test_chain_array_pca():
     # directions should align with the tight (1,1)/sqrt(2) ridge
     ridge = np.abs(d1[:, :, 1] @ np.array([1.0, 1.0]) / np.sqrt(2))
     assert np.isfinite(ridge).all()
+
+
+@pytest.mark.parametrize("kind", ["gibbs", "metropolis", "pca"])
+def test_chain_array_no_retry_correct_distribution(kind):
+    """retry=False gives the textbook duplicate-on-reject kernel: the
+    stationary distribution must still be correct."""
+    def gauss(t):
+        return -0.5 * ((t[0] / 1.5) ** 2 + t[1] ** 2)
+
+    starts = np.random.default_rng(1).normal(size=(64, 2))
+    # MetropolisChain widths only adapt via max-tries halving (reference
+    # semantics), so give the textbook kernel a sensible width directly
+    arr = ChainArray(kind, gauss, starts, seed=7, retry=False, widths=1.0)
+    arr.advance(600)
+    sample = arr.get_sample(burn=200)
+    assert abs(sample[:, 0].std() - 1.5) < 0.15
+    assert abs(sample[:, 1].std() - 1.0) < 0.12
+    assert abs(sample.mean(axis=0)).max() < 0.12
+    # duplicate-on-reject must actually produce duplicates
+    h = np.concatenate(arr._history, axis=0)
+    repeats = (h[1:] == h[:-1]).all(axis=-1).mean()
+    assert repeats > 0.01
