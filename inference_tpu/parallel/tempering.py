@@ -67,6 +67,7 @@ class ShardedTempering:
         mesh,
         steps: int = 50,
         epsilon: float = 0.1,
+        retry: bool = False,
         seed=None,
     ):
         start = np.asarray(start, dtype=float)
@@ -120,11 +121,16 @@ class ShardedTempering:
 
         self._state = jax.tree.map(shard, state)
 
+        # retry=False (textbook duplicate-on-reject) is the default here:
+        # the point of this class is thousands of vmapped lanes per rung,
+        # where a repeat-until-accept loop reruns every lane until the
+        # slowest lane accepts
         step = hmc_kernel.make_hmc_step(
             self._logp,
             jax.grad(self._logp),
             mass_velocity=lambda r: r,
             mass_sample=lambda k, d: jax.random.normal(k, (self.n_parameters,), d),
+            retry=retry,
         )
         self._vstep = jax.vmap(jax.vmap(step))
         self._advance_and_swap = self._build_advance_and_swap()
