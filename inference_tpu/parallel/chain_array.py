@@ -194,6 +194,25 @@ class ChainArray:
         )
         return self
 
+    def effective_sample_size(self, burn: int = 0) -> np.ndarray:
+        """
+        Per-chain, per-parameter effective sample sizes, shape
+        (n_chains, n_parameters), computed as one batched device FFT
+        autocorrelation (same estimator as
+        ``inference_tpu.utils.effective_sample_size``, reference:
+        mcmc/utilities.py:83-95 — which handles one series at a time).
+        """
+        from ..utils.ess import effective_sample_size_batched
+
+        if not self._history:
+            raise ValueError(
+                "[ ChainArray error ] no stored history - advance with "
+                "store=True before requesting effective sample sizes."
+            )
+        h = np.concatenate(self._history, axis=0)[burn:]  # (steps, K, P)
+        series = jnp.asarray(h).transpose(1, 2, 0)  # (K, P, steps)
+        return np.asarray(effective_sample_size_batched(series))
+
     @property
     def theta(self) -> np.ndarray:
         """Current positions, shape (n_chains, n_parameters)."""

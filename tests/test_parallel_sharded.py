@@ -218,3 +218,21 @@ def test_chain_array_no_retry_correct_distribution(kind):
     h = np.concatenate(arr._history, axis=0)
     repeats = (h[1:] == h[:-1]).all(axis=-1).mean()
     assert repeats > 0.01
+
+
+def test_chain_array_effective_sample_size():
+    from inference_tpu.utils import effective_sample_size
+
+    def gauss(t):
+        return -0.5 * np.sum(np.asarray(t) ** 2) if isinstance(t, np.ndarray) else -0.5 * (t * t).sum()
+
+    starts = np.random.default_rng(5).normal(size=(8, 3))
+    arr = ChainArray("gibbs", lambda t: -0.5 * (t * t).sum(), starts, seed=2)
+    arr.advance(300)
+    ess = arr.effective_sample_size(burn=50)
+    assert ess.shape == (8, 3)
+    assert (ess > 1).all() and (ess <= 250).all()
+    # batched estimator must match the host estimator per series
+    h = np.concatenate(arr._history, axis=0)[50:]
+    expect = effective_sample_size(h[:, 0, 0])
+    assert abs(int(ess[0, 0]) - expect) <= 1
