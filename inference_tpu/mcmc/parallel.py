@@ -154,6 +154,14 @@ class ParallelTempering:
                     lambda s, _: vstep(s), state, None, length=swap_interval
                 )
                 state, accepted = swap_on_device(state, pair_row, key)
+                # an accepted swap replaces the cycle's last recorded sample
+                # (the reference replaces each chain's last sample on every
+                # swap, reference: parallel.py:222-229) — patch the scan
+                # outputs so intermediate-cycle swaps land in the history too
+                outs = outs._replace(
+                    theta=outs.theta.at[-1].set(state.theta),
+                    logp=outs.logp.at[-1].set(state.logp),
+                )
                 return state, (outs, accepted)
 
             state, (outs, accepted) = jax.lax.scan(
@@ -191,13 +199,6 @@ class ParallelTempering:
                 self.attempted_swaps[i, j] += 1
                 if accepted[c, p]:
                     self.successful_swaps[i, j] += 1
-
-        # swaps changed the last recorded positions
-        theta = np.asarray(state.theta)
-        logp = np.asarray(state.logp)
-        for k, chain in enumerate(self.chains):
-            chain._consolidated_theta()[-1, :] = theta[k]
-            chain._consolidated_probs()[-1] = logp[k]
 
         if hasattr(state, "failed") and bool(np.asarray(state.failed).any()):
             raise ValueError(

@@ -99,6 +99,29 @@ def _sqexp_pallas(u, v, amplitude, lengthscales):
     return out[:m, :n]
 
 
+def _sqexp_position_backward(u, v, lengthscales, K, Kbar):
+    """
+    Position cotangents of the squared-exponential covariance: with
+    ``w = K * Kbar`` and scaled coordinates ``us = u/l``, ``vs = v/l``,
+
+        dL/du_ik = -(1/l_k) * (us_ik * sum_j w_ij - (w @ vs)_ik)
+        dL/dv_jk = -(1/l_k) * (vs_jk * sum_i w_ij - (w.T @ us)_jk)
+
+    i.e. one row/column reduction plus one matmul each — MXU work, no
+    N x N x D tensor.
+    """
+    ls = lengthscales[None, :]
+    us = u / ls
+    vs = v / ls
+    w = K * Kbar
+    row = w.sum(axis=1)
+    col = w.sum(axis=0)
+    hp = jax.lax.Precision.HIGHEST
+    du = -(us * row[:, None] - jnp.dot(w, vs, precision=hp)) / ls
+    dv = -(vs * col[:, None] - jnp.dot(w.T, us, precision=hp)) / ls
+    return du, dv
+
+
 def _sqexp_backward(u, v, lengthscales, K, Kbar):
     """
     Backward reductions for the squared-exponential covariance: given the
@@ -143,8 +166,8 @@ def _sqexp_pallas_bwd(residuals, Kbar):
     #   dK/dl_k = K * scaled_diff_k^2 / l_k   (diff already scaled by 1/l_k)
     d_amp = 2.0 * g_amp_base / amplitude
     d_ls = g_l_base / lengthscales
-    # positions are treated as constants in the hyperparameter-fitting path
-    return jnp.zeros_like(u), jnp.zeros_like(v), d_amp, d_ls
+    d_u, d_v = _sqexp_position_backward(u, v, lengthscales, K, Kbar)
+    return d_u, d_v, d_amp, d_ls
 
 
 _sqexp_pallas_diff.defvjp(_sqexp_pallas_fwd, _sqexp_pallas_bwd)
@@ -156,7 +179,7 @@ def sqexp_covariance(u, v, amplitude, lengthscales):
     ``A^2 exp(-0.5 sum_k ((u_ik - v_jk)/l_k)^2)``, using the fused,
     custom-VJP Pallas kernel on TPU for large problems (exact tile-local
     differences — no float32 cancellation) and plain XLA otherwise.
-    Differentiable in ``amplitude`` and ``lengthscales`` on both paths.
+    Differentiable in all four arguments (positions included) on both paths.
     """
     u = jnp.atleast_2d(jnp.asarray(u))
     v = jnp.atleast_2d(jnp.asarray(v))

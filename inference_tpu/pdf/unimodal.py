@@ -163,11 +163,11 @@ class UnimodalPdf(DensityEstimator):
         sorter = x.argsort()
         inverse_sort = sorter.argsort()
         v = x[sorter]
-        # interval edges: [lwr_limit -> v_0], then [v_{i-1} -> v_i]; only
-        # the first interval is truncated at the lower limit
-        a = np.concatenate([[self.lwr_limit], v[:-1]])
-        b = v.copy()
-        b[0] = max(v[0], self.lwr_limit)
+        # interval edges: [lwr_limit -> v_0], then [v_{i-1} -> v_i]; every
+        # edge is clipped at the lower limit so queries below it contribute
+        # no mass (matching the reference's quad-from-lwr_limit behaviour)
+        a = np.maximum(np.concatenate([[self.lwr_limit], v[:-1]]), self.lwr_limit)
+        b = np.maximum(v, self.lwr_limit)
         intervals = np.asarray(
             self._gl_intervals(
                 jnp.asarray(a), jnp.asarray(b), jnp.asarray(self.MAP)

@@ -43,5 +43,11 @@ def effective_sample_size_batched(x):
     positive = f >= 0.0
     keep = jnp.cumprod(positive, axis=-1).astype(f.dtype)
     kept_sum = (f * keep).sum(axis=-1)
-    thin_factor = kept_sum / f[..., 0]
-    return (n / thin_factor).astype(jnp.int32)
+    # a constant (stuck) chain has f[..., 0] == 0; the host version raises
+    # on non-positive autocorrelation, here the lane gets the sentinel 0
+    # (no effective samples) instead of NaN -> int garbage
+    f0 = f[..., 0]
+    valid = f0 > 0.0
+    thin_factor = kept_sum / jnp.where(valid, f0, 1.0)
+    ess = jnp.where(valid & (thin_factor > 0.0), n / thin_factor, 0.0)
+    return ess.astype(jnp.int32)

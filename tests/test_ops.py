@@ -101,3 +101,48 @@ def test_sqexp_pallas_custom_vjp_matches_autodiff():
         g_pallas = jax.grad(loss_pallas, argnums=(0, 1))(amp, ls)
     assert np.isclose(float(g_pallas[0]), float(g_ref[0]), rtol=1e-8)
     assert np.allclose(np.asarray(g_pallas[1]), np.asarray(g_ref[1]), rtol=1e-8)
+
+
+def test_sqexp_pallas_position_vjp_matches_autodiff():
+    """Position cotangents of the custom VJP match jax autodiff of the
+    XLA fallback (interpreter mode on CPU, float64)."""
+    from jax.experimental.pallas import tpu as pltpu
+    from inference_tpu.ops import pairwise
+
+    rng = np.random.default_rng(11)
+    u = jnp.asarray(rng.normal(size=(40, 3)))
+    v = jnp.asarray(rng.normal(size=(48, 3)))
+    kbar = jnp.asarray(rng.normal(size=(40, 48)))
+    amp = jnp.asarray(0.9)
+    ls = jnp.asarray([0.8, 1.2, 1.5])
+
+    def loss_ref(u, v):
+        return jnp.sum(pairwise._sqexp_fallback(u, v, amp, ls) * kbar)
+
+    def loss_pallas(u, v):
+        return jnp.sum(pairwise._sqexp_pallas_diff(u, v, amp, ls) * kbar)
+
+    g_ref = jax.grad(loss_ref, argnums=(0, 1))(u, v)
+    with pltpu.force_tpu_interpret_mode():
+        g_pallas = jax.grad(loss_pallas, argnums=(0, 1))(u, v)
+    assert np.allclose(np.asarray(g_pallas[0]), np.asarray(g_ref[0]), rtol=1e-8)
+    assert np.allclose(np.asarray(g_pallas[1]), np.asarray(g_ref[1]), rtol=1e-8)
+
+
+def test_ess_batched_constant_chain_sentinel():
+    """A constant (stuck) chain lane returns the sentinel 0 instead of
+    NaN-cast-to-int garbage; healthy lanes are unaffected."""
+    from inference_tpu.utils.ess import (
+        effective_sample_size,
+        effective_sample_size_batched,
+    )
+
+    rng = np.random.default_rng(3)
+    healthy = rng.normal(size=512)
+    # exactly-representable constant -> centred series is exactly zero
+    stuck = np.full(512, 2.0)
+    batched = np.asarray(
+        effective_sample_size_batched(jnp.asarray(np.stack([healthy, stuck])))
+    )
+    assert batched[1] == 0
+    assert np.isclose(batched[0], effective_sample_size(healthy), rtol=0.1)

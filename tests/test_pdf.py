@@ -159,3 +159,16 @@ def test_unimodal_cdf_matches_adaptive_quadrature():
         ]
     )
     assert np.abs(got - ref).max() < 1e-7
+
+
+def test_unimodal_cdf_below_lower_limit():
+    """Queries below the support's lower limit contribute no mass, and do
+    not inflate the CDF of later points (edge-clipping regression test)."""
+    rng = np.random.default_rng(5)
+    sample = rng.exponential(size=3000)
+    pdf = UnimodalPdf(sample)
+    x_far_below = pdf.lwr_limit - 10.0
+    joint = pdf.cdf(np.array([x_far_below, 1.0]))
+    alone = pdf.cdf(1.0)
+    assert joint[0] <= 1e-12
+    assert np.isclose(joint[1], alone, rtol=1e-9, atol=1e-12)
