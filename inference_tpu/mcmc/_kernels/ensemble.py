@@ -29,8 +29,10 @@ from jax import lax
 
 class EnsembleState(NamedTuple):
     walkers: jnp.ndarray  # (W, P)
-    logps: jnp.ndarray    # (W,)
+    logps: jnp.ndarray    # (W,) tempered log-probabilities
     key: jnp.ndarray
+    inv_temp: jnp.ndarray  # () inverse temperature (traced: tempering rungs
+                           # can be batched over a vmapped/sharded axis)
 
 
 class EnsembleOutput(NamedTuple):
@@ -40,10 +42,13 @@ class EnsembleOutput(NamedTuple):
     failures: jnp.ndarray  # () int32 walkers that exhausted max_attempts
 
 
-def init_ensemble_state(walkers, logps, key) -> EnsembleState:
+def init_ensemble_state(walkers, logps, key, inv_temp=1.0) -> EnsembleState:
     walkers = jnp.asarray(walkers)
     return EnsembleState(
-        walkers=walkers, logps=jnp.asarray(logps, walkers.dtype), key=key
+        walkers=walkers,
+        logps=jnp.asarray(logps, walkers.dtype),
+        key=key,
+        inv_temp=jnp.asarray(inv_temp, walkers.dtype),
     )
 
 
@@ -72,7 +77,7 @@ def make_ensemble_step(
     batched_logp = jax.vmap(logp_fn)
     half = n_walkers // 2
 
-    def update_half(key, movers, mover_logps, anchors):
+    def update_half(key, movers, mover_logps, anchors, inv_temp):
         """Stretch-move update of ``movers`` using partners from ``anchors``."""
         h, n_params = movers.shape
         n_anchor = anchors.shape[0]
@@ -98,11 +103,13 @@ def make_ensemble_step(
             u = jax.random.uniform(k_z, (h,), dtype)
             z = 0.5 * (x_lwr + x_width * u) ** 2
 
-            proposals = c.movers + z[:, None] * (partners - c.movers)
+            # stretch move Y = X_j + z (X_k - X_j): the mover's offset from
+            # its partner is scaled by z (reference: ensemble.py:186-190)
+            proposals = partners + z[:, None] * (c.movers - partners)
             if bounds_reflect is not None:
                 proposals = jax.vmap(bounds_reflect)(proposals)
 
-            prop_logps = batched_logp(proposals)
+            prop_logps = batched_logp(proposals) * inv_temp
             log_q = (n_params - 1) * jnp.log(z) + prop_logps - c.logps
             accept = jax.random.uniform(k_u, (h,), dtype) <= jnp.exp(log_q)
 
@@ -138,9 +145,11 @@ def make_ensemble_step(
         first, second = state.walkers[:half], state.walkers[half:]
         lp_first, lp_second = state.logps[:half], state.logps[half:]
 
-        first, lp_first, att_a, fail_a = update_half(k_a, first, lp_first, second)
+        first, lp_first, att_a, fail_a = update_half(
+            k_a, first, lp_first, second, state.inv_temp
+        )
         second, lp_second, att_b, fail_b = update_half(
-            k_b, second, lp_second, first
+            k_b, second, lp_second, first, state.inv_temp
         )
 
         walkers = jnp.concatenate([first, second], axis=0)
@@ -148,7 +157,9 @@ def make_ensemble_step(
         attempts = jnp.concatenate([att_a, att_b])
         failures = fail_a.sum().astype(jnp.int32) + fail_b.sum().astype(jnp.int32)
 
-        new_state = EnsembleState(walkers=walkers, logps=logps, key=key)
+        new_state = EnsembleState(
+            walkers=walkers, logps=logps, key=key, inv_temp=state.inv_temp
+        )
         return new_state, EnsembleOutput(walkers, logps, attempts, failures)
 
     return step

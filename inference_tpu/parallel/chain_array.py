@@ -15,9 +15,9 @@ import jax.numpy as jnp
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 from ..utils import make_key, default_float, as_device_logp
-from ..mcmc._kernels import hmc as hmc_kernel
-from ..mcmc._kernels import metropolis as met_kernel
+from ..mcmc._kernels import ensemble as ens_kernel
 from ..mcmc._kernels.hmc import run_steps
+from ._kinds import build_kind
 
 
 class ChainArray:
@@ -25,16 +25,28 @@ class ChainArray:
     A batch of ``n_chains`` independent sampler chains advanced as one
     compiled program.
 
-    :param kind: sampler family — "hmc", "gibbs", "metropolis" or "pca"
+    :param kind: sampler family — "hmc", "gibbs", "metropolis", "pca"
         (PCA-directed Gibbs sweeps; call ``update_directions()`` between
         advances to re-estimate each chain's principal directions from its
-        own history — a batched host eigendecomposition).
+        own history — a batched host eigendecomposition) or "ensemble"
+        (each chain is an independent stretch-move ensemble; ``starts`` has
+        shape (n_chains, n_walkers, n_parameters)).
     :param posterior: traceable log-probability callable.
-    :param starts: starting positions, shape (n_chains, n_parameters).
+    :param starts: starting positions, shape (n_chains, n_parameters) —
+        or (n_chains, n_walkers, n_parameters) for the ensemble kind.
     :param widths: initial proposal widths (gibbs/metropolis families).
     :param epsilon: initial leapfrog step size (hmc).
     :param steps: nominal leapfrog steps per proposal (hmc).
-    :param inverse_mass: scalar or vector inverse mass (hmc).
+    :param inverse_mass: scalar, (P,) diagonal, or full (P, P) matrix
+        inverse mass (hmc; reference: hmc/mass.py:9-117).
+    :param non_negative: bool or (P,) bools — parameters whose proposals
+        are folded non-negative (gibbs/metropolis;
+        reference: gibbs.py:97-104).
+    :param boundaries: optional (lower, upper) reflecting proposal
+        boundaries (gibbs/metropolis; reference: gibbs.py:106-122).
+    :param bounds: optional ``utils.Bounds`` for the hmc (bounded
+        leapfrog) and ensemble (reflected stretch moves) kinds.
+    :param alpha: stretch-move scale parameter (ensemble kind).
     :param retry: repeat-until-accept proposals (the reference semantics)
         when True; textbook duplicate-on-reject MH when False — the latter
         avoids all retry-loop waste under vmap (a retry loop reruns every
@@ -56,83 +68,78 @@ class ChainArray:
         epsilon: float = 0.1,
         steps: int = 50,
         inverse_mass=None,
+        non_negative=None,
+        boundaries=None,
+        bounds=None,
+        alpha: float = 2.0,
         retry: bool = True,
         mesh=None,
         axis_name: str = "chains",
         seed=None,
     ):
-        starts = np.atleast_2d(np.asarray(starts, dtype=float))
-        self.n_chains, self.n_parameters = starts.shape
+        starts = np.asarray(starts, dtype=float)
+        if kind == "ensemble":
+            if starts.ndim != 3:
+                raise ValueError(
+                    "the ensemble kind requires starts of shape "
+                    "(n_chains, n_walkers, n_parameters)"
+                )
+            self.n_chains, self.n_walkers, self.n_parameters = starts.shape
+        else:
+            starts = np.atleast_2d(starts)
+            self.n_chains, self.n_parameters = starts.shape
+            self.n_walkers = None
         self.kind = kind
         self.mesh = mesh
         self.axis_name = axis_name
 
         dtype = default_float()
-        self._logp = as_device_logp(posterior, starts[0])
+        self._logp = as_device_logp(
+            posterior, starts[0, 0] if kind == "ensemble" else starts[0]
+        )
         key = make_key(seed)
         keys = jax.random.split(key, self.n_chains)
         starts_dev = jnp.asarray(starts, dtype)
-        logp0 = jax.vmap(self._logp)(starts_dev)
 
-        if kind == "hmc":
-            if inverse_mass is None:
-                mass_velocity = lambda r: r
-                mass_sample = lambda k, d: jax.random.normal(
-                    k, (self.n_parameters,), d
-                )
-            else:
-                inv_mass = jnp.asarray(inverse_mass, dtype)
-                sqrt_mass = 1.0 / jnp.sqrt(inv_mass)
-                mass_velocity = lambda r: r * inv_mass.astype(r.dtype)
-                mass_sample = lambda k, d: jax.random.normal(
-                    k, (self.n_parameters,), d
-                ) * sqrt_mass.astype(d)
-            step = hmc_kernel.make_hmc_step(
-                self._logp,
-                jax.grad(self._logp),
-                mass_velocity=mass_velocity,
-                mass_sample=mass_sample,
-                retry=retry,
-            )
-            state = jax.vmap(
-                lambda t, p, k: hmc_kernel.init_hmc_state(
-                    t, p, epsilon, k, steps=steps
-                )
-            )(starts_dev, logp0, keys)
-        elif kind in ("gibbs", "metropolis", "pca"):
+        init, step = build_kind(
+            kind,
+            self._logp,
+            self.n_parameters,
+            dtype,
+            widths=widths,
+            epsilon=epsilon,
+            steps=steps,
+            inverse_mass=inverse_mass,
+            non_negative=non_negative,
+            boundaries=boundaries,
+            bounds=bounds,
+            alpha=alpha,
+            n_walkers=self.n_walkers,
+            retry=retry,
+        )
+
+        if kind == "ensemble":
+            logp0 = jax.vmap(jax.vmap(self._logp))(starts_dev)
+        else:
+            logp0 = jax.vmap(self._logp)(starts_dev)
+        state = jax.vmap(init, in_axes=(0, 0, 0, None))(
+            starts_dev, logp0, keys, jnp.asarray(1.0, dtype)
+        )
+
+        if kind in ("gibbs", "metropolis", "pca"):
+            # per-chain initial widths: 5% of each chain's own start point
+            # when unspecified (reference: gibbs.py:258-259)
             if widths is None:
-                widths = np.where(starts != 0, np.abs(starts) * 0.05, 1.0)
+                per_chain = np.where(starts != 0, np.abs(starts) * 0.05, 1.0)
             else:
-                widths = np.broadcast_to(
+                per_chain = np.broadcast_to(
                     np.asarray(widths, dtype=float), starts.shape
                 )
-            widths_dev = jnp.asarray(widths, dtype)
-            if kind == "pca":
-                step = met_kernel.make_pca_step(self._logp, retry=retry)
-                eye = np.broadcast_to(
-                    np.eye(self.n_parameters),
-                    (self.n_chains, self.n_parameters, self.n_parameters),
+            state = state._replace(
+                widths=state.widths._replace(
+                    value=jnp.asarray(per_chain, dtype)
                 )
-                state = jax.vmap(
-                    lambda t, p, w, k, d: met_kernel.init_pca_state(
-                        t, p, w, k, d
-                    )
-                )(starts_dev, logp0, widths_dev, keys, jnp.asarray(eye, dtype))
-            else:
-                modes = met_kernel.default_modes(self.n_parameters, dtype)
-                factory = (
-                    met_kernel.make_gibbs_step
-                    if kind == "gibbs"
-                    else met_kernel.make_metropolis_step
-                )
-                step = factory(self._logp, modes, retry=retry)
-                state = jax.vmap(
-                    lambda t, p, w, k: met_kernel.init_metropolis_state(
-                        t, p, w, k
-                    )
-                )(starts_dev, logp0, widths_dev, keys)
-        else:
-            raise ValueError(f"unknown chain kind: {kind!r}")
+            )
 
         self._step = jax.vmap(step)
         self._state = state
@@ -157,12 +164,15 @@ class ChainArray:
         state, outs = run_steps(self._step, self._state, n)
         self._state = state
         if store:
-            theta = np.asarray(outs.theta[::thin])  # (n/thin, K, P)
-            logp = np.asarray(outs.logp[::thin])
-            self._history.append(theta)
-            self._prob_history.append(logp)
+            if self.kind == "ensemble":
+                pos, logp = outs.walkers, outs.logps
+            else:
+                pos, logp = outs.theta, outs.logp
+            pos, logp = jax.device_get((pos[::thin], logp[::thin]))
+            self._history.append(np.asarray(pos))  # (n/thin, K[, W], P)
+            self._prob_history.append(np.asarray(logp))
         else:
-            jax.block_until_ready(state.theta)
+            jax.block_until_ready(jax.tree.leaves(state)[0])
         return self
 
     def update_directions(self, last: int = None):
@@ -209,19 +219,23 @@ class ChainArray:
                 "[ ChainArray error ] no stored history - advance with "
                 "store=True before requesting effective sample sizes."
             )
-        h = np.concatenate(self._history, axis=0)[burn:]  # (steps, K, P)
-        series = jnp.asarray(h).transpose(1, 2, 0)  # (K, P, steps)
+        h = np.concatenate(self._history, axis=0)[burn:]  # (steps, K[, W], P)
+        series = jnp.moveaxis(jnp.asarray(h), 0, -1)  # (K[, W], P, steps)
         return np.asarray(effective_sample_size_batched(series))
 
     @property
     def theta(self) -> np.ndarray:
-        """Current positions, shape (n_chains, n_parameters)."""
-        return np.asarray(self._state.theta)
+        """Current positions, shape (n_chains[, n_walkers], n_parameters)."""
+        from ._kinds import positions_of
+
+        return np.asarray(positions_of(self._state)[0])
 
     @property
     def logp(self) -> np.ndarray:
-        """Current log-probabilities, shape (n_chains,)."""
-        return np.asarray(self._state.logp)
+        """Current log-probabilities, shape (n_chains[, n_walkers])."""
+        from ._kinds import positions_of
+
+        return np.asarray(positions_of(self._state)[1])
 
     def get_sample(self, burn: int = 0, thin: int = 1) -> np.ndarray:
         """

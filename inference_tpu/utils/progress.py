@@ -1,87 +1,87 @@
 """Progress reporting for long-running sampling loops.
 
-User-facing behaviour mirrors the reference ``ChainProgressPrinter``
-(reference: inference/mcmc/utilities.py:8-80): single-line ``\\r`` status
+User-facing output mirrors the reference ``ChainProgressPrinter``
+(reference: inference/mcmc/utilities.py:8-80) — single-line ``\\r`` status
 updates with percent/ETA, iteration counts, or countdowns, all disabled via
-``display_progress=False``.
+``display_progress=False`` — but is implemented as a single line-emitter
+with small formatting helpers rather than per-mode writer methods.
 """
 
 import sys
 from time import time
 
 
+def _hms(seconds) -> str:
+    """``H:MM:SS`` rendering of a duration in seconds."""
+    m, s = divmod(int(seconds), 60)
+    h, m = divmod(m, 60)
+    return f"{h}:{m:02d}:{s:02d}"
+
+
+def _eta(t_start: float, done: int, total: int) -> int:
+    """Remaining seconds estimated from the elapsed-time rate."""
+    elapsed = time() - t_start
+    return int(elapsed * (total / done - 1)) if done > 0 else 0
+
+
 class ChainProgressPrinter:
+    """
+    Emits the chain facades' status lines. All methods are no-ops when
+    constructed with ``display=False``.
+    """
+
     def __init__(self, display: bool = True, leading_msg: str = None):
-        self.lead = "" if leading_msg is None else leading_msg
+        self.lead = leading_msg or ""
+        self.display = display
 
-        if not display:
-            self.iterations_initial = self._silent
-            self.iterations_progress = self._silent
-            self.iterations_final = self._silent
-            self.percent_progress = self._silent
-            self.percent_final = self._silent
-            self.countdown_progress = self._silent
-            self.countdown_final = self._silent
+    def _emit(self, body: str, end: str = ""):
+        if self.display:
+            sys.stdout.write(f"\r  {self.lead}   [ {body} ]{end}")
+            sys.stdout.flush()
 
+    # -- fixed-iteration-count runs ------------------------------------- #
     def iterations_initial(self, total_itr: int):
-        sys.stdout.write("\n")
-        sys.stdout.write(f"\r  {self.lead}   [ 0 / {total_itr} iterations completed ]")
-        sys.stdout.flush()
+        if self.display:
+            sys.stdout.write("\n")
+        self._emit(f"0 / {total_itr} iterations completed")
 
     def iterations_progress(self, t_start: float, current_itr: int, total_itr: int):
-        dt = time() - t_start
-        eta = int(dt * (total_itr / (current_itr + 1) - 1))
-        sys.stdout.write(
-            f"\r  {self.lead}   [ {current_itr + 1} / {total_itr} iterations "
-            f"completed  |  ETA: {eta} sec ]"
+        done = current_itr + 1
+        self._emit(
+            f"{done} / {total_itr} iterations completed"
+            f"  |  ETA: {_eta(t_start, done, total_itr)} sec"
         )
-        sys.stdout.flush()
 
     def iterations_final(self, total_itr: int):
-        sys.stdout.write(
-            f"\r  {self.lead}   [ {total_itr} / {total_itr} iterations completed ]"
-            "                  \n"
+        self._emit(
+            f"{total_itr} / {total_itr} iterations completed",
+            end="                  \n",
         )
-        sys.stdout.flush()
 
+    # -- percentage-of-run displays ------------------------------------- #
     def percent_progress(self, t_start: float, current_itr: int, total_itr: int):
-        dt = time() - t_start
-        pct = int(100 * (current_itr + 1) / total_itr)
-        eta = int(dt * (total_itr / (current_itr + 1) - 1))
-        sys.stdout.write(
-            f"\r  {self.lead}   [ {pct}% complete  |  ETA: {eta} sec ]    "
+        done = current_itr + 1
+        pct = int(100 * done / total_itr)
+        self._emit(
+            f"{pct}% complete  |  ETA: {_eta(t_start, done, total_itr)} sec",
+            end="    ",
         )
-        sys.stdout.flush()
 
     def percent_final(self, t_start: float, total_itr: int):
-        t_elapsed = int(time() - t_start)
-        mins, secs = divmod(t_elapsed, 60)
-        hrs, mins = divmod(mins, 60)
-        sys.stdout.write(
-            f"\r  {self.lead}   [ complete - {total_itr} steps taken in "
-            f"{hrs}:{mins:02d}:{secs:02d} ]      \n"
+        self._emit(
+            f"complete - {total_itr} steps taken in {_hms(time() - t_start)}",
+            end="      \n",
         )
-        sys.stdout.flush()
 
+    # -- wall-clock (run_for) countdowns -------------------------------- #
     def countdown_progress(self, t_end, steps_taken):
-        seconds_remaining = int(t_end - time())
-        mins, secs = divmod(seconds_remaining, 60)
-        hrs, mins = divmod(mins, 60)
-        sys.stdout.write(
-            f"\r  {self.lead}   [ {steps_taken} steps taken, time remaining: "
-            f"{hrs}:{mins:02d}:{secs:02d} ]    "
+        self._emit(
+            f"{steps_taken} steps taken, time remaining: {_hms(t_end - time())}",
+            end="    ",
         )
-        sys.stdout.flush()
 
     def countdown_final(self, run_time, steps_taken):
-        mins, secs = divmod(int(run_time), 60)
-        hrs, mins = divmod(mins, 60)
-        sys.stdout.write(
-            f"\r  {self.lead}   [ complete - {steps_taken} steps taken in "
-            f"{hrs}:{mins:02d}:{secs:02d} ]      \n"
+        self._emit(
+            f"complete - {steps_taken} steps taken in {_hms(run_time)}",
+            end="      \n",
         )
-        sys.stdout.flush()
-
-    @staticmethod
-    def _silent(*args, **kwargs):
-        pass

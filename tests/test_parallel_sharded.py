@@ -236,3 +236,188 @@ def test_chain_array_effective_sample_size():
     h = np.concatenate(arr._history, axis=0)[50:]
     expect = effective_sample_size(h[:, 0, 0])
     assert abs(int(ess[0, 0]) - expect) <= 1
+
+
+def bimodal_1d(t):
+    x = t[0]
+    return jnp.logaddexp(
+        -0.5 * ((x + 4.0) / 0.5) ** 2,
+        -0.5 * ((x - 4.0) / 0.5) ** 2 + jnp.log(0.5),
+    )
+
+
+def test_sharded_tempering_exact_step_accounting():
+    """advance(n, interval) runs exactly n steps: remainder as a swap-free
+    tail, n < interval runs no swaps (regression for the cycles bug)."""
+    mesh = tempering_mesh(n_rungs=2)
+    st = ShardedTempering(
+        bimodal_1d,
+        start=np.array([4.0]),
+        temperatures=[1.0, 10.0],
+        n_chains=4,
+        mesh=mesh,
+        steps=5,
+        seed=0,
+    )
+    acc = st.advance(25, swap_interval=10)
+    assert acc.shape[0] == 2  # two swaps
+    assert sum(h.shape[0] for h in st._history) == 25
+    acc = st.advance(3, swap_interval=10)
+    assert acc.shape[0] == 0  # no swap fits in 3 steps
+    assert sum(h.shape[0] for h in st._history) == 28
+
+
+@pytest.mark.parametrize("kind,kwargs", [
+    ("gibbs", dict(widths=0.5)),
+    ("metropolis", dict(widths=0.5)),
+    ("ensemble", dict(n_walkers=8, widths=1.0)),
+])
+def test_sharded_tempering_kinds(kind, kwargs):
+    """Every sampler family runs as tempering rungs with mode hopping."""
+    mesh = tempering_mesh(n_rungs=4)
+    st = ShardedTempering(
+        bimodal_1d,
+        start=np.array([4.0]),
+        temperatures=[1.0, 3.0, 10.0, 30.0],
+        n_chains=8,
+        mesh=mesh,
+        kind=kind,
+        seed=5,
+        **kwargs,
+    )
+    acc = st.advance(400, swap_interval=10)
+    assert 0.1 < acc.mean() < 0.98
+    assert (st.cold_chain_positions() < 0).any()  # started at +4
+    sample = st.get_sample(rung=0, burn=100)
+    assert sample.ndim == 2 and sample.shape[1] == 1
+    assert np.isfinite(sample).all()
+    # even-odd pairing: only adjacent rungs ever attempt swaps
+    rates = st.swap_rate_matrix()
+    attempted = st.attempted_swaps - np.identity(4)
+    for i in range(4):
+        for j in range(4):
+            if attempted[i, j] > 0:
+                assert abs(i - j) == 1
+    assert rates[0, 1] > 0.0
+
+
+def test_sharded_tempering_pca_direction_updates():
+    def corr_gauss(t):
+        a, b = t[0], t[1]
+        return -0.5 * (a**2 + (10.0 * (b - a)) ** 2)
+
+    mesh = tempering_mesh(n_rungs=2)
+    st = ShardedTempering(
+        corr_gauss,
+        start=np.array([0.5, 0.5]),
+        temperatures=[1.0, 5.0],
+        n_chains=4,
+        mesh=mesh,
+        kind="pca",
+        widths=0.3,
+        seed=2,
+    )
+    st.advance(60, swap_interval=10)
+    d0 = np.asarray(st._state.directions)
+    st.update_directions()
+    d1 = np.asarray(st._state.directions)
+    assert d1.shape == (2, 4, 2, 2)
+    assert not np.allclose(d0, d1)
+    st.advance(30, swap_interval=10)
+    assert np.isfinite(st.get_sample(0)).all()
+
+
+def test_sharded_tempering_run_for():
+    mesh = tempering_mesh(n_rungs=2)
+    st = ShardedTempering(
+        bimodal_1d,
+        start=np.array([4.0]),
+        temperatures=[1.0, 10.0],
+        n_chains=4,
+        mesh=mesh,
+        steps=5,
+        seed=1,
+        display_progress=False,
+    )
+    st.run_for(minutes=2.0 / 60.0, swap_interval=5)
+    stored = sum(h.shape[0] for h in st._history)
+    assert stored >= 5  # at least the calibration cycle
+    assert np.isfinite(st.get_sample(0)).all()
+
+
+def test_sharded_tempering_swap_diagnostics():
+    import matplotlib
+
+    matplotlib.use("Agg")
+    mesh = tempering_mesh(n_rungs=4)
+    st = ShardedTempering(
+        bimodal_1d,
+        start=np.array([4.0]),
+        temperatures=[1.0, 3.0, 10.0, 30.0],
+        n_chains=4,
+        mesh=mesh,
+        steps=5,
+        seed=3,
+    )
+    st.advance(100, swap_interval=10)
+    fig = st.swap_diagnostics(show=False)
+    assert len(fig.axes) == 2
+    import matplotlib.pyplot as plt
+
+    plt.close(fig)
+
+
+def test_chain_array_ensemble_statistics():
+    """kind='ensemble': independent vmapped sub-ensembles sample the target
+    (regression for the inverted stretch move, which collapsed ensembles)."""
+    logp, cov = correlated_gaussian()
+    starts = np.random.default_rng(0).normal(0, 1, size=(8, 16, 2))
+    ca = ChainArray("ensemble", logp, starts, seed=1, retry=False)
+    ca.advance(800)
+    s = ca.get_sample(burn=400)
+    assert np.allclose(s.mean(0), 0.0, atol=0.1)
+    assert np.allclose(np.cov(s.T), cov, atol=0.25)
+
+
+def test_chain_array_proposal_modes():
+    """Per-parameter non-negative and reflecting-boundary proposals in the
+    batch layer (reference: gibbs.py:97-122)."""
+    def logp(t):
+        return jnp.where(t[0] >= 0, -t[0], -jnp.inf) - 0.5 * t[1] ** 2
+
+    starts = np.abs(np.random.default_rng(2).normal(1, 0.2, size=(32, 2)))
+    ca = ChainArray(
+        "gibbs", logp, starts, widths=0.5, non_negative=[True, False], seed=2
+    )
+    ca.advance(400)
+    s = ca.get_sample(burn=100)
+    assert (s[:, 0] >= 0).all()
+    assert abs(s[:, 0].mean() - 1.0) < 0.2  # exponential mean
+
+    flat = lambda t: jnp.asarray(0.0)
+    ca2 = ChainArray(
+        "metropolis",
+        flat,
+        np.full((16, 2), 0.5),
+        widths=0.4,
+        boundaries=(np.zeros(2), np.ones(2)),
+        seed=3,
+    )
+    ca2.advance(300)
+    s2 = ca2.get_sample(burn=50)
+    assert s2.min() >= 0.0 and s2.max() <= 1.0
+    assert np.allclose(s2.mean(0), 0.5, atol=0.1)
+
+
+def test_chain_array_matrix_inverse_mass():
+    """Full (P, P) inverse-mass HMC in the batch layer
+    (reference: hmc/mass.py:57-94)."""
+    logp, cov = correlated_gaussian()
+    iM = np.linalg.inv(cov)
+    starts = np.random.default_rng(4).normal(0, 1, size=(32, 2))
+    ca = ChainArray("hmc", logp, starts, inverse_mass=iM, seed=4)
+    ca.advance(300)
+    s = ca.get_sample(burn=100)
+    assert np.allclose(np.cov(s.T), cov, atol=0.3)
+    with pytest.raises(ValueError):
+        ChainArray("hmc", logp, starts, inverse_mass=np.ones((3, 3)))
