@@ -53,9 +53,19 @@ def time_rebuild(n_walkers, iterations):
     # warm-up with the same iteration count: each distinct scan length
     # compiles a separate program (seconds through the remote tunnel)
     es.advance(iterations)
+    jax.block_until_ready(es._state.walkers)
     t0 = time.perf_counter()
     es.advance(iterations)
+    jax.block_until_ready(es._state.walkers)
     facade = n_walkers * iterations / (time.perf_counter() - t0)
+    # history consolidation: one bulk device->host fetch of everything
+    t0 = time.perf_counter()
+    sample = es.sample
+    fetch = time.perf_counter() - t0
+    print(
+        f"history fetch:           {sample.nbytes / 2**20:.0f} MB in "
+        f"{fetch:.2f} s ({sample.nbytes / 2**20 / max(fetch, 1e-9):.0f} MB/s)"
+    )
 
     # device-resident sampling loop only (history stays on device)
     step = make_ensemble_step(logp, n_walkers=n_walkers, retry=False)
@@ -103,7 +113,7 @@ def main():
     print(f"rebuild (device loop):   {device:12,.0f} walker-updates/s "
           f"({n_walkers} walkers x {iterations} iterations)")
     print(f"rebuild (with history):  {facade:12,.0f} walker-updates/s "
-          f"(bounded by host-transfer bandwidth)")
+          f"(history device-resident, fetched lazily)")
     ref = time_reference(min(n_walkers, 512), 20)
     if ref:
         print(f"reference:               {ref:12,.0f} walker-updates/s "

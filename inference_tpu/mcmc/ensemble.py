@@ -123,8 +123,10 @@ class EnsembleSampler(MarkovChain):
         else:
             self._logp = None
 
-        self.sample = None
-        self.sample_probs = None
+        self._sample_chunks = []       # device or host (n, W, P) chunks
+        self._prob_chunks = []         # device or host (n, W) chunks
+        self._pending_stats = []       # deferred (attempts, failures) chunks
+        self._device_history_bytes = 0
         self.display_progress = display_progress
         self.ProgressPrinter = ChainProgressPrinter(
             display=self.display_progress, leading_msg="EnsembleSampler:"
@@ -200,24 +202,73 @@ class EnsembleSampler(MarkovChain):
         return self._step
 
     def _run_chunk(self, n: int):
+        """Advance ``n`` iterations; the output history stays on the device
+        until a host view is requested or the device-history budget is
+        exceeded (consolidated transfers either way)."""
+        from ..utils.history import DEVICE_HISTORY_LIMIT
+
         state, outs = run_steps(self._get_step(), self._state, n)
         self._state = state
 
-        outs = jax.device_get(outs)  # one transfer for the whole pytree
-        walkers = np.asarray(outs.walkers)      # (n, W, P)
-        logps = np.asarray(outs.logps)          # (n, W)
-        attempts = np.asarray(outs.attempts)    # (n, W)
-        failures = np.asarray(outs.failures)    # (n,)
-
-        self.walker_positions = walkers[-1]
-        self.walker_probs = logps[-1]
-        for i in range(self.n_walkers):
-            self.total_proposals[i].extend(attempts[:, i].tolist())
-        self.failed_updates.extend(failures.tolist())
+        # final walker set: a device view of the state, fetched lazily
+        self.walker_positions = state.walkers
+        self.walker_probs = state.logps
+        self._pending_stats.append((outs.attempts, outs.failures))
         self.n_iterations += n
+        self.chain_length += n * self.n_walkers
 
-        self._sample_chunks.append(walkers.reshape(n * self.n_walkers, -1))
-        self._prob_chunks.append(logps.reshape(n * self.n_walkers))
+        self._sample_chunks.append(outs.walkers)  # (n, W, P)
+        self._prob_chunks.append(outs.logps)      # (n, W)
+        self._device_history_bytes += outs.walkers.nbytes + outs.logps.nbytes
+        if self._device_history_bytes > DEVICE_HISTORY_LIMIT:
+            _ = self.sample  # consolidate + offload
+
+    def _drain_stats(self):
+        """Process deferred per-iteration proposal/failure statistics."""
+        if not self._pending_stats:
+            return
+        pending, self._pending_stats = self._pending_stats, []
+        for attempts, failures in jax.device_get(pending):
+            attempts = np.asarray(attempts)
+            for i in range(self.n_walkers):
+                self.total_proposals[i].extend(attempts[:, i].tolist())
+            self.failed_updates.extend(np.asarray(failures).tolist())
+
+    @property
+    def sample(self) -> np.ndarray:
+        """All stored samples, shape (n_iterations * n_walkers, P). Device
+        chunks are fetched in one consolidated transfer on first access."""
+        if not self._sample_chunks:
+            return None
+        if len(self._sample_chunks) > 1 or not isinstance(
+            self._sample_chunks[0], np.ndarray
+        ):
+            fetched = jax.device_get((self._sample_chunks, self._prob_chunks))
+            self._sample_chunks = [
+                np.concatenate(
+                    [np.asarray(c).reshape(-1, self.n_parameters) for c in fetched[0]]
+                )
+            ]
+            self._prob_chunks = [
+                np.concatenate([np.asarray(c).reshape(-1) for c in fetched[1]])
+            ]
+            self._device_history_bytes = 0
+        return self._sample_chunks[0]
+
+    @sample.setter
+    def sample(self, value):
+        self._sample_chunks = [] if value is None else [np.asarray(value)]
+
+    @property
+    def sample_probs(self) -> np.ndarray:
+        if not self._prob_chunks:
+            return None
+        _ = self.sample  # consolidates both histories
+        return self._prob_chunks[0]
+
+    @sample_probs.setter
+    def sample_probs(self, value):
+        self._prob_chunks = [] if value is None else [np.asarray(value)]
 
     def advance(self, iterations: int):
         """
@@ -227,9 +278,6 @@ class EnsembleSampler(MarkovChain):
         """
         t_start = time()
         self.ProgressPrinter.iterations_initial(iterations)
-
-        self._sample_chunks = [] if self.sample is None else [self.sample]
-        self._prob_chunks = [] if self.sample_probs is None else [self.sample_probs]
 
         # split into ~20 progress groups of power-of-two-sized scans
         groups = max(min(iterations, 20), 1)
@@ -242,10 +290,6 @@ class EnsembleSampler(MarkovChain):
                 done += todo
             self.ProgressPrinter.iterations_progress(t_start, done - 1, iterations)
         self.ProgressPrinter.iterations_final(iterations)
-
-        self.sample = np.concatenate(self._sample_chunks, axis=0)
-        self.sample_probs = np.concatenate(self._prob_chunks)
-        self.chain_length = self.sample_probs.size
 
     # ------------------------------------------------------------------ #
     # host history views
@@ -271,6 +315,7 @@ class EnsembleSampler(MarkovChain):
         Plot per-walker acceptance rates and log-probabilities against
         iteration number (reference: ensemble.py:244-288).
         """
+        self._drain_stats()
         x = np.linspace(1, self.n_iterations, self.n_iterations)
         rates = x / np.array(self.total_proposals).cumsum(axis=1)
         avg_rate = rates.mean(axis=0)
@@ -323,11 +368,12 @@ class EnsembleSampler(MarkovChain):
     # reference: ensemble.py:355-411)
     # ------------------------------------------------------------------ #
     def save(self, filename):
+        self._drain_stats()
         D = {
-            "walker_positions": self.walker_positions,
+            "walker_positions": np.asarray(self.walker_positions),
             "n_parameters": self.n_parameters,
             "n_walkers": self.n_walkers,
-            "walker_probs": self.walker_probs,
+            "walker_probs": np.asarray(self.walker_probs),
             "n_iterations": self.n_iterations,
             "total_proposals": np.array(self.total_proposals),
             "alpha": self.alpha,

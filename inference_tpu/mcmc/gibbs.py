@@ -90,6 +90,8 @@ class MetropolisChain(MarkovChain):
         self._state = None
         self.chain_length = 1
         self.max_tries = MAX_TRIES
+        self._pending_sigmas = []
+        self._device_history_bytes = 0
 
         if posterior is not None:
             self.posterior = posterior
@@ -98,7 +100,10 @@ class MetropolisChain(MarkovChain):
             if widths is None:
                 widths = np.array([abs(v) * 0.05 if v != 0 else 1.0 for v in start])
             else:
-                widths = np.asarray(widths, dtype=float).flatten()
+                # scalars broadcast to all parameters
+                widths = np.broadcast_to(
+                    np.asarray(widths, dtype=float).flatten(), start.shape
+                ).copy()
 
             self.n_parameters = start.size
             self._init_modes()
@@ -196,19 +201,46 @@ class MetropolisChain(MarkovChain):
         self._absorb_outputs(outs)
 
     def _absorb_outputs(self, outs):
-        """Append a chunk of device outputs to the host history (one
-        device-to-host transfer for the whole output pytree)."""
+        """Append a chunk of outputs to the history. Chunks stay on the
+        device until a host view is requested (get_sample etc.) or the
+        device-history budget is exceeded — sampling throughput is decoupled
+        from history transfer, and transfers happen in consolidated blocks."""
+        from ..utils.history import DEVICE_HISTORY_LIMIT
+
+        start_step = self.chain_length
+        self._theta_chunks.append(outs.theta)
+        self._prob_chunks.append(outs.logp)
+        self.chain_length += int(outs.logp.shape[0])
+        self._pending_sigmas.append((outs.sigmas, start_step))
+        if not isinstance(outs.logp, np.ndarray):
+            self._device_history_bytes += outs.theta.nbytes + outs.logp.nbytes
+        if self._device_history_bytes > DEVICE_HISTORY_LIMIT:
+            self._consolidated_theta()
+            self._consolidated_probs()
+            self._drain_width_trace()
+
+    def _fetch_history(self):
+        """Move any device-held history chunks to the host (one transfer)."""
         import jax
 
-        outs = jax.device_get(outs)
-        theta = np.asarray(outs.theta)
-        logp = np.asarray(outs.logp)
-        sigmas = np.asarray(outs.sigmas)
-        start_step = self.chain_length
-        self._theta_chunks.append(theta)
-        self._prob_chunks.append(logp)
-        self.chain_length += len(logp)
-        self._record_width_trace(sigmas, start_step)
+        if self._device_history_bytes > 0:
+            self._theta_chunks, self._prob_chunks = jax.device_get(
+                (self._theta_chunks, self._prob_chunks)
+            )
+            self._theta_chunks = [np.asarray(c) for c in self._theta_chunks]
+            self._prob_chunks = [np.asarray(c) for c in self._prob_chunks]
+            self._device_history_bytes = 0
+
+    def _drain_width_trace(self):
+        """Process deferred per-step width traces into the host-side
+        ``sigma_values``/``sigma_checks`` change-point logs."""
+        if not self._pending_sigmas:
+            return
+        import jax
+
+        pending, self._pending_sigmas = self._pending_sigmas, []
+        for sigmas, start_step in jax.device_get(pending):
+            self._record_width_trace(np.asarray(sigmas), int(start_step))
 
     def _record_width_trace(self, sigmas: np.ndarray, start_step: int):
         """Absorb the per-step width trace, logging change points."""
@@ -225,11 +257,13 @@ class MetropolisChain(MarkovChain):
     # host history views
     # ------------------------------------------------------------------ #
     def _consolidated_theta(self) -> np.ndarray:
+        self._fetch_history()
         if len(self._theta_chunks) > 1:
             self._theta_chunks = [np.concatenate(self._theta_chunks, axis=0)]
         return self._theta_chunks[0]
 
     def _consolidated_probs(self) -> np.ndarray:
+        self._fetch_history()
         if len(self._prob_chunks) > 1:
             self._prob_chunks = [np.concatenate(self._prob_chunks)]
         return self._prob_chunks[0]
@@ -280,6 +314,7 @@ class MetropolisChain(MarkovChain):
         log-probabilities and the proposal-width stabilisation point
         (reference: gibbs.py:577-592).
         """
+        self._drain_width_trace()
         probs = self._consolidated_probs()
         prob_estimate = np.argmax(probs > np.percentile(probs, 99))
         width_estimates = []
@@ -371,6 +406,7 @@ class MetropolisChain(MarkovChain):
     # reference: gibbs.py:162-217,521-575)
     # ------------------------------------------------------------------ #
     def save(self, filename: str):
+        self._drain_width_trace()
         theta = self._consolidated_theta()
         widths_state: AdaptiveScale = self._state.widths
         avg = np.asarray(widths_state.avg)

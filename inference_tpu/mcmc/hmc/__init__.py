@@ -102,6 +102,8 @@ class HamiltonianChain(MarkovChain):
         self._step = None
         self._step_config = None
         self.chain_length = 1
+        self._pending_eps = []
+        self._device_history_bytes = 0
 
         # set up bounds
         if bounds is None:
@@ -231,16 +233,43 @@ class HamiltonianChain(MarkovChain):
         self.ES.sync_counters(eps.avg, eps.var, eps.num, eps.chk_int)
 
     def _absorb_outputs(self, outs):
-        """Append a chunk of device outputs to the host history (one
-        device-to-host transfer for the whole output pytree)."""
-        outs = jax.device_get(outs)
-        n = len(np.asarray(outs.logp))
+        """Append a chunk of outputs to the history. Chunks stay on the
+        device until a host view is requested or the device-history budget
+        is exceeded (consolidated transfers either way)."""
+        from ...utils.history import DEVICE_HISTORY_LIMIT
+
         start_step = self.chain_length
-        self._theta_chunks.append(np.asarray(outs.theta))
-        self._prob_chunks.append(np.asarray(outs.logp))
-        self._leapfrog_chunks.append(np.asarray(outs.leapfrog_steps))
-        self.chain_length += n
-        self.ES.record_trace(np.asarray(outs.epsilon), start_step)
+        self._theta_chunks.append(outs.theta)
+        self._prob_chunks.append(outs.logp)
+        self._leapfrog_chunks.append(outs.leapfrog_steps)
+        self.chain_length += int(outs.logp.shape[0])
+        self._pending_eps.append((outs.epsilon, start_step))
+        if not isinstance(outs.logp, np.ndarray):
+            self._device_history_bytes += outs.theta.nbytes + outs.logp.nbytes
+        if self._device_history_bytes > DEVICE_HISTORY_LIMIT:
+            self._consolidated_theta()
+            self._consolidated_probs()
+            self._drain_epsilon_trace()
+
+    def _fetch_history(self):
+        """Move any device-held history chunks to the host (one transfer)."""
+        if self._device_history_bytes > 0:
+            fetched = jax.device_get(
+                (self._theta_chunks, self._prob_chunks, self._leapfrog_chunks)
+            )
+            self._theta_chunks = [np.asarray(c) for c in fetched[0]]
+            self._prob_chunks = [np.asarray(c) for c in fetched[1]]
+            self._leapfrog_chunks = [np.asarray(c) for c in fetched[2]]
+            self._device_history_bytes = 0
+
+    def _drain_epsilon_trace(self):
+        """Process deferred per-step epsilon traces into the host-side
+        ``EpsilonSelector`` change-point log."""
+        if not self._pending_eps:
+            return
+        pending, self._pending_eps = self._pending_eps, []
+        for eps, start_step in jax.device_get(pending):
+            self.ES.record_trace(np.asarray(eps), int(start_step))
 
     # ------------------------------------------------------------------ #
     # host history views
@@ -257,14 +286,17 @@ class HamiltonianChain(MarkovChain):
 
     @property
     def leapfrog_steps(self):
+        self._fetch_history()
         return list(np.concatenate(self._leapfrog_chunks))
 
     def _consolidated_theta(self) -> np.ndarray:
+        self._fetch_history()
         if len(self._theta_chunks) > 1:
             self._theta_chunks = [np.concatenate(self._theta_chunks, axis=0)]
         return self._theta_chunks[0]
 
     def _consolidated_probs(self) -> np.ndarray:
+        self._fetch_history()
         if len(self._prob_chunks) > 1:
             self._prob_chunks = [np.concatenate(self._prob_chunks)]
         return self._prob_chunks[0]
@@ -324,6 +356,7 @@ class HamiltonianChain(MarkovChain):
         log-probabilities and (b) the step-size stabilisation point, capped
         at 90% of the chain (reference: hmc/__init__.py:399-408).
         """
+        self._drain_epsilon_trace()
         probs = self._consolidated_probs()
         prob_estimate = np.argmax(probs > np.percentile(probs, 99))
         epsl = np.abs(
@@ -342,6 +375,7 @@ class HamiltonianChain(MarkovChain):
         and per-parameter effective sample sizes
         (reference: hmc/__init__.py:245-359).
         """
+        self._drain_epsilon_trace()
         if burn is None:
             burn = self.estimate_burn_in()
         param_ESS = [
@@ -417,6 +451,8 @@ class HamiltonianChain(MarkovChain):
     # reference: hmc/__init__.py:410-469)
     # ------------------------------------------------------------------ #
     def save(self, filename, compressed=False):
+        self._drain_epsilon_trace()
+        self._fetch_history()
         items = {
             "inv_mass": self.mass.inv_mass,
             "inv_temp": self.inv_temp,
@@ -470,6 +506,8 @@ class HamiltonianChain(MarkovChain):
         )
         chain._theta_chunks = [theta]
         chain._prob_chunks = [np.asarray(D["probs"], dtype=float)]
+        chain._pending_eps = []
+        chain._device_history_bytes = 0
         chain._leapfrog_chunks = [np.asarray(D["leapfrog_steps"], dtype=int)]
         chain.ES = EpsilonSelector(1.0)
         chain.ES.load_items(D)

@@ -180,6 +180,7 @@ class PcaChain(MetropolisChain):
     # checkpointing (reference: pca.py:185-278)
     # ------------------------------------------------------------------ #
     def save(self, filename: str):
+        self._drain_width_trace()
         theta = self._consolidated_theta()
         widths_state = self._state.widths
         avg = np.asarray(widths_state.avg)

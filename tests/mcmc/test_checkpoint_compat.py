@@ -193,8 +193,10 @@ def test_ensemble_checkpoint_interop_both_directions(ref_mcmc, tmp_path):
 
     rng = np.random.default_rng(7)
     starts = rng.normal([0.0, 1.0], 0.5, size=(12, 2))
+    # the reference stores (and mutates) the caller's array in place during
+    # advance, so give it a copy to keep `starts` pristine for our sampler
     ref = ref_mcmc.EnsembleSampler(
-        gauss, starting_positions=starts, display_progress=False
+        gauss, starting_positions=starts.copy(), display_progress=False
     )
     ref.advance(30)
     f = tmp_path / "ref_ens.npz"
