@@ -141,11 +141,16 @@ class ExpectedImprovement(AcquisitionFunction):
         return -self._log_ei(q, st)
 
     def __call__(self, x) -> float:
-        q = jnp.asarray(np.asarray(x, dtype=float).flatten())
-        return float(jnp.exp(self._log_ei(q, self.gp_state())))
+        # one dispatch through the compiled objective (-log EI)
+        return float(np.exp(-self.opt_func(x)))
 
     def convergence_metric(self, x) -> float:
-        return self.__call__(x) / (self.mu_max - float(self.gp.y.min()))
+        return self.convergence_from_acquisition(self.__call__(x))
+
+    def convergence_from_acquisition(self, value: float) -> float:
+        """Convergence metric derived from an already-computed acquisition
+        value (no extra device evaluation)."""
+        return value / (self.mu_max - float(self.gp.y.min()))
 
 
 class UpperConfidenceBound(AcquisitionFunction):
@@ -169,7 +174,10 @@ class UpperConfidenceBound(AcquisitionFunction):
         return -self.opt_func(x)
 
     def convergence_metric(self, x) -> float:
-        return self.__call__(x) - self.mu_max
+        return self.convergence_from_acquisition(self.__call__(x))
+
+    def convergence_from_acquisition(self, value: float) -> float:
+        return value - self.mu_max
 
 
 class MaxVariance(AcquisitionFunction):
@@ -190,4 +198,7 @@ class MaxVariance(AcquisitionFunction):
         return -self.opt_func(x)
 
     def convergence_metric(self, x) -> float:
-        return float(np.sqrt(self.__call__(x)))
+        return self.convergence_from_acquisition(self.__call__(x))
+
+    def convergence_from_acquisition(self, value: float) -> float:
+        return float(np.sqrt(value))

@@ -146,7 +146,9 @@ class WhiteNoise(CovarianceFunction):
         self.n_data = int(x.shape[0])
 
     def estimate_hyperpar_bounds(self, y):
-        s = float(jnp.log(jnp.ptp(jnp.asarray(y))))
+        # host statistics: per-data-shape jnp calls would recompile on
+        # every update_data refit of a growing data set
+        s = float(np.log(np.ptp(np.asarray(y))))
         self.bounds = [(s - 8, s + 2)]
 
     def __call__(self, u, v, theta):
@@ -184,8 +186,8 @@ class SquaredExponential(CovarianceFunction):
         self.hyperpar_labels.extend(f"SqrExp log-scale {i}" for i in range(d))
 
     def estimate_hyperpar_bounds(self, y):
-        y = jnp.asarray(y)
-        s = float(jnp.log(y.std()))
+        # host statistics (avoids per-data-shape recompiles on refits)
+        s = float(np.log(np.asarray(y).std()))
         self.bounds = [(s - 4, s + 4)]
         # distance statistics from a subsample (the reference computes the
         # full N x N x D tensor here; a subsample gives the same bounds
@@ -250,8 +252,7 @@ class RationalQuadratic(CovarianceFunction):
         self.hyperpar_labels.extend(f"RQ log-scale {i}" for i in range(d))
 
     def estimate_hyperpar_bounds(self, y):
-        y = jnp.asarray(y)
-        s = float(jnp.log(y.std()))
+        s = float(np.log(np.asarray(y).std()))
         self.bounds = [(s - 4, s + 4), (-2, 6)]
         x = np.asarray(self.x)
         if x.shape[0] > 2000:
@@ -306,7 +307,7 @@ class HeteroscedasticNoise(CovarianceFunction):
         self.hyperpar_labels = [f"log_sigma_{i + 1}" for i in range(self.n_params)]
 
     def estimate_hyperpar_bounds(self, y):
-        s = float(jnp.log(jnp.ptp(jnp.asarray(y))))
+        s = float(np.log(np.ptp(np.asarray(y))))
         self.bounds = [(s - 8, s + 2) for _ in range(self.n_params)]
 
     def __call__(self, u, v, theta):
@@ -411,7 +412,7 @@ class ChangePoint(CovarianceFunction):
             labels.extend([f"ChngPnt{i} location", f"ChngPnt{i} width"])
         self.hyperpar_labels = labels
 
-        self.x_cp = x[:, self.axis]
+        self.x_cp = np.asarray(x)[:, self.axis]
         assert self.n_params == len(self.hyperpar_labels)
 
     def estimate_hyperpar_bounds(self, y):

@@ -9,6 +9,7 @@ TPU-native rebuild of the reference mean classes
 from abc import ABC, abstractmethod
 
 import jax
+import numpy as np
 import jax.numpy as jnp
 
 
@@ -66,7 +67,8 @@ class ConstantMean(MeanFunction):
         self.n_data = int(x.shape[0])
 
     def estimate_hyperpar_bounds(self, y):
-        y = jnp.asarray(y)
+        # host statistics (avoids per-data-shape recompiles on refits)
+        y = np.asarray(y)
         w = float(y.max() - y.min())
         self.bounds = [(float(y.min()) - w, float(y.max()) + w)]
 
@@ -90,7 +92,9 @@ class LinearMean(MeanFunction):
         self.bounds = hyperpar_bounds
 
     def pass_spatial_data(self, x):
-        x = jnp.asarray(x)
+        # host statistics: per-data-shape jnp calls here would recompile
+        # on every update_data refit of a growing data set
+        x = np.asarray(x)
         self.x_mean = x.mean(axis=0)
         self.dx = x - self.x_mean[None, :]
         self.n_data = int(x.shape[0])
@@ -101,9 +105,11 @@ class LinearMean(MeanFunction):
         )
 
     def estimate_hyperpar_bounds(self, y):
-        y = jnp.asarray(y)
+        y = np.asarray(y)
         w = float(y.max() - y.min())
-        grad_bounds = 10 * w / (self.dx.max(axis=0) - self.dx.min(axis=0))
+        grad_bounds = np.asarray(
+            10 * w / (self.dx.max(axis=0) - self.dx.min(axis=0))
+        )
         self.bounds = [(float(y.min()) - 2 * w, float(y.max()) + 2 * w)]
         self.bounds.extend((-float(b), float(b)) for b in grad_bounds)
 
@@ -137,7 +143,7 @@ class QuadraticMean(MeanFunction):
         self.bounds = hyperpar_bounds
 
     def pass_spatial_data(self, x):
-        x = jnp.asarray(x)
+        x = np.asarray(x)
         n = int(x.shape[1])
         self.x_mean = x.mean(axis=0)
         self.dx = x - self.x_mean[None, :]
@@ -151,9 +157,11 @@ class QuadraticMean(MeanFunction):
         self.quad_slc = slice(n + 1, 2 * n + 1)
 
     def estimate_hyperpar_bounds(self, y):
-        y = jnp.asarray(y)
+        y = np.asarray(y)
         w = float(y.max() - y.min())
-        grad_bounds = 10 * w / (self.dx.max(axis=0) - self.dx.min(axis=0))
+        grad_bounds = np.asarray(
+            10 * w / (self.dx.max(axis=0) - self.dx.min(axis=0))
+        )
         self.bounds = [(float(y.min()) - 2 * w, float(y.max()) + 2 * w)]
         self.bounds.extend((-float(b), float(b)) for b in grad_bounds)
         self.bounds.extend((-float(b), float(b)) for b in grad_bounds)

@@ -113,9 +113,11 @@ class GpOptimiser:
         good_type = isinstance(new_y_err, (np.ndarray, type(None)))
         new_y_err = new_y_err if good_type else np.array(new_y_err)
 
-        self.acquisition_max_history.append(self.acquisition(new_x.squeeze()))
+        # one acquisition evaluation serves both history entries
+        acq_value = self.acquisition(new_x.squeeze())
+        self.acquisition_max_history.append(acq_value)
         self.convergence_metric_history.append(
-            self.acquisition.convergence_metric(new_x.squeeze())
+            self.acquisition.convergence_from_acquisition(acq_value)
         )
         self.iteration_history.append(self.y.size + 1)
 
@@ -172,9 +174,10 @@ class GpOptimiser:
         """
         Maximise the acquisition with every start running in parallel on
         device: a vmapped BFGS over sigmoid-bounded coordinates (one
-        dispatch for all starts), followed by one host L-BFGS-B polish of
-        the winner. Replaces the host loop of ``multistart_bfgs``, which
-        pays a device round-trip per objective evaluation per start.
+        dispatch for all starts), followed by a second, tighter on-device
+        BFGS refinement of the winner — no host optimiser loop at all.
+        Replaces the host loop of ``multistart_bfgs``, which pays a device
+        round-trip per objective evaluation per start.
         """
         import jax
         import jax.numpy as jnp
@@ -210,19 +213,31 @@ class GpOptimiser:
                 )
                 return res.x, res.fun
 
-            solver = jax.jit(jax.vmap(solve_one, in_axes=(0, None, None, None)))
+            def solve_and_refine(z0, lo, sp, st):
+                """All starts + winner refinement in ONE device program."""
+                zs, fs = jax.vmap(
+                    solve_one, in_axes=(0, None, None, None)
+                )(z0, lo, sp, st)
+                best = jnp.nanargmin(jnp.where(jnp.isfinite(fs), fs, jnp.inf))
+                res = jax_minimize(
+                    neg, zs[best], args=(lo, sp, st), method="BFGS",
+                    options={"maxiter": 400, "gtol": 1e-10},
+                )
+                better = res.fun <= fs[best]
+                return (
+                    jnp.where(better, res.x, zs[best]),
+                    jnp.where(better, res.fun, fs[best]),
+                )
+
+            solver = jax.jit(solve_and_refine)
             self._ms_solver = solver
 
-        zs, fs = solver(
+        z_best, fun_val = solver(
             jnp.asarray(z0), jnp.asarray(lwr), jnp.asarray(span),
             self.acquisition.gp_state(),
         )
-        zs, fs = np.asarray(zs), np.asarray(fs)
-        best = int(np.nanargmin(np.where(np.isfinite(fs), fs, np.inf)))
-        x_best = lwr + span / (1.0 + np.exp(-zs[best]))
-
-        solution, fun_val, _ = self.launch_bfgs(np.clip(x_best, lwr, upr))
-        return solution, float(fun_val)
+        x_best = lwr + span / (1.0 + np.exp(-np.asarray(z_best)))
+        return np.clip(x_best, lwr, upr), float(fun_val)
 
     def propose_evaluation(self, optimizer=None):
         """

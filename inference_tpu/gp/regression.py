@@ -645,7 +645,7 @@ class GpRegressor:
             func=self.bfgs_cost_func, x0=x0, approx_grad=False, bounds=self.hp_bounds
         )
 
-    def fit_device(self, starts: int = 16, seed: int = 0, polish: bool = True):
+    def fit_device(self, starts: int = 16, seed: int = 0, polish="device"):
         """
         Hyperparameter fit run as a single compiled device program.
 
@@ -654,7 +654,8 @@ class GpRegressor:
         via ``vmap`` over ``jax.scipy.optimize.minimize``. Box bounds are
         enforced by a sigmoid reparameterisation of the hyperparameters, so
         the inner optimiser is unconstrained. The winning start is then
-        (optionally) polished by one host-side L-BFGS-B.
+        refined by a second, tighter-tolerance device BFGS — the whole fit
+        is two device dispatches and zero host optimiser loops.
 
         This replaces the reference's serial host multistart
         (reference: inference/gp/regression.py:482-504) with one device
@@ -664,7 +665,9 @@ class GpRegressor:
 
         :param starts: number of parallel starting positions.
         :param seed: RNG seed for the start positions.
-        :param polish: run one host L-BFGS-B from the device winner.
+        :param polish: "device" (default) refines the winner with a second
+            on-device BFGS; "host" (or True) runs one host L-BFGS-B from
+            the winner; False/None skips refinement.
         :return: the optimised hyperparameter vector (numpy array).
         """
         from jax.scipy.optimize import minimize as _jax_minimize
@@ -691,10 +694,26 @@ class GpRegressor:
                 )
                 return res.x, res.fun
 
-            fit_ms = jax.jit(
-                jax.vmap(solve_one, in_axes=(0,) + (None,) * 6)
+            def solve_and_refine(z0, lo, hi, x, y, sig, m):
+                """All starts + winner refinement in ONE device program:
+                the winner never round-trips through the host."""
+                zs, fs = jax.vmap(
+                    solve_one, in_axes=(0,) + (None,) * 6
+                )(z0, lo, hi, x, y, sig, m)
+                best = jnp.nanargmin(jnp.where(jnp.isfinite(fs), fs, jnp.inf))
+                res = _jax_minimize(
+                    neg, zs[best], args=(lo, hi, x, y, sig, m),
+                    method="BFGS", options={"maxiter": 500, "gtol": 1e-8},
+                )
+                z_best = jnp.where(res.fun <= fs[best], res.x, zs[best])
+                return zs, fs, z_best
+
+            fit_ms = (
+                jax.jit(jax.vmap(solve_one, in_axes=(0,) + (None,) * 6)),
+                jax.jit(solve_and_refine),
             )
             cache[starts] = fit_ms
+        solve_batch, fused = fit_ms
 
         # start positions: uniform in the middle 90% of the box (in sigmoid
         # coordinates, logit of the box fraction), plus the box centre (z=0)
@@ -702,16 +721,21 @@ class GpRegressor:
         u = rng.uniform(0.05, 0.95, size=(max(starts - 1, 0), self.n_hyperpars))
         z0 = np.concatenate([np.log(u / (1 - u)), np.zeros((1, self.n_hyperpars))])
 
-        zs, fs = fit_ms(
-            jnp.asarray(z0), jnp.asarray(lwr), jnp.asarray(upr),
-            self._x_dev, self._y_dev, self._sig_dev, self._mask_dev,
-        )
-        zs, fs = np.asarray(zs), np.asarray(fs)
-        best = int(np.nanargmin(np.where(np.isfinite(fs), fs, np.inf)))
-        theta = lwr + (upr - lwr) / (1.0 + np.exp(-zs[best]))
-
-        if polish:
-            theta, _, _ = self.launch_bfgs(theta)
+        data = (self._x_dev, self._y_dev, self._sig_dev, self._mask_dev)
+        if polish == "device":
+            _, _, z_best = fused(
+                jnp.asarray(z0), jnp.asarray(lwr), jnp.asarray(upr), *data
+            )
+            theta = lwr + (upr - lwr) / (1.0 + np.exp(-np.asarray(z_best)))
+        else:
+            zs, fs = solve_batch(
+                jnp.asarray(z0), jnp.asarray(lwr), jnp.asarray(upr), *data
+            )
+            zs, fs = np.asarray(zs), np.asarray(fs)
+            best = int(np.nanargmin(np.where(np.isfinite(fs), fs, np.inf)))
+            theta = lwr + (upr - lwr) / (1.0 + np.exp(-zs[best]))
+            if polish in ("host", True):
+                theta, _, _ = self.launch_bfgs(theta)
         return np.asarray(theta, dtype=float)
 
     def multistart_bfgs(self, starts: int = None, n_processes: int = 1):
