@@ -2,6 +2,7 @@ from .regression import GpRegressor
 from .optimisation import GpOptimiser
 from .inversion import GpLinearInverter
 from .large_scale import LargeScaleGP
+from .large_inversion import LargeScaleGpLinearInverter
 from .acquisition import (
     ExpectedImprovement,
     UpperConfidenceBound,
@@ -23,6 +24,7 @@ __all__ = [
     "GpOptimiser",
     "GpLinearInverter",
     "LargeScaleGP",
+    "LargeScaleGpLinearInverter",
     "ExpectedImprovement",
     "UpperConfidenceBound",
     "MaxVariance",

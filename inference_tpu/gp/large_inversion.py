@@ -1,0 +1,207 @@
+"""Matrix-free GP linear inversion for large parameter grids.
+
+``GpLinearInverter`` (reference: inference/gp/inversion.py:138-155) builds
+the dense N x N prior covariance and factorises it — O(N^2) memory and
+O(N^3) work, impossible at N ~ 5 x 10^4 parameters. This class solves the
+same linear-Gaussian inverse problem matrix-free:
+
+    data-space system   (Sigma + A K A^T) z = y - A mu
+    posterior mean      m = mu + K A^T z
+
+The M x M data-space operator is applied as ``A (K (A^T v)) + Sigma v``
+with the prior covariance matvec computed in row blocks on the fly (the
+same MXU-tiled block pattern as ``LargeScaleGP`` — no N x N matrix ever
+exists), solved with preconditioned conjugate gradients. Posterior
+variances come from one extra CG solve per requested parameter.
+
+Parameter rows (and the model-matrix columns) shard over an optional
+device mesh, so N scales with the number of chips.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.scipy.sparse.linalg import cg
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from ..ops.pairwise import sqexp_covariance
+from ..utils.dtypes import default_float
+
+_HI = jax.lax.Precision.HIGHEST
+
+
+class LargeScaleGpLinearInverter:
+    """
+    Solve a linear-Gaussian inverse problem ``y = A p + noise`` with a
+    squared-exponential GP prior over the parameter field ``p``, for
+    parameter counts far beyond dense factorisation.
+
+    :param y: measured data, shape (M,).
+    :param y_err: data error standard deviations, shape (M,).
+    :param model_matrix: linear forward model ``A``, shape (M, N).
+    :param parameter_spatial_positions: positions of the N parameters,
+        shape (N, D).
+    :param hyperpars: prior-covariance hyperparameters
+        ``[ln A, ln l_1, ..., ln l_D]``.
+    :param prior_mean: constant prior mean (default 0).
+    :param block_size: parameter rows per covariance-block matmul.
+    :param cg_tol: conjugate-gradient relative tolerance.
+    :param cg_maxiter: conjugate-gradient iteration cap.
+    :param mesh: optional 1D mesh; parameter rows and the model-matrix
+        columns shard over its first axis.
+    """
+
+    def __init__(
+        self,
+        y,
+        y_err,
+        model_matrix,
+        parameter_spatial_positions,
+        hyperpars,
+        prior_mean: float = 0.0,
+        block_size: int = 4096,
+        cg_tol: float = 1e-6,
+        cg_maxiter: int = 1000,
+        mesh=None,
+    ):
+        dtype = default_float()
+        y = np.asarray(y, dtype=float).squeeze()
+        y_err = np.asarray(y_err, dtype=float).squeeze()
+        A = np.asarray(model_matrix, dtype=float)
+        x = np.atleast_2d(np.asarray(parameter_spatial_positions, dtype=float))
+        if A.ndim != 2 or A.shape[0] != y.size or A.shape[1] != x.shape[0]:
+            raise ValueError(
+                f"[ LargeScaleGpLinearInverter error ] shapes are "
+                f"inconsistent: A {A.shape}, y {y.shape}, positions {x.shape}"
+            )
+        if (y_err <= 0).any():
+            raise ValueError(
+                "[ LargeScaleGpLinearInverter error ] all 'y_err' values "
+                "must be positive"
+            )
+        self.M, self.n_parameters = A.shape
+        self.n_dimensions = x.shape[1]
+        hyperpars = np.asarray(hyperpars, dtype=float)
+        self.hyperpars = hyperpars
+        self.prior_mean = float(prior_mean)
+
+        # pad parameter rows to a block multiple; padded rows have zero
+        # model-matrix columns, so they never influence the data space
+        self.block_size = int(block_size)
+        n_pad = -(-self.n_parameters // self.block_size) * self.block_size
+        extra = n_pad - self.n_parameters
+        if extra > 0:
+            x = np.concatenate(
+                [x, np.repeat(x.mean(axis=0, keepdims=True), extra, axis=0)]
+            )
+            A = np.concatenate([A, np.zeros((self.M, extra))], axis=1)
+        self._n_padded = n_pad
+
+        self._x = jnp.asarray(x, dtype)
+        self._A = jnp.asarray(A, dtype)
+        self._y = jnp.asarray(y, dtype)
+        self._sig = jnp.asarray(y_err**2, dtype)
+        self._amp = jnp.exp(jnp.asarray(hyperpars[0], dtype))
+        self._ls = jnp.exp(jnp.asarray(hyperpars[1:], dtype))
+
+        if mesh is not None:
+            axis = mesh.axis_names[0]
+            self._x = jax.device_put(
+                self._x, NamedSharding(mesh, P(axis, None))
+            )
+            self._A = jax.device_put(
+                self._A, NamedSharding(mesh, P(None, axis))
+            )
+
+        self._build_compiled(cg_tol, cg_maxiter)
+        self.z = self._solve_data_space()
+        self.posterior_mean_field = None
+
+    def _k_matvec(self, v):
+        """Prior-covariance matvec K @ v in row blocks (never dense K)."""
+        x, amp, ls = self._x, self._amp, self._ls
+        n_blocks = self._n_padded // self.block_size
+        x_blocks = x.reshape(n_blocks, self.block_size, -1)
+
+        def one_block(xb):
+            return jnp.dot(sqexp_covariance(xb, x, amp, ls), v, precision=_HI)
+
+        return lax.map(one_block, x_blocks).reshape(self._n_padded)
+
+    def _build_compiled(self, cg_tol, cg_maxiter):
+        A, sig = self._A, self._sig
+
+        def data_matvec(v):
+            """(Sigma + A K A^T) @ v."""
+            p = jnp.dot(A.T, v, precision=_HI)
+            Kp = self._k_matvec(p)
+            return sig * v + jnp.dot(A, Kp, precision=_HI)
+
+        def solve_data(rhs):
+            # Jacobi preconditioner on the noise diagonal
+            sol, _ = cg(
+                data_matvec, rhs, tol=cg_tol, maxiter=cg_maxiter,
+                M=lambda v: v / sig,
+            )
+            return sol
+
+        def solve_data_space():
+            rhs = self._y - self.prior_mean * A.sum(axis=1)
+            return solve_data(rhs)
+
+        self._solve_data_space = jax.jit(solve_data_space)
+        self._solve_data = jax.jit(solve_data)
+        self._data_matvec = jax.jit(data_matvec)
+
+        def mean_field():
+            return self.prior_mean + self._k_matvec(
+                jnp.dot(A.T, self.z, precision=_HI)
+            )
+
+        self._mean_field = jax.jit(mean_field)
+
+        def variances(idx):
+            """Posterior variances for selected parameter indices: one
+            data-space CG solve per index."""
+            x_sel = self._x[idx]
+            K_sx = sqexp_covariance(x_sel, self._x, self._amp, self._ls)
+            AK = jnp.dot(A, K_sx.T, precision=_HI)  # (M, n_sel)
+
+            def one(col):
+                return jnp.dot(col, solve_data(col), precision=_HI)
+
+            quad = lax.map(one, AK.T)
+            return self._amp**2 - quad
+
+        self._variances = jax.jit(variances)
+
+    # ------------------------------------------------------------------ #
+    # results
+    # ------------------------------------------------------------------ #
+    def calculate_posterior_mean(self) -> np.ndarray:
+        """Posterior mean of the parameter field, shape (N,)."""
+        if self.posterior_mean_field is None:
+            self.posterior_mean_field = np.asarray(self._mean_field())[
+                : self.n_parameters
+            ]
+        return self.posterior_mean_field
+
+    def posterior_variances(self, indices) -> np.ndarray:
+        """Posterior variances at the given parameter indices (one CG
+        solve each — request the points you need, not all N)."""
+        idx = jnp.asarray(np.asarray(indices, dtype=int))
+        return np.asarray(self._variances(idx))
+
+    def predict_data(self) -> np.ndarray:
+        """The forward model applied to the posterior mean, shape (M,)."""
+        m = jnp.asarray(self.calculate_posterior_mean())
+        return np.asarray(
+            jnp.dot(self._A[:, : self.n_parameters], m, precision=_HI)
+        )
+
+    def residual_norm(self) -> float:
+        """Relative residual of the data-space solve."""
+        rhs = self._y - self.prior_mean * self._A.sum(axis=1)
+        r = self._data_matvec(self.z) - rhs
+        return float(jnp.linalg.norm(r) / jnp.linalg.norm(rhs))

@@ -118,6 +118,11 @@ class LargeScaleGP:
             float(np.mean(y[: self.n_points])) if mean_value is None else mean_value
         )
 
+        # host copies (float64) kept for the mixed-precision refinement path
+        self._x_host = x
+        self._y_host = y
+        self._sig_host = y_err**2
+
         self._x = jnp.asarray(x, dtype)
         self._y = jnp.asarray(y, dtype)
         self._sig_diag = jnp.asarray(y_err**2, dtype)
@@ -289,6 +294,8 @@ class LargeScaleGP:
         solve_alpha_jit = jax.jit(solve_alpha)
         self._solve_alpha = lambda: solve_alpha_jit(self._precond)
         self._matvec = jax.jit(matvec)
+        solve_jit = jax.jit(solve)
+        self._solve_rhs = lambda rhs: solve_jit(rhs, self._precond)
 
         def predict_mean(q, alpha):
             K_qx = sqexp_covariance(q, x, amp, ls)
@@ -324,6 +331,110 @@ class LargeScaleGP:
             return mu
         var = np.asarray(self._predict_var(q, self.alpha))
         return mu, np.sqrt(np.abs(var))
+
+    # ------------------------------------------------------------------ #
+    # mixed-precision iterative refinement
+    # ------------------------------------------------------------------ #
+    def _build_matvec64(self):
+        """Float64 system matvec, compiled once — a single block-mapped
+        program, far smaller than a full emulated-f64 CG + preconditioner
+        compile (which can exhaust the remote worker at large N/rank)."""
+        if getattr(self, "_matvec64", None) is not None:
+            return
+        f64 = jnp.float64
+        x64 = jnp.asarray(self._x_host, f64)
+        sig64 = jnp.asarray(self._sig_host, f64)
+        amp64 = jnp.exp(jnp.asarray(self.hyperpars[0], f64))
+        ls64 = jnp.exp(jnp.asarray(self.hyperpars[1:], f64))
+        jitter = amp64**2 * 1e-12
+        n_pad = self._n_padded
+        # emulated f64 doubles every buffer: use a smaller row block than
+        # the f32 solve so the block covariance chunk stays well inside HBM
+        block = self.block_size
+        while block > 1024 and n_pad % (block // 2) == 0:
+            block //= 2
+        n_blocks = n_pad // block
+
+        def matvec64(v):
+            x_blocks = x64.reshape(n_blocks, block, -1)
+
+            def one_block(xb):
+                return jnp.dot(
+                    sqexp_covariance(xb, x64, amp64, ls64), v, precision=_HI
+                )
+
+            Kv = lax.map(one_block, x_blocks).reshape(n_pad)
+            return Kv + (sig64 + jitter) * v
+
+        self._matvec64 = jax.jit(matvec64)
+
+    def refine(self, rounds: int = None, target: float = 1e-9, max_rounds: int = 40):
+        """
+        Mixed-precision iterative refinement of the training solve: the
+        residual ``r = b - A alpha`` is evaluated in float64 (one compiled
+        f64 matvec), the correction ``A d = r`` is solved with the existing
+        float32 preconditioned CG, and ``alpha_64 += d``. Each round gains
+        roughly a factor ``kappa * eps_32`` of accuracy, so a handful of
+        rounds reach float64-level solves while all CG iterations stay in
+        fast float32 — this cracks the small-noise regime (sigma ~ 1e-2 of
+        the amplitude) where float32 CG alone cannot converge (alpha ~
+        y / sigma^2 amplifies matvec rounding). Standard reference:
+        Wilkinson-style iterative refinement.
+
+        With ``rounds=None`` (default) refinement is adaptive: it stops
+        when the float64 relative residual reaches ``target``, stagnates
+        (per-round contraction worse than 0.9), or ``max_rounds`` is hit.
+
+        Requires ``jax_enable_x64``. Returns ``self``; the refined solution
+        is used for predictions (cast per-dtype) and is available in full
+        precision as ``alpha64``.
+        """
+        if not jax.config.read("jax_enable_x64"):
+            raise ValueError(
+                "[ LargeScaleGP error ] refine() requires "
+                "jax.config.update('jax_enable_x64', True)."
+            )
+        self._build_matvec64()
+        f64 = jnp.float64
+        mask64 = jnp.asarray(self._mask, f64)
+        b64 = jnp.asarray(
+            (self._y_host - self.mean_value) * self._mask, f64
+        )
+        b_norm = float(jnp.linalg.norm(b64))
+        alpha64 = jnp.asarray(self.alpha, f64)
+        solve_dtype = self._x.dtype
+        n_rounds = max_rounds if rounds is None else rounds
+        last_res = np.inf
+        for _ in range(n_rounds):
+            r64 = (b64 - self._matvec64(alpha64)) * mask64
+            res = float(jnp.linalg.norm(r64)) / max(b_norm, 1e-300)
+            if rounds is None and (res <= target or res > 0.9 * last_res):
+                break
+            last_res = res
+            d = self._solve_rhs(r64.astype(solve_dtype))
+            alpha64 = alpha64 + d.astype(f64)
+        self.alpha64 = alpha64
+        self.alpha = alpha64.astype(solve_dtype)
+        return self
+
+    def residual_norm_f64(self) -> float:
+        """Relative residual of the (refined) solve, evaluated entirely in
+        float64 — the honest convergence measure for small-noise problems
+        where a float32 residual saturates at float32 rounding."""
+        if not jax.config.read("jax_enable_x64"):
+            raise ValueError(
+                "[ LargeScaleGP error ] residual_norm_f64() requires "
+                "jax.config.update('jax_enable_x64', True)."
+            )
+        self._build_matvec64()
+        f64 = jnp.float64
+        b64 = jnp.asarray((self._y_host - self.mean_value) * self._mask, f64)
+        alpha = getattr(self, "alpha64", None)
+        alpha = jnp.asarray(self.alpha, f64) if alpha is None else alpha
+        r = (b64 - self._matvec64(alpha)) * jnp.asarray(self._mask, f64)
+        return float(
+            jnp.linalg.norm(r) / jnp.maximum(jnp.linalg.norm(b64), 1e-300)
+        )
 
     def residual_norm(self) -> float:
         """Relative residual of the training solve over the real (unpadded)

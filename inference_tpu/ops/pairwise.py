@@ -60,6 +60,8 @@ def _sqexp_pallas(u, v, amplitude, lengthscales):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
+    import contextlib
+
     u = jnp.asarray(u)
     v = jnp.asarray(v)
     m, d = u.shape
@@ -84,18 +86,32 @@ def _sqexp_pallas(u, v, amplitude, lengthscales):
             dist += diff * diff
         out_ref[:] = amp_ref[0, 0] * jnp.exp(-0.5 * dist)
 
+    # under jax_enable_x64, float32 kernels still trace their grid/index
+    # types as i64, which Mosaic cannot legalize — trace with x64 off for
+    # f32 operands (f64 operands keep the global setting: interpret mode)
+    if dtype == jnp.float32:
+        try:
+            from jax._src.config import enable_x64
+
+            x64_ctx = enable_x64(False)
+        except ImportError:
+            x64_ctx = contextlib.nullcontext()
+    else:
+        x64_ctx = contextlib.nullcontext()
+
     grid = (mp // _TILE, np_ // _TILE)
-    out = pl.pallas_call(
-        kernel,
-        out_shape=jax.ShapeDtypeStruct((mp, np_), dtype),
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((_TILE, d), lambda i, j: (i, 0)),
-            pl.BlockSpec((_TILE, d), lambda i, j: (j, 0)),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-        ],
-        out_specs=pl.BlockSpec((_TILE, _TILE), lambda i, j: (i, j)),
-    )(us_p, vs_p, amp_sq)
+    with x64_ctx:
+        out = pl.pallas_call(
+            kernel,
+            out_shape=jax.ShapeDtypeStruct((mp, np_), dtype),
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((_TILE, d), lambda i, j: (i, 0)),
+                pl.BlockSpec((_TILE, d), lambda i, j: (j, 0)),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+            ],
+            out_specs=pl.BlockSpec((_TILE, _TILE), lambda i, j: (i, j)),
+        )(us_p, vs_p, amp_sq)
     return out[:m, :n]
 
 

@@ -62,3 +62,68 @@ def test_inverter_validation():
     inv = GpLinearInverter(y, y_err, A, pos)
     with pytest.raises(ValueError):
         inv.optimize_hyperparameters(np.ones(99))
+
+
+def test_large_scale_inverter_matches_dense():
+    """The matrix-free inverter reproduces the dense GpLinearInverter
+    posterior mean on a problem small enough for both."""
+    import jax.numpy as jnp
+    from inference_tpu.gp import LargeScaleGpLinearInverter
+
+    rng = np.random.default_rng(0)
+    n_param, n_data = 300, 60
+    positions = rng.uniform(0, 10, size=(n_param, 2))
+    truth = np.sin(positions[:, 0]) * np.cos(0.5 * positions[:, 1])
+    A = rng.normal(0, 1.0 / n_param, size=(n_data, n_param)) ** 2  # smooth-ish
+    y_clean = A @ truth
+    y_err = np.full(n_data, 0.05 * np.abs(y_clean).max() + 1e-3)
+    y = y_clean + rng.normal(0, y_err)
+
+    theta = np.array([0.0, 0.5, 0.5])
+    inv = LargeScaleGpLinearInverter(
+        y, y_err, A, positions, hyperpars=theta, block_size=128
+    )
+    assert inv.residual_norm() < 1e-5
+    mean = inv.calculate_posterior_mean()
+
+    # dense reference solution in float64
+    d2 = (
+        ((positions[:, None, :] - positions[None, :, :]) / np.exp(0.5)) ** 2
+    ).sum(axis=2)
+    K = np.exp(-0.5 * d2)
+    S = np.diag(y_err**2)
+    z = np.linalg.solve(S + A @ K @ A.T, y)
+    dense_mean = K @ A.T @ z
+    scale = np.abs(dense_mean).max()
+    assert np.max(np.abs(mean - dense_mean)) / scale < 1e-3
+
+    # variances at a few indices are positive and below the prior
+    var = inv.posterior_variances(np.arange(5))
+    assert (var > 0).all() and (var <= 1.0 + 1e-6).all()
+
+    # forward prediction consistency
+    pred = inv.predict_data()
+    assert np.sqrt(np.mean((pred - y) ** 2)) < 3 * y_err.mean()
+
+
+def test_large_scale_inverter_sharded():
+    """Parameter rows shard over the device mesh."""
+    import jax
+    from inference_tpu.gp import LargeScaleGpLinearInverter
+    from inference_tpu.parallel import chain_mesh
+
+    rng = np.random.default_rng(1)
+    n_param, n_data = 256, 40
+    positions = rng.uniform(0, 8, size=(n_param, 2))
+    truth = np.sin(positions[:, 0])
+    A = np.abs(rng.normal(0, 1.0 / n_param, size=(n_data, n_param)))
+    y = A @ truth + rng.normal(0, 0.01, n_data)
+
+    mesh = chain_mesh(axis_name="rows")
+    inv = LargeScaleGpLinearInverter(
+        y, np.full(n_data, 0.01), A, positions,
+        hyperpars=np.array([0.0, 0.0, 0.0]), block_size=64, mesh=mesh,
+    )
+    assert len(inv._x.sharding.device_set) == len(jax.devices())
+    assert inv.residual_norm() < 1e-4
+    assert np.isfinite(inv.calculate_posterior_mean()).all()

@@ -76,6 +76,7 @@ def test_gpo_plot_results():
     opt.add_evaluation(np.array([nx]), np.array([objective_1d(nx)]))
     opt.plot_results(show_plot=False)
 
+@pytest.mark.slow
 def test_gpo_device_proposal_matches_host():
     """The on-device vmapped acquisition multistart must find a proposal at
     least as good as the host multistart L-BFGS-B from the same seeds."""

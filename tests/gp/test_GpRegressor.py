@@ -235,6 +235,7 @@ def test_gpr_diffev_optimizer():
     assert np.isfinite(mu).all()
 
 
+@pytest.mark.slow
 def test_gpr_device_optimizer():
     """The on-device vmapped multistart fit must find the same optimum as
     the host multistart L-BFGS-B."""
@@ -246,12 +247,14 @@ def test_gpr_device_optimizer():
     assert lml_dev >= lml_host - 1e-4
 
 
+@pytest.mark.slow
 def test_gpr_fit_device_cross_val():
     x, y, err = make_data(n=20)
     gp = GpRegressor(x, y, y_err=err, cross_val=True, optimizer="device")
     assert np.isfinite(gp.loo_likelihood(gp.hyperpars))
 
 
+@pytest.mark.slow
 def test_gpr_padding_is_exact():
     """pad_to bucket padding produces numerically identical results to the
     unpadded computation (masked rows are identity rows of K)."""

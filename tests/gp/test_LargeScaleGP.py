@@ -95,3 +95,33 @@ def test_dtype_override_float64():
     assert gp._x.dtype == np.float64
     assert gp.alpha.dtype == np.float64
     assert gp.residual_norm() < 1e-6
+
+
+def test_iterative_refinement_small_noise():
+    """Mixed-precision refinement reaches float64-level solves with all CG
+    iterations in float32 — the sigma ~ 1e-2 regime where f32 CG alone
+    cannot converge."""
+    rng = np.random.default_rng(3)
+    n = 512
+    x = rng.uniform(0, 8, size=(n, 2))
+    theta = np.array([0.0, 0.0, 0.0])  # amp 1, lengthscales 1
+    y = np.sin(x[:, 0]) * np.cos(0.5 * x[:, 1])
+    err = np.full(n, 0.01)  # sigma^2 = 1e-4 of the amplitude
+
+    gp = LargeScaleGP(
+        x, y, err, hyperpars=theta, block_size=128,
+        preconditioner_rank=128, dtype="float32",
+    )
+    r32 = gp.residual_norm_f64()
+    gp.refine(target=1e-9)
+    r_refined = gp.residual_norm_f64()
+    assert r_refined < 3e-9
+    assert r_refined < r32 * 1e-2  # orders of magnitude beyond plain f32
+
+    # the refined alpha matches the direct float64 dense solve
+    d2 = ((x[:, None, :] - x[None, :, :]) ** 2).sum(axis=2)
+    K = np.exp(-0.5 * d2) + np.diag(err**2) + 1e-12 * np.eye(n)
+    alpha_direct = np.linalg.solve(K, y - gp.mean_value)
+    ours = np.asarray(gp.alpha64)[:n]
+    # forward error is bounded by kappa * residual ~ 1e4 * 1e-9 = 1e-5
+    assert np.max(np.abs(ours - alpha_direct)) / np.max(np.abs(alpha_direct)) < 3e-5

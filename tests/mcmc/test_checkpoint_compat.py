@@ -9,6 +9,8 @@ import numpy as np
 import pytest
 
 
+
+pytestmark = pytest.mark.slow  # measured >8 s per test on the CI mesh
 def _import_reference():
     mod = types.ModuleType("setuptools_scm")
     mod.get_version = lambda **k: "0.0.0"

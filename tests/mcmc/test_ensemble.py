@@ -18,6 +18,7 @@ def make_sampler(n_walkers=20, iterations=50, seed=9):
     return sampler
 
 
+@pytest.mark.slow
 def test_ensemble_advance_shapes():
     n_walkers, iterations = 20, 50
     sampler = make_sampler(n_walkers, iterations)

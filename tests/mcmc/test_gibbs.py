@@ -36,6 +36,7 @@ def test_gibbs_chain_burn_thin_slicing(burn, thin):
     assert chain.get_probabilities(burn=burn, thin=thin).size == expected
 
 
+@pytest.mark.slow
 def test_gibbs_chain_statistics():
     chain = make_chain(n=20000, seed=11)
     s = chain.get_sample(burn=5000)
@@ -45,6 +46,7 @@ def test_gibbs_chain_statistics():
     assert 0.1 < s[:, 1].mean() < 0.8
 
 
+@pytest.mark.slow
 def test_gibbs_chain_non_negative():
     chain = GibbsChain(
         posterior=rosenbrock,
@@ -58,6 +60,7 @@ def test_gibbs_chain_non_negative():
     assert (chain.get_parameter(1) >= 0).all()
 
 
+@pytest.mark.slow
 def test_gibbs_chain_boundaries():
     chain = GibbsChain(
         posterior=rosenbrock,
@@ -73,6 +76,7 @@ def test_gibbs_chain_boundaries():
     assert (p >= left).all() and (p <= right).all()
 
 
+@pytest.mark.slow
 def test_gibbs_chain_save_load(tmp_path):
     chain = make_chain(n=300)
     f = tmp_path / "gibbs.npz"
@@ -87,6 +91,7 @@ def test_gibbs_chain_save_load(tmp_path):
     assert loaded.chain_length == chain.chain_length + 50
 
 
+@pytest.mark.slow
 def test_gibbs_chain_mode():
     chain = make_chain(n=1000)
     mode = chain.mode()
@@ -95,6 +100,7 @@ def test_gibbs_chain_mode():
     assert np.isclose(float(rosenbrock(mode)), probs.max())
 
 
+@pytest.mark.slow
 def test_gibbs_chain_get_interval():
     chain = make_chain(n=1000)
     sample, probs = chain.get_interval(interval=0.5)

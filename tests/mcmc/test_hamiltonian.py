@@ -27,6 +27,7 @@ def test_hamiltonian_advance_and_slicing():
         assert chain.get_probabilities(burn=burn, thin=thin).size == expected
 
 
+@pytest.mark.slow
 def test_hamiltonian_statistics():
     """Sampled radius distribution matches the toroidal target."""
     chain = make_chain(n=3000, seed=1)
@@ -37,6 +38,7 @@ def test_hamiltonian_statistics():
     assert abs(s[:, 2].std() - 0.05) < 0.02
 
 
+@pytest.mark.slow
 def test_hamiltonian_user_gradient():
     posterior = ToroidalGaussian()
     chain = HamiltonianChain(
@@ -87,6 +89,7 @@ def test_hamiltonian_mass_options(inverse_mass):
     assert chain.chain_length == 101
 
 
+@pytest.mark.slow
 def test_hamiltonian_estimate_mass():
     chain = make_chain(n=300)
     chain.estimate_mass(burn=50, diagonal=True)
@@ -97,6 +100,7 @@ def test_hamiltonian_estimate_mass():
     assert chain.chain_length == 501
 
 
+@pytest.mark.slow
 def test_hamiltonian_save_load(tmp_path):
     chain = make_chain(n=200)
     f = tmp_path / "hmc.npz"
@@ -135,6 +139,7 @@ def test_hamiltonian_plot_diagnostics():
     chain.plot_diagnostics(show=False)
 
 
+@pytest.mark.slow
 def test_hamiltonian_mode_and_burn_in():
     chain = make_chain(n=500)
     burn = chain.estimate_burn_in()

@@ -13,6 +13,8 @@ from inference_tpu.mcmc import (
     ChainPool,
 )
 
+pytestmark = pytest.mark.slow  # measured >8 s per test on the CI mesh
+
 
 def bimodal(t):
     x = t[0]

@@ -5,6 +5,8 @@ from inference_tpu.mcmc import PcaChain
 from mcmc_utils import rosenbrock, sliced_length, line_posterior
 
 
+
+pytestmark = pytest.mark.slow  # measured >8 s per test on the CI mesh
 def make_chain(n=300, seed=8, **kwargs):
     chain = PcaChain(
         posterior=rosenbrock,

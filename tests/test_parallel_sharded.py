@@ -14,6 +14,8 @@ from inference_tpu.parallel import (
     ShardedTempering,
 )
 
+pytestmark = pytest.mark.slow  # measured >8 s per test on the CI mesh
+
 
 def correlated_gaussian():
     cov = np.array([[1.0, 0.7], [0.7, 2.0]])
