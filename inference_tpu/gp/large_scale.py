@@ -368,7 +368,38 @@ class LargeScaleGP:
 
         self._matvec64 = jax.jit(matvec64)
 
-    def refine(self, rounds: int = None, target: float = 1e-9, max_rounds: int = 40):
+    def _host_matvec64(self, v) -> np.ndarray:
+        """Float64 system matvec on the host (blocked numpy): the fallback
+        residual path for backends where large emulated-f64 programs are
+        unavailable. The |u|^2+|v|^2-2uv matmul form is safe here — f64
+        cancellation is ~1e-13 relative."""
+        v = np.asarray(v, dtype=np.float64)
+        h = np.asarray(self.hyperpars, dtype=np.float64)
+        amp2 = np.exp(2.0 * h[0])
+        ls = np.exp(h[1:])
+        xs = np.asarray(self._x_host, np.float64) / ls[None, :]
+        sq = (xs**2).sum(axis=1)
+        out = np.empty(self._n_padded)
+        B = min(self.block_size, 4096)
+        for i in range(0, self._n_padded, B):
+            blk = slice(i, min(i + B, self._n_padded))
+            d2 = sq[blk, None] + sq[None, :] - 2.0 * (xs[blk] @ xs.T)
+            out[blk] = (amp2 * np.exp(-0.5 * np.maximum(d2, 0.0))) @ v
+        return out + (self._sig_host + amp2 * 1e-12) * v
+
+    def _residual64(self, alpha64, backend: str):
+        if backend == "device":
+            self._build_matvec64()
+            return np.asarray(self._matvec64(jnp.asarray(alpha64)))
+        return self._host_matvec64(alpha64)
+
+    def refine(
+        self,
+        rounds: int = None,
+        target: float = 1e-9,
+        max_rounds: int = 40,
+        residual_backend: str = "auto",
+    ):
         """
         Mixed-precision iterative refinement of the training solve: the
         residual ``r = b - A alpha`` is evaluated in float64 (one compiled
@@ -385,56 +416,60 @@ class LargeScaleGP:
         when the float64 relative residual reaches ``target``, stagnates
         (per-round contraction worse than 0.9), or ``max_rounds`` is hit.
 
-        Requires ``jax_enable_x64``. Returns ``self``; the refined solution
-        is used for predictions (cast per-dtype) and is available in full
-        precision as ``alpha64``.
+        :param residual_backend: where the f64 residual is evaluated —
+            "device" (one compiled emulated-f64 matvec; requires
+            ``jax_enable_x64``), "host" (blocked numpy — for backends where
+            large emulated-f64 programs are unavailable), or "auto"
+            (device when x64 is enabled and N is moderate, host otherwise).
+
+        Returns ``self``; the refined solution is used for predictions
+        (cast per-dtype) and is available in full precision as ``alpha64``.
         """
-        if not jax.config.read("jax_enable_x64"):
-            raise ValueError(
-                "[ LargeScaleGP error ] refine() requires "
-                "jax.config.update('jax_enable_x64', True)."
+        if residual_backend == "auto":
+            use_device = (
+                jax.config.read("jax_enable_x64") and self._n_padded <= 16384
             )
-        self._build_matvec64()
-        f64 = jnp.float64
-        mask64 = jnp.asarray(self._mask, f64)
-        b64 = jnp.asarray(
-            (self._y_host - self.mean_value) * self._mask, f64
-        )
-        b_norm = float(jnp.linalg.norm(b64))
-        alpha64 = jnp.asarray(self.alpha, f64)
+            residual_backend = "device" if use_device else "host"
+        if residual_backend == "device" and not jax.config.read(
+            "jax_enable_x64"
+        ):
+            raise ValueError(
+                "[ LargeScaleGP error ] refine(residual_backend='device') "
+                "requires jax.config.update('jax_enable_x64', True)."
+            )
+        b64 = (np.asarray(self._y_host) - self.mean_value) * self._mask
+        b_norm = float(np.linalg.norm(b64))
+        alpha64 = np.asarray(self.alpha, np.float64)
         solve_dtype = self._x.dtype
         n_rounds = max_rounds if rounds is None else rounds
         last_res = np.inf
         for _ in range(n_rounds):
-            r64 = (b64 - self._matvec64(alpha64)) * mask64
-            res = float(jnp.linalg.norm(r64)) / max(b_norm, 1e-300)
+            r64 = (b64 - self._residual64(alpha64, residual_backend)) * self._mask
+            res = float(np.linalg.norm(r64)) / max(b_norm, 1e-300)
             if rounds is None and (res <= target or res > 0.9 * last_res):
                 break
             last_res = res
-            d = self._solve_rhs(r64.astype(solve_dtype))
-            alpha64 = alpha64 + d.astype(f64)
+            d = self._solve_rhs(jnp.asarray(r64.astype(solve_dtype)))
+            alpha64 = alpha64 + np.asarray(d, np.float64)
         self.alpha64 = alpha64
-        self.alpha = alpha64.astype(solve_dtype)
+        self.alpha = jnp.asarray(alpha64, solve_dtype)
         return self
 
-    def residual_norm_f64(self) -> float:
+    def residual_norm_f64(self, residual_backend: str = "auto") -> float:
         """Relative residual of the (refined) solve, evaluated entirely in
         float64 — the honest convergence measure for small-noise problems
         where a float32 residual saturates at float32 rounding."""
-        if not jax.config.read("jax_enable_x64"):
-            raise ValueError(
-                "[ LargeScaleGP error ] residual_norm_f64() requires "
-                "jax.config.update('jax_enable_x64', True)."
+        if residual_backend == "auto":
+            use_device = (
+                jax.config.read("jax_enable_x64") and self._n_padded <= 16384
             )
-        self._build_matvec64()
-        f64 = jnp.float64
-        b64 = jnp.asarray((self._y_host - self.mean_value) * self._mask, f64)
+            residual_backend = "device" if use_device else "host"
+        b64 = (np.asarray(self._y_host) - self.mean_value) * self._mask
         alpha = getattr(self, "alpha64", None)
-        alpha = jnp.asarray(self.alpha, f64) if alpha is None else alpha
-        r = (b64 - self._matvec64(alpha)) * jnp.asarray(self._mask, f64)
-        return float(
-            jnp.linalg.norm(r) / jnp.maximum(jnp.linalg.norm(b64), 1e-300)
-        )
+        if alpha is None:
+            alpha = np.asarray(self.alpha, np.float64)
+        r = (b64 - self._residual64(alpha, residual_backend)) * self._mask
+        return float(np.linalg.norm(r) / max(np.linalg.norm(b64), 1e-300))
 
     def residual_norm(self) -> float:
         """Relative residual of the training solve over the real (unpadded)
