@@ -423,3 +423,30 @@ def test_chain_array_matrix_inverse_mass():
     assert np.allclose(np.cov(s.T), cov, atol=0.3)
     with pytest.raises(ValueError):
         ChainArray("hmc", logp, starts, inverse_mass=np.ones((3, 3)))
+
+
+def test_global_meshes_single_process():
+    """The multi-host mesh helpers degrade gracefully to one process: all
+    local devices, rungs on contiguous devices."""
+    from inference_tpu.parallel import global_chain_mesh, global_tempering_mesh
+
+    m = global_chain_mesh()
+    assert m.devices.size == len(jax.devices())
+    tm = global_tempering_mesh(n_rungs=4)
+    assert dict(tm.shape) == {"rungs": 4, "chains": len(jax.devices()) // 4}
+    with pytest.raises(ValueError):
+        global_tempering_mesh(n_rungs=3)
+
+    # the sharded tempering program runs on the global mesh layout
+    st = ShardedTempering(
+        bimodal_1d,
+        start=np.array([4.0]),
+        temperatures=[1.0, 3.0, 10.0, 30.0],
+        n_chains=4,
+        mesh=tm,
+        steps=5,
+        seed=0,
+    )
+    acc = st.advance(20, swap_interval=10)
+    assert acc.shape == (2, 4, 4)
+    assert np.isfinite(st.logp).all()
