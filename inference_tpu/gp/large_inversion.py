@@ -118,63 +118,78 @@ class LargeScaleGpLinearInverter:
         self.z = self._solve_data_space()
         self.posterior_mean_field = None
 
-    def _k_matvec(self, v):
-        """Prior-covariance matvec K @ v in row blocks (never dense K)."""
-        x, amp, ls = self._x, self._amp, self._ls
-        n_blocks = self._n_padded // self.block_size
-        x_blocks = x.reshape(n_blocks, self.block_size, -1)
-
-        def one_block(xb):
-            return jnp.dot(sqexp_covariance(xb, x, amp, ls), v, precision=_HI)
-
-        return lax.map(one_block, x_blocks).reshape(self._n_padded)
-
     def _build_compiled(self, cg_tol, cg_maxiter):
-        A, sig = self._A, self._sig
+        """All compiled programs take the model matrix, positions and
+        noise as RUNTIME arguments — closed-over (M, N) constants would be
+        baked into every HLO (the compile-payload trap documented in
+        large_scale.py)."""
+        amp, ls = self._amp, self._ls
+        n_pad, block = self._n_padded, self.block_size
+        n_blocks = n_pad // block
 
-        def data_matvec(v):
+        def k_matvec(x, v):
+            """Prior-covariance matvec K @ v in row blocks (never dense K)."""
+            x_blocks = x.reshape(n_blocks, block, -1)
+
+            def one_block(xb):
+                return jnp.dot(
+                    sqexp_covariance(xb, x, amp, ls), v, precision=_HI
+                )
+
+            return lax.map(one_block, x_blocks).reshape(n_pad)
+
+        def data_matvec(A, x, sig, v):
             """(Sigma + A K A^T) @ v."""
             p = jnp.dot(A.T, v, precision=_HI)
-            Kp = self._k_matvec(p)
+            Kp = k_matvec(x, p)
             return sig * v + jnp.dot(A, Kp, precision=_HI)
 
-        def solve_data(rhs):
+        def solve_data(A, x, sig, rhs):
             # Jacobi preconditioner on the noise diagonal
             sol, _ = cg(
-                data_matvec, rhs, tol=cg_tol, maxiter=cg_maxiter,
+                lambda v: data_matvec(A, x, sig, v),
+                rhs,
+                tol=cg_tol,
+                maxiter=cg_maxiter,
                 M=lambda v: v / sig,
             )
             return sol
 
-        def solve_data_space():
-            rhs = self._y - self.prior_mean * A.sum(axis=1)
-            return solve_data(rhs)
+        def solve_data_space(A, x, sig, y):
+            rhs = y - self.prior_mean * A.sum(axis=1)
+            return solve_data(A, x, sig, rhs)
 
-        self._solve_data_space = jax.jit(solve_data_space)
-        self._solve_data = jax.jit(solve_data)
-        self._data_matvec = jax.jit(data_matvec)
+        solve_ds_jit = jax.jit(solve_data_space)
+        solve_jit = jax.jit(solve_data)
+        matvec_jit = jax.jit(data_matvec)
+        args = lambda: (self._A, self._x, self._sig)
+        self._solve_data_space = lambda: solve_ds_jit(*args(), self._y)
+        self._solve_data = lambda rhs: solve_jit(*args(), rhs)
+        self._data_matvec = lambda v: matvec_jit(*args(), v)
 
-        def mean_field():
-            return self.prior_mean + self._k_matvec(
-                jnp.dot(A.T, self.z, precision=_HI)
+        def mean_field(A, x, z):
+            return self.prior_mean + k_matvec(
+                x, jnp.dot(A.T, z, precision=_HI)
             )
 
-        self._mean_field = jax.jit(mean_field)
+        mean_jit = jax.jit(mean_field)
+        self._mean_field = lambda: mean_jit(self._A, self._x, self.z)
 
-        def variances(idx):
+        def variances(A, x, sig, idx):
             """Posterior variances for selected parameter indices: one
             data-space CG solve per index."""
-            x_sel = self._x[idx]
-            K_sx = sqexp_covariance(x_sel, self._x, self._amp, self._ls)
+            x_sel = x[idx]
+            K_sx = sqexp_covariance(x_sel, x, amp, ls)
             AK = jnp.dot(A, K_sx.T, precision=_HI)  # (M, n_sel)
 
             def one(col):
-                return jnp.dot(col, solve_data(col), precision=_HI)
+                return jnp.dot(col, solve_data(A, x, sig, col), precision=_HI)
 
             quad = lax.map(one, AK.T)
-            return self._amp**2 - quad
+            return amp**2 - quad
 
-        self._variances = jax.jit(variances)
+        var_jit = jax.jit(variances)
+        self._variances = lambda idx: var_jit(*args(), idx)
 
     # ------------------------------------------------------------------ #
     # results

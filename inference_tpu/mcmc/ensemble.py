@@ -221,7 +221,8 @@ class EnsembleSampler(MarkovChain):
         self._prob_chunks.append(outs.logps)      # (n, W)
         self._device_history_bytes += outs.walkers.nbytes + outs.logps.nbytes
         if self._device_history_bytes > DEVICE_HISTORY_LIMIT:
-            _ = self.sample  # consolidate + offload
+            _ = self.sample      # consolidate + offload walkers/logps
+            self._drain_stats()  # ...and the deferred attempt statistics
 
     def _drain_stats(self):
         """Process deferred per-iteration proposal/failure statistics."""
@@ -234,25 +235,33 @@ class EnsembleSampler(MarkovChain):
                 self.total_proposals[i].extend(attempts[:, i].tolist())
             self.failed_updates.extend(np.asarray(failures).tolist())
 
+    def _consolidate_history(self):
+        """One consolidated device-to-host transfer of both stored
+        histories, flattened to ((n_iter * W, P), (n_iter * W,))."""
+        def needs_work(chunks):
+            return len(chunks) > 1 or (
+                chunks and not isinstance(chunks[0], np.ndarray)
+            )
+
+        if needs_work(self._sample_chunks) or needs_work(self._prob_chunks):
+            fetched = jax.device_get((self._sample_chunks, self._prob_chunks))
+            self._sample_chunks = [
+                np.concatenate(
+                    [np.asarray(c).reshape(-1, self.n_parameters) for c in fetched[0]]
+                )
+            ] if fetched[0] else []
+            self._prob_chunks = [
+                np.concatenate([np.asarray(c).reshape(-1) for c in fetched[1]])
+            ] if fetched[1] else []
+            self._device_history_bytes = 0
+
     @property
     def sample(self) -> np.ndarray:
         """All stored samples, shape (n_iterations * n_walkers, P). Device
         chunks are fetched in one consolidated transfer on first access."""
         if not self._sample_chunks:
             return None
-        if len(self._sample_chunks) > 1 or not isinstance(
-            self._sample_chunks[0], np.ndarray
-        ):
-            fetched = jax.device_get((self._sample_chunks, self._prob_chunks))
-            self._sample_chunks = [
-                np.concatenate(
-                    [np.asarray(c).reshape(-1, self.n_parameters) for c in fetched[0]]
-                )
-            ]
-            self._prob_chunks = [
-                np.concatenate([np.asarray(c).reshape(-1) for c in fetched[1]])
-            ]
-            self._device_history_bytes = 0
+        self._consolidate_history()
         return self._sample_chunks[0]
 
     @sample.setter
@@ -263,7 +272,7 @@ class EnsembleSampler(MarkovChain):
     def sample_probs(self) -> np.ndarray:
         if not self._prob_chunks:
             return None
-        _ = self.sample  # consolidates both histories
+        self._consolidate_history()
         return self._prob_chunks[0]
 
     @sample_probs.setter

@@ -134,6 +134,11 @@ class ShardedTempering:
         self._logp = as_device_logp(posterior, start)
         inv_temps = jnp.asarray(1.0 / self.temperatures, dtype)
 
+        if kind in ("gibbs", "metropolis", "pca") and widths is None:
+            # the reference's default: 5% of the start point per parameter
+            # (reference: gibbs.py:258-259)
+            widths = np.where(start != 0, np.abs(start) * 0.05, 1.0)
+
         key = make_key(seed)
         self._swap_key, init_key, walker_key = jax.random.split(key, 3)
         keys = jax.random.split(init_key, self.n_rungs * n_chains).reshape(
@@ -242,9 +247,13 @@ class ShardedTempering:
             accept_prob = jnp.exp(-d_beta * d_logp)
 
             # shared decision: both partners fold the swap key with the
-            # lower rung index, so they draw identical uniforms per lane
+            # lower rung index, so they draw identical uniforms per lane.
+            # The chains-shard index is folded in too — partners share a
+            # chain shard, but distinct shards must draw independent
+            # uniforms (a replicated key would correlate their lanes)
             pair_id = jnp.minimum(rung, partner_idx)
             u_key = jax.random.fold_in(swap_key, pair_id)
+            u_key = jax.random.fold_in(u_key, lax.axis_index("chains"))
             u = jax.random.uniform(u_key, logp.shape, logp.dtype)
             accept = has_partner & (u <= accept_prob)
 
@@ -287,28 +296,38 @@ class ShardedTempering:
         swap_fns = self._swap_fns
         patch = self._patch_last
 
-        @partial(jax.jit, static_argnames=("interval", "phase0"))
-        def fused(state, keys, interval: int, phase0: int):
+        @partial(jax.jit, static_argnames=("interval", "phase0", "store"))
+        def fused(state, keys, interval: int, phase0: int, store: bool):
             def half(state, key, phase):
                 state, outs = lax.scan(
-                    lambda s, _: vstep(s), state, None, length=interval
+                    lambda s, o: (vstep(s)[0], None)
+                    if not store
+                    else vstep(s),
+                    state,
+                    None,
+                    length=interval,
                 )
                 state, accept = swap_fns[phase](state, key)
-                return state, patch(outs, state), accept
+                outs = patch(outs, state) if store else None
+                return state, outs, accept
 
             def body(state, ks):
                 state, o1, a1 = half(state, ks[0], phase0)
                 state, o2, a2 = half(state, ks[1], 1 - phase0)
-                outs = jax.tree.map(
-                    lambda a, b: jnp.concatenate([a, b]), o1, o2
-                )
+                if store:
+                    outs = jax.tree.map(
+                        lambda a, b: jnp.concatenate([a, b]), o1, o2
+                    )
+                else:
+                    outs = None
                 return state, (outs, jnp.stack([a1, a2]))
 
             state, (outs, accepts) = lax.scan(body, state, keys)
-            # (n_super, 2*interval, R, C, ...) -> (steps, R, C, ...)
-            outs = jax.tree.map(
-                lambda x: x.reshape((-1,) + x.shape[2:]), outs
-            )
+            if store:
+                # (n_super, 2*interval, R, C, ...) -> (steps, R, C, ...)
+                outs = jax.tree.map(
+                    lambda x: x.reshape((-1,) + x.shape[2:]), outs
+                )
             return state, outs, accepts
 
         return fused
@@ -318,22 +337,31 @@ class ShardedTempering:
         swap_fns = self._swap_fns
         patch = self._patch_last
 
-        @partial(jax.jit, static_argnames=("interval", "phase"))
-        def single(state, key, interval: int, phase: int):
+        @partial(jax.jit, static_argnames=("interval", "phase", "store"))
+        def single(state, key, interval: int, phase: int, store: bool):
             state, outs = lax.scan(
-                lambda s, _: vstep(s), state, None, length=interval
+                lambda s, o: (vstep(s)[0], None) if not store else vstep(s),
+                state,
+                None,
+                length=interval,
             )
             state, accept = swap_fns[phase](state, key)
-            return state, patch(outs, state), accept
+            outs = patch(outs, state) if store else None
+            return state, outs, accept
 
         return single
 
     def _build_steps_only(self):
         vstep = self._vstep
 
-        @partial(jax.jit, static_argnames="n")
-        def steps_only(state, n: int):
-            return lax.scan(lambda s, _: vstep(s), state, None, length=n)
+        @partial(jax.jit, static_argnames=("n", "store"))
+        def steps_only(state, n: int, store: bool):
+            return lax.scan(
+                lambda s, o: (vstep(s)[0], None) if not store else vstep(s),
+                state,
+                None,
+                length=n,
+            )
 
         return steps_only
 
@@ -379,7 +407,7 @@ class ShardedTempering:
             self._swap_key, sub = jax.random.split(self._swap_key)
             keys = jax.random.split(sub, 2 * n_super).reshape(n_super, 2, -1)
             self._state, outs, acc = self._fused(
-                self._state, keys, swap_interval, self._phase
+                self._state, keys, swap_interval, self._phase, store
             )
             acc = np.asarray(acc)  # (n_super, 2, R, C[, W])
             for s in range(acc.shape[0]):
@@ -393,7 +421,7 @@ class ShardedTempering:
         if remaining == 1:
             self._swap_key, sub = jax.random.split(self._swap_key)
             self._state, outs, acc = self._single(
-                self._state, sub, swap_interval, self._phase
+                self._state, sub, swap_interval, self._phase, store
             )
             self._record_swaps(np.asarray(acc), self._phase)
             accepts.append(np.asarray(acc)[None])
@@ -402,7 +430,7 @@ class ShardedTempering:
             self._phase ^= 1
 
         if rem > 0:
-            self._state, outs = self._steps_only(self._state, rem)
+            self._state, outs = self._steps_only(self._state, rem, store)
             if store:
                 self._store(outs, thin)
             else:
@@ -410,7 +438,10 @@ class ShardedTempering:
 
         if accepts:
             return np.concatenate(accepts, axis=0)
-        return np.zeros((0, self.n_rungs, self.n_chains))
+        empty = (0, self.n_rungs, self.n_chains)
+        if self.kind == "ensemble":
+            empty = empty + (positions_of(self._state)[1].shape[-1],)
+        return np.zeros(empty)
 
     def run_for(self, minutes=0, hours=0, days=0, swap_interval: int = 10):
         """
@@ -422,6 +453,9 @@ class ShardedTempering:
         run_time = ((days * 24.0 + hours) * 60.0 + minutes) * 60.0
         end_time = time() + run_time
 
+        # warm the compiled cycle first (remote compilation costs seconds
+        # and would wreck the calibration), then time a warm cycle
+        self.advance(swap_interval, swap_interval)
         t1 = time()
         self.advance(swap_interval, swap_interval)
         t2 = time()

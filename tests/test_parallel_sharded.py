@@ -450,3 +450,68 @@ def test_global_meshes_single_process():
     acc = st.advance(20, swap_interval=10)
     assert acc.shape == (2, 4, 4)
     assert np.isfinite(st.logp).all()
+
+
+def test_swap_uniforms_independent_across_chain_shards():
+    """Swap accept draws must be independent across 'chains'-axis device
+    shards (regression: a replicated key repeated the same uniforms in
+    every shard, correlating supposedly independent lanes)."""
+    mesh = tempering_mesh(n_rungs=2)  # chains axis = 4 devices
+    st = ShardedTempering(
+        lambda t: jnp.asarray(0.0) * t.sum(),
+        start=np.zeros(1),
+        temperatures=[1.0, 2.0],
+        n_chains=64,  # 16 lanes per shard
+        mesh=mesh,
+        steps=2,
+        seed=0,
+    )
+    # engineer accept_prob = 0.5 on every lane: (it0-it1)*(a-b) = ln 2
+    it = 1.0 / st.temperatures
+    a_minus_b = np.log(2.0) / (it[0] - it[1])
+    untempered = np.stack(
+        [np.full(64, a_minus_b), np.zeros(64)]
+    )  # rung-0 minus rung-1 difference = a_minus_b
+    logp = jnp.asarray(untempered * it[:, None], st._state.theta.dtype)
+    state = st._state._replace(logp=st._shard(logp))
+
+    _, accept = st._swap_fns[0](state, jax.random.PRNGKey(7))
+    accept = np.asarray(accept)[0]  # rung-0 row, 64 lanes
+    blocks = accept.reshape(4, 16)  # one row per chains-shard
+    assert 0 < accept.mean() < 1  # the test is actually stochastic
+    # shards must NOT all draw the same lane pattern
+    assert not all(
+        np.array_equal(blocks[0], blocks[k]) for k in range(1, 4)
+    )
+
+
+def test_sharded_tempering_store_false_no_history():
+    mesh = tempering_mesh(n_rungs=2)
+    st = ShardedTempering(
+        bimodal_1d,
+        start=np.array([4.0]),
+        temperatures=[1.0, 10.0],
+        n_chains=4,
+        mesh=mesh,
+        steps=5,
+        seed=1,
+    )
+    acc = st.advance(25, swap_interval=10, store=False)
+    assert acc.shape[0] == 2
+    assert not st._history
+    assert st.get_sample(0).shape == (0, 1)
+    # empty-return shape matches the stored-accept shape per kind
+    st2 = ShardedTempering(
+        bimodal_1d,
+        start=np.array([4.0]),
+        temperatures=[1.0, 10.0],
+        n_chains=4,
+        mesh=mesh,
+        kind="ensemble",
+        n_walkers=6,
+        widths=1.0,
+        seed=2,
+    )
+    empty = st2.advance(3, swap_interval=10)
+    full = st2.advance(20, swap_interval=10)
+    assert empty.shape[1:] == full.shape[1:]
