@@ -61,6 +61,14 @@ class LargeScaleGP:
         amplitude (alpha ~ y/sigma^2 amplifies matvec rounding);
         ``dtype="float64"`` runs the whole solve in (TPU-emulated) float64.
         Requires ``jax.config.update("jax_enable_x64", True)``.
+
+        Measured regime map (see BENCH_NOTES.md): float32 + ``refine()``
+        reaches float64-level residuals whenever the float32 CG converges
+        at all (sigma ≳ 1e-1 of the amplitude at any N; smaller sigma at
+        N ≲ a few thousand). For very small noise at large N the float32
+        inner CG itself breaks down (its recursive residual drifts from
+        the true one) — use ``dtype="float64"`` where the backend supports
+        emulated f64 at that scale.
     :param mesh: optional 1D mesh; data rows and solves shard over its
         first axis.
     """
@@ -201,16 +209,13 @@ class LargeScaleGP:
             U = self._pivoted_cholesky(rank)
 
             @jax.jit
-            def woodbury(U):
+            def gram(U):
                 d = self._sig_diag + self._amp**2 * 1e-12
-                C = jnp.eye(rank, dtype=dtype) + jnp.dot(
-                    (U / d[:, None]).T, U, precision=_HI
-                )
-                L_c = jnp.linalg.cholesky(C)
-                return d, L_c
+                G = jnp.dot((U / d[:, None]).T, U, precision=_HI)
+                return d, G
 
-            d, L_c = woodbury(U)
-            self._precond = (U, d, L_c)
+            d, G = gram(U)
+            self._precond = (U, d, self._factor_woodbury_core(G))
             return
 
         idx = np.random.default_rng(0).choice(self.n_points, rank, replace=False)
@@ -236,20 +241,42 @@ class LargeScaleGP:
             ).T
             # mask padded rows out of the preconditioner
             U = U * self._mask_dev[:, None]
-            # Woodbury core: C = I_m + U^T D^-1 U with D = sig + jitter
+            # Woodbury-core Gram: G = U^T D^-1 U with D = sig + jitter
             d = self._sig_diag + self._amp**2 * 1e-12
-            C = jnp.eye(n, dtype=dtype) + jnp.dot(
-                (U / d[:, None]).T, U, precision=_HI
-            )
-            L_c = jnp.linalg.cholesky(C)
-            return U, d, L_c
+            G = jnp.dot((U / d[:, None]).T, U, precision=_HI)
+            return U, d, G
 
         # stored as arrays and passed to the jitted solve as runtime
         # arguments — capturing the (N, m) factor in a closure would embed
         # it in the compiled program as a constant (hundreds of MB at large
         # N, breaking remote compilation)
-        U, d, L_c = build()
-        self._precond = (U, d, L_c)
+        U, d, G = build()
+        self._precond = (U, d, self._factor_woodbury_core(G))
+
+    def _factor_woodbury_core(self, G) -> jnp.ndarray:
+        """Cholesky of C = I + G on the HOST in float64. With small noise
+        the Gram entries reach ~amp^2 N / sigma^2 (1e8+ in the
+        sigma = 1e-2 regime) and a float32 device Cholesky goes indefinite
+        -> NaN, silently poisoning the preconditioner so CG exits at its
+        starting point. The m x m core is tiny: one small transfer and a
+        float64 factorisation make the preconditioner robust at any noise
+        level (applied in the solve dtype)."""
+        m = G.shape[0]
+        C = np.eye(m) + 0.5 * (
+            np.asarray(G, np.float64) + np.asarray(G, np.float64).T
+        )
+        bump = 0.0
+        scale = float(np.diag(C).max())
+        for _ in range(6):
+            try:
+                L = np.linalg.cholesky(C + bump * np.eye(m))
+                return jnp.asarray(L, self._x.dtype)
+            except np.linalg.LinAlgError:
+                bump = max(bump * 100.0, 1e-10 * scale)
+        raise np.linalg.LinAlgError(
+            "[ LargeScaleGP error ] preconditioner core factorisation "
+            "failed even with diagonal regularisation"
+        )
 
     def _build_compiled(self, cg_tol, cg_maxiter):
         x, sig_diag = self._x, self._sig_diag
@@ -442,17 +469,29 @@ class LargeScaleGP:
         alpha64 = np.asarray(self.alpha, np.float64)
         solve_dtype = self._x.dtype
         n_rounds = max_rounds if rounds is None else rounds
+        # refinement never returns a worse solution than it started with:
+        # when the inner float32 CG is beyond its conditioning limit its
+        # "corrections" can diverge, so the best-residual iterate is kept
+        best_alpha, best_res = alpha64, np.inf
         last_res = np.inf
         for _ in range(n_rounds):
             r64 = (b64 - self._residual64(alpha64, residual_backend)) * self._mask
             res = float(np.linalg.norm(r64)) / max(b_norm, 1e-300)
-            if rounds is None and (res <= target or res > 0.9 * last_res):
+            if res < best_res:
+                best_alpha, best_res = alpha64, res
+            if res <= target or (rounds is None and res > 0.9 * last_res):
                 break
             last_res = res
             d = self._solve_rhs(jnp.asarray(r64.astype(solve_dtype)))
             alpha64 = alpha64 + np.asarray(d, np.float64)
-        self.alpha64 = alpha64
-        self.alpha = jnp.asarray(alpha64, solve_dtype)
+        else:
+            # all rounds ran: score the final iterate too
+            r64 = (b64 - self._residual64(alpha64, residual_backend)) * self._mask
+            res = float(np.linalg.norm(r64)) / max(b_norm, 1e-300)
+            if res < best_res:
+                best_alpha, best_res = alpha64, res
+        self.alpha64 = best_alpha
+        self.alpha = jnp.asarray(best_alpha, solve_dtype)
         return self
 
     def residual_norm_f64(self, residual_backend: str = "auto") -> float:

@@ -125,3 +125,21 @@ def test_iterative_refinement_small_noise():
     ours = np.asarray(gp.alpha64)[:n]
     # forward error is bounded by kappa * residual ~ 1e4 * 1e-9 = 1e-5
     assert np.max(np.abs(ours - alpha_direct)) / np.max(np.abs(alpha_direct)) < 3e-5
+
+
+def test_refine_never_degrades():
+    """When the inner f32 CG is beyond its conditioning limit, refine()
+    keeps the best-residual iterate instead of returning a diverged one."""
+    rng = np.random.default_rng(1)
+    n = 1024
+    x = rng.uniform(0, 10, size=(n, 2))
+    y = np.sin(x[:, 0]) * np.cos(x[:, 1])
+    err = np.full(n, 0.01)
+    gp = LargeScaleGP(
+        x, y, err, hyperpars=np.array([0.0, 0.0, 0.0]), block_size=128,
+        preconditioner_rank=64, cg_maxiter=60, dtype="float32",
+    )
+    r0 = gp.residual_norm_f64(residual_backend="host")
+    gp.refine(max_rounds=6, residual_backend="host")
+    r1 = gp.residual_norm_f64(residual_backend="host")
+    assert r1 <= r0 * (1 + 1e-12)
