@@ -195,8 +195,20 @@ class GpRegressor:
                 [self.x, np.repeat(centroid, n_extra, axis=0)], axis=0
             )
             y_padded = np.concatenate([self.y, np.zeros(n_extra)])
+            n_params_before = self.cov.n_params
             self.cov.pass_spatial_data(x_padded)
             self.mean.pass_spatial_data(x_padded)
+            if self.cov.n_params != n_params_before:
+                # data-sized kernels (HeteroscedasticNoise) gain one
+                # hyperparameter per PADDED row, inconsistent with the
+                # bounds built from the real data — shape padding cannot
+                # be combined with them
+                raise ValueError(
+                    "[ GpRegressor error ] 'pad_to' cannot be used with "
+                    "data-sized kernels such as HeteroscedasticNoise "
+                    "(their hyperparameter count would track the padded "
+                    "shape); construct with pad_to=None."
+                )
         else:
             x_padded = self.x
             y_padded = self.y
@@ -243,13 +255,19 @@ class GpRegressor:
                 f"[ GpRegressor error ] 'update_data' changed the number of "
                 f"hyperparameters ({old_n_hyperpars} -> {self.n_hyperpars}); "
                 f"this happens with data-sized kernels such as "
-                f"HeteroscedasticNoise — construct a new GpRegressor instead."
+                f"HeteroscedasticNoise. This instance's data state has "
+                f"already been replaced and is now inconsistent with its "
+                f"hyperparameters — discard it and construct a new "
+                f"GpRegressor."
             )
         if self._sig_is_diag != old_sig_is_diag:
             # the error-model structure changed (y_err <-> y_cov): the
-            # traced programs are specialised on it, so rebuild them
+            # traced programs are specialised on it, so rebuild them —
+            # including the cached device multistart solvers, whose
+            # closures capture the old objective
             self._compiled_built = False
             self._build_compiled_functions()
+            self._fit_ms_cache = {}
         if getattr(self, "hyperpars", None) is not None:
             self.set_hyperparameters(self.hyperpars)
 

@@ -90,7 +90,11 @@ def submit_accept_prob(
     adj = jnp.clip(ratio**adjust_power, adjust_min, adjust_max)
 
     new_value = jnp.where(adjust, state.value * adj, state.value)
-    # integer check-interval growth: int(growth * chk * 0.1) * 10
+    # integer check-interval growth: int(growth * chk * 0.1) * 10 — the
+    # reference's exact formula (reference: epsilon.py:46, gibbs.py:149).
+    # Note it has a fixpoint at 20 for the HMC constants (15 -> 20 -> 20),
+    # after which the band is re-tested every submission until an
+    # adjustment resets the counters; this mirrors the reference exactly
     grown = (
         jnp.floor(growth_factor * state.chk_int.astype(fdtype) * 0.1).astype(jnp.int32)
         * 10

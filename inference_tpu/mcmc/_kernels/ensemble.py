@@ -95,7 +95,10 @@ def make_ensemble_step(
 
         def body(c: Carry):
             key, k_j, k_z, k_u = jax.random.split(c.key, 4)
-            active = ~c.accepted
+            # per-walker cap: an exhausted walker stops proposing even
+            # while other lanes are still active (reference gives up per
+            # walker at max_attempts, reference: ensemble.py:193-205)
+            active = (~c.accepted) & (c.attempts < max_attempts)
 
             j = jax.random.randint(k_j, (h,), 0, n_anchor)
             partners = anchors[j]

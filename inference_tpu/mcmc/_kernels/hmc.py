@@ -109,6 +109,7 @@ def make_hmc_step(
     """
     if mass_velocity is None:
         mass_velocity = lambda r: r
+    unit_momentum = mass_sample is None
 
     def kinetic_energy(r):
         return 0.5 * (r @ mass_velocity(r))
@@ -153,7 +154,10 @@ def make_hmc_step(
             key, k_mom, k_steps, k_acc = jax.random.split(c.key, 4)
             epsilon = c.eps.value
 
-            r0 = mass_sample(k_mom, dtype)
+            if unit_momentum:  # identity-mass default, like mass_velocity
+                r0 = jax.random.normal(k_mom, state.theta.shape, dtype)
+            else:
+                r0 = mass_sample(k_mom, dtype)
             h0 = kinetic_energy(r0) - state.logp
 
             u = jax.random.uniform(k_steps, dtype=dtype)

@@ -98,7 +98,10 @@ def _halve_on_max_tries(widths, try_count, mask_extra=True):
     """
     Increment try counts and cut widths to a quarter once they exceed
     ``MAX_TRIES`` (reference: gibbs.py:91-93). Returns updated
-    (widths, try_count).
+    (widths, try_count). As in the reference, the try count is NOT reset
+    by the cut (only by an accepted sample), so past 50 tries the width
+    shrinks by 0.25 on every further proposal until one is accepted —
+    the reference's deliberate force-acceptance collapse.
     """
     try_count = try_count + jnp.asarray(mask_extra, jnp.int32)
     halve = (try_count > MAX_TRIES) & mask_extra

@@ -80,6 +80,8 @@ class ShardedTempering:
         (gibbs/metropolis).
     :param boundaries: (lower, upper) reflecting proposal boundaries
         (gibbs/metropolis).
+    :param bounds: optional ``utils.Bounds`` — bounded leapfrog (hmc) or
+        reflected stretch moves (ensemble).
     :param n_walkers: walkers per sub-ensemble (ensemble kind).
     :param alpha: stretch-move scale parameter (ensemble kind).
     :param retry: repeat-until-accept proposals (reference semantics) when
@@ -105,6 +107,7 @@ class ShardedTempering:
         inverse_mass=None,
         non_negative=None,
         boundaries=None,
+        bounds=None,
         n_walkers: int = None,
         alpha: float = 2.0,
         retry: bool = False,
@@ -156,6 +159,7 @@ class ShardedTempering:
             inverse_mass=inverse_mass,
             non_negative=non_negative,
             boundaries=boundaries,
+            bounds=bounds,
             alpha=alpha,
             n_walkers=n_walkers,
             retry=retry,

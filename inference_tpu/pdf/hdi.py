@@ -95,11 +95,16 @@ def sample_hdi_device(sample, fraction: float):
     jit-friendly device version over the leading axis: ``sample`` has shape
     (m,) or (m, n); returns shape (2,) or (2, n).
     """
-    s = jnp.sort(jnp.atleast_2d(jnp.asarray(sample).T).T, axis=0)
+    sample = jnp.asarray(sample)
+    one_dim = sample.ndim == 1
+    s = jnp.sort(jnp.atleast_2d(sample.T).T, axis=0)
     n_samples = s.shape[0]
     L = int(fraction * n_samples)
     widths = s[L:, :] - s[: n_samples - L, :]
     i = widths.argmin(axis=0)
     lwr = jnp.take_along_axis(s, i[None, :], 0)[0]
     upr = jnp.take_along_axis(s, (i + L)[None, :], 0)[0]
-    return jnp.stack([lwr, upr]).squeeze()
+    out = jnp.stack([lwr, upr])
+    # only a 1D input collapses to (2,): a 2D input keeps its column axis
+    # even when n == 1 (matching the host sample_hdi)
+    return out[:, 0] if one_dim else out

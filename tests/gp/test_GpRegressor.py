@@ -324,3 +324,18 @@ def test_gpr_update_data_grows_bucket():
     gp.set_hyperparameters(gp.fit())
     mu, sig = gp(np.array([[5.0]]))
     assert np.isfinite(mu).all() and np.isfinite(sig).all()
+
+
+def test_pad_to_rejects_data_sized_kernels():
+    """Shape padding cannot be combined with data-sized kernels (their
+    hyperparameter count would track the padded shape)."""
+    from inference_tpu.gp import SquaredExponential, HeteroscedasticNoise
+
+    rng = np.random.default_rng(0)
+    x = rng.uniform(0, 5, 50)
+    y = np.sin(x) + rng.normal(0, 0.1, 50)
+    with pytest.raises(ValueError):
+        GpRegressor(
+            x, y, kernel=SquaredExponential() + HeteroscedasticNoise(),
+            pad_to=64,
+        )

@@ -146,3 +146,37 @@ def test_ess_batched_constant_chain_sentinel():
     )
     assert batched[1] == 0
     assert np.isclose(batched[0], effective_sample_size(healthy), rtol=0.1)
+
+
+def test_hmc_step_default_momentum():
+    """make_hmc_step without a mass_sample uses a unit-normal momentum
+    (identity-mass default, matching the mass_velocity fallback)."""
+    from inference_tpu.mcmc._kernels.hmc import (
+        make_hmc_step,
+        init_hmc_state,
+        run_steps,
+    )
+
+    logp = lambda t: -0.5 * (t * t).sum()
+    step = make_hmc_step(logp, jax.grad(logp), retry=False)
+    state = init_hmc_state(
+        jnp.ones(3), logp(jnp.ones(3)), 0.2, jax.random.PRNGKey(0), steps=5
+    )
+    state, outs = run_steps(step, state, 50)
+    assert bool(jnp.isfinite(state.theta).all())
+    assert not bool(jnp.allclose(state.theta, 1.0))  # it moved
+
+
+def test_sample_hdi_device_single_column():
+    """A (m, 1) input keeps its column axis — shape (2, 1), matching the
+    host sample_hdi."""
+    from inference_tpu.pdf.hdi import sample_hdi_device
+    from inference_tpu.pdf import sample_hdi
+
+    x = np.random.default_rng(0).normal(size=400)
+    dev = np.asarray(sample_hdi_device(jnp.asarray(x.reshape(-1, 1)), 0.68))
+    host = sample_hdi(x.reshape(-1, 1), 0.68)
+    assert dev.shape == host.shape == (2, 1)
+    assert np.allclose(dev, host)
+    flat = np.asarray(sample_hdi_device(jnp.asarray(x), 0.68))
+    assert flat.shape == (2,)
