@@ -130,12 +130,25 @@ class ExpectedImprovement(AcquisitionFunction):
         mu, var = self._mu_var(q, st)
         sig = jnp.sqrt(jnp.abs(var))
         z = (mu - st[-1]) / sig
-        # EI = sig * phi(z) * (1 + z * Phi(z)/phi(z)); the ratio is computed
-        # stably as exp(log_ndtr(z) - log phi(z))
-        log_phi = -0.5 * (z**2 + jnp.log(2 * jnp.pi))
-        ratio = jnp.exp(log_ndtr(z) - log_phi)
-        h = 1.0 + z * ratio
-        return jnp.log(sig) + log_phi + jnp.log(jnp.maximum(h, 1e-300))
+        # EI = sig * (z Phi(z) + phi(z)), branched for stability at both
+        # tails: for z >= 0 the direct form never overflows (Phi <= 1,
+        # phi <= 0.4); for z < 0 the log-domain form
+        # log phi + log(1 + z Phi/phi) avoids underflow. The previous
+        # single formula exp(log_ndtr - log_phi) ~ e^{z^2/2} overflowed
+        # float32 for z > ~13 — exactly the highest-EI points.
+        pos = z >= 0
+        z_pos = jnp.maximum(z, 0.0)
+        z_neg = jnp.minimum(z, 0.0)
+        log_phi_pos = -0.5 * (z_pos**2 + jnp.log(2 * jnp.pi))
+        direct = z_pos * jnp.exp(log_ndtr(z_pos)) + jnp.exp(log_phi_pos)
+        log_ei_pos = jnp.log(jnp.maximum(direct, 1e-300))
+
+        log_phi_neg = -0.5 * (z_neg**2 + jnp.log(2 * jnp.pi))
+        ratio = jnp.exp(log_ndtr(z_neg) - log_phi_neg)  # <= ~0.8 for z <= 0
+        h = jnp.maximum(1.0 + z_neg * ratio, 1e-300)
+        log_ei_neg = log_phi_neg + jnp.log(h)
+
+        return jnp.log(sig) + jnp.where(pos, log_ei_pos, log_ei_neg)
 
     def _objective(self, q, st):
         return -self._log_ei(q, st)

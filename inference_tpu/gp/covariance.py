@@ -321,17 +321,25 @@ class HeteroscedasticNoise(CovarianceFunction):
 
     def covariance_and_gradients(self, theta):
         """Structured gradients: dK/dtheta_i = 2 sigma_i^2 e_i e_i^T,
-        returned without materialising the reference's precomputed one-hot
-        stack (reference: covariance.py:655-659)."""
+        returned as a LAZY sequence — each matrix is built on access, so
+        iterating costs one (n, n) buffer at a time instead of the
+        reference's n-matrix O(n^3) precomputed stack
+        (reference: covariance.py:655-659)."""
         theta = jnp.asarray(theta)
         sigma_sq = jnp.exp(2 * theta)
         K = jnp.diag(sigma_sq)
         n = self.n_params
-        grads = [
-            2.0 * sigma_sq[i] * jnp.zeros((n, n)).at[i, i].set(1.0)
-            for i in range(n)
-        ]
-        return K, grads
+
+        class _LazyDiagGrads(Sequence):
+            def __len__(self):
+                return n
+
+            def __getitem__(self, i):
+                if not 0 <= i < n:
+                    raise IndexError(i)
+                return 2.0 * sigma_sq[i] * jnp.zeros((n, n)).at[i, i].set(1.0)
+
+        return K, _LazyDiagGrads()
 
     def get_bounds(self):
         return self.bounds

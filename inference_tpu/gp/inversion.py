@@ -112,12 +112,14 @@ class GpLinearInverter:
         self._build_compiled()
 
     def _build_compiled(self):
+        """The model matrix, data and noise are RUNTIME arguments of every
+        compiled program — captured (N, M) constants would be baked into
+        the HLO payload (the compile-size trap regression.py documents)."""
         cov, mean = self.cov, self.mean
-        A, y, sigma_diag = self.A, self.y, self._sigma_diag
-        inv_sigma_diag = 1.0 / sigma_diag
         mean_slc, cov_slc = self.mean_slice, self.cov_slice
 
-        def posterior(theta):
+        def posterior(theta, A, y, sigma_diag):
+            inv_sigma_diag = 1.0 / sigma_diag
             K = cov.build_covariance(theta[cov_slc])
             prior_mean = mean.build_mean(theta[mean_slc])
             W = A.T @ (inv_sigma_diag[:, None] * A)
@@ -126,7 +128,7 @@ class GpLinearInverter:
             posterior_mean = posterior_cov @ u + prior_mean
             return posterior_mean, posterior_cov
 
-        def lml(theta):
+        def lml(theta, A, y, sigma_diag):
             K = cov.build_covariance(theta[cov_slc])
             prior_mean = mean.build_mean(theta[mean_slc])
             J = add_diagonal(A @ K @ A.T, sigma_diag)
@@ -140,9 +142,13 @@ class GpLinearInverter:
             floor = jnp.asarray(jnp.finfo(K.dtype).min / 4, K.dtype)
             return jnp.where(ok, value, floor)
 
-        self._posterior = jax.jit(posterior)
-        self._lml = jax.jit(lml)
-        self._lml_grad = jax.jit(jax.value_and_grad(lml))
+        post_jit = jax.jit(posterior)
+        lml_jit = jax.jit(lml)
+        grad_jit = jax.jit(jax.value_and_grad(lml))
+        data = lambda: (self.A, self.y, self._sigma_diag)
+        self._posterior = lambda theta: post_jit(theta, *data())
+        self._lml = lambda theta: lml_jit(theta, *data())
+        self._lml_grad = lambda theta: grad_jit(theta, *data())
 
     def calculate_posterior(self, theta):
         """Posterior mean and covariance for the given hyperparameters."""

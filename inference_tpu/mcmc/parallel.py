@@ -74,6 +74,20 @@ class ParallelTempering:
                 "number of parameters."
             )
 
+        # the batched path compiles ONE step (from chains[0]) for every
+        # rung — any per-rung configuration it would silently override
+        # routes the ladder through the per-chain (heterogeneous) path
+        if not self._heterogeneous and self.N_chains > 1:
+            if not all(
+                self._step_config_matches(self.chains[0], c)
+                for c in self.chains[1:]
+            ):
+                self._heterogeneous = True
+        if self.N_chains < 2:
+            # a single rung has no swap partners; the fused program's
+            # pairing would be empty, so run it as a plain chain
+            self._heterogeneous = True
+
         self.temperatures = [1.0 / c.inv_temp for c in self.chains]
         self.inv_temps = [c.inv_temp for c in self.chains]
 
@@ -105,6 +119,39 @@ class ParallelTempering:
             hasattr(c, "next_update") for c in self.chains
         )
         self._fused_run = self._build_fused_run() if self._fusable else None
+
+    @staticmethod
+    def _step_config_matches(a, b) -> bool:
+        """Whether two same-class chains share every setting the compiled
+        step is specialised on (posterior, bounds/modes, mass, caps) —
+        only the state (positions, widths, inv_temp) may differ."""
+        if a.posterior is not b.posterior:
+            return False
+        for attr in ("steps", "max_attempts", "max_tries", "alpha", "retry"):
+            if getattr(a, attr, None) != getattr(b, attr, None):
+                return False
+        ba, bb = getattr(a, "bounds", None), getattr(b, "bounds", None)
+        if (ba is None) != (bb is None):
+            return False
+        if ba is not None and not (
+            np.array_equal(ba.lower, bb.lower)
+            and np.array_equal(ba.upper, bb.upper)
+        ):
+            return False
+        for attr in ("_non_negative", "_bounded", "_lower", "_upper"):
+            va, vb = getattr(a, attr, None), getattr(b, attr, None)
+            if (va is None) != (vb is None):
+                return False
+            if va is not None and not np.array_equal(va, vb):
+                return False
+        ma, mb = getattr(a, "mass", None), getattr(b, "mass", None)
+        if (ma is None) != (mb is None):
+            return False
+        if ma is not None and not np.array_equal(
+            np.asarray(ma.inv_mass), np.asarray(mb.inv_mass)
+        ):
+            return False
+        return True
 
     # ------------------------------------------------------------------ #
     # advancement
@@ -461,7 +508,11 @@ class ParallelTempering:
         plt.show()
 
     def _sync_states(self):
-        """Unstack the batched device state back into the chain objects."""
+        """Unstack the batched device state back into the chain objects
+        (no-op on the heterogeneous path, where each chain already owns
+        its live state)."""
+        if self._batched_state is None:
+            return
         for k, chain in enumerate(self.chains):
             chain._state = jax.tree.map(lambda x, k=k: x[k], self._batched_state)
 

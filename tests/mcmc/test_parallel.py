@@ -153,3 +153,57 @@ def test_parallel_tempering_heterogeneous_chains():
         assert c.chain_length == 61
         assert np.isfinite(c.get_probabilities(burn=0)).all()
     assert pt.attempted_swaps.sum() > len(temps)  # diagonal + attempts
+
+
+def test_pt_single_rung_degrades_gracefully():
+    """A one-chain ladder runs without swaps instead of crashing in the
+    fused pairing (regression)."""
+    c = GibbsChain(bimodal, start=np.array([4.0]), widths=np.array([0.5]),
+                   display_progress=False, seed=0)
+    pt = ParallelTempering([c])
+    pt.advance(50, swap_interval=10)
+    assert pt.successful_swaps.sum() == 0
+    chains = pt.return_chains()
+    assert chains[0]._state is not None
+    assert chains[0].chain_length == 51
+
+
+def test_pt_heterogeneous_return_chains_keeps_states():
+    """return_chains()/shutdown() must not destroy per-chain states on the
+    heterogeneous path (regression: tree.map over None nulled them)."""
+    c0 = GibbsChain(bimodal, start=np.array([4.0]), widths=np.array([0.5]),
+                    display_progress=False, seed=1)
+    c1 = HamiltonianChain(bimodal, start=np.array([4.0]), temperature=5.0,
+                          display_progress=False, seed=2)
+    c1.steps = 5
+    pt = ParallelTempering([c0, c1])
+    pt.advance(30, swap_interval=10)
+    chains = pt.return_chains()
+    assert all(c._state is not None for c in chains)
+    chains[0].advance(10)  # still usable
+    assert chains[0].chain_length == 41
+
+
+def test_pt_mismatched_configs_use_per_chain_path():
+    """Same-class rungs whose compiled-step settings differ must not share
+    chains[0]'s kernel (regression: rung 2 silently ran with rung 1's
+    configuration); they fall back to per-chain kernels."""
+    c0 = HamiltonianChain(bimodal, start=np.array([4.0]),
+                          display_progress=False, seed=3)
+    c0.steps = 5
+    c1 = HamiltonianChain(bimodal, start=np.array([4.0]), temperature=5.0,
+                          display_progress=False, seed=4)
+    c1.steps = 20  # different leapfrog budget -> different compiled step
+    pt = ParallelTempering([c0, c1])
+    assert pt._heterogeneous  # falls back to per-chain kernels
+    pt.advance(40, swap_interval=10)
+    assert all(c._state is not None for c in pt.return_chains())
+    assert c0.chain_length == 41 and c1.chain_length == 41
+
+    # identical configs still take the batched path
+    c2 = HamiltonianChain(bimodal, start=np.array([4.0]),
+                          display_progress=False, seed=5)
+    c3 = HamiltonianChain(bimodal, start=np.array([4.0]), temperature=5.0,
+                          display_progress=False, seed=6)
+    pt2 = ParallelTempering([c2, c3])
+    assert not pt2._heterogeneous
