@@ -69,6 +69,14 @@ class LargeScaleGP:
         inner CG itself breaks down (its recursive residual drifts from
         the true one) — use ``dtype="float64"`` where the backend supports
         emulated f64 at that scale.
+    :param solver: "cg" (default, ``jax.scipy`` CG) or "mixed" — restarted
+        PCG with float64 scalar recurrences and periodic true-residual
+        recomputation (``ops.solvers.mixed_pcg``). The default CG's
+        float32 recursive residual drifts at condition numbers ≳1e6
+        (small-noise regimes) and can return garbage while reporting
+        convergence; "mixed" stays honest there. Requires
+        ``jax_enable_x64`` (only for cheap scalar reductions — no f64
+        matvec programs are built).
     :param mesh: optional 1D mesh; data rows and solves shard over its
         first axis.
     """
@@ -85,9 +93,22 @@ class LargeScaleGP:
         cg_maxiter: int = 1000,
         preconditioner_rank: int = 512,
         preconditioner: str = "pivchol",
+        solver: str = "cg",
         dtype=None,
         mesh=None,
     ):
+        if solver not in ("cg", "mixed"):
+            raise ValueError(
+                f"[ LargeScaleGP error ] 'solver' must be 'cg' or 'mixed', "
+                f"but '{solver}' was given."
+            )
+        if solver == "mixed" and not jax.config.read("jax_enable_x64"):
+            raise ValueError(
+                "[ LargeScaleGP error ] solver='mixed' requires "
+                "jax.config.update('jax_enable_x64', True) (float64 scalar "
+                "recurrences)."
+            )
+        self.solver = solver
         if dtype is None:
             dtype = default_float()
         else:
@@ -298,6 +319,8 @@ class LargeScaleGP:
             Kv = lax.map(one_block, x_blocks).reshape(n_pad)
             return Kv + (sig_diag + jitter) * v
 
+        use_mixed = self.solver == "mixed"
+
         def solve(rhs, pc):
             if has_precond:
                 U, d, L_c = pc
@@ -311,7 +334,14 @@ class LargeScaleGP:
 
             else:
                 M = None
-            sol, _ = cg(matvec, rhs, tol=cg_tol, maxiter=cg_maxiter, M=M)
+            if use_mixed:
+                from ..ops.solvers import mixed_pcg
+
+                sol, _ = mixed_pcg(
+                    matvec, rhs, M=M, tol=cg_tol, maxiter=cg_maxiter
+                )
+            else:
+                sol, _ = cg(matvec, rhs, tol=cg_tol, maxiter=cg_maxiter, M=M)
             return sol
 
         def solve_alpha(pc):

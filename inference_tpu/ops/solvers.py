@@ -1,0 +1,99 @@
+"""Mixed-precision preconditioned conjugate gradients.
+
+``jax.scipy.sparse.linalg.cg`` carries its residual by recursion; in
+float32 at condition numbers ≳1e6 the recursive residual drifts from the
+true one and the returned "solution" can be worse than the starting point
+(observed on the small-noise GP systems in ``gp/large_scale.py``). This
+solver keeps the expensive objects — vectors, the matvec, the
+preconditioner — in float32, but:
+
+- computes every scalar reduction (p·Ap, r·z, ‖r‖) in float64
+  (elementwise-emulated f64 over an N-vector is cheap; it is the N×N f64
+  *matvec programs* that are prohibitive on some backends), and
+- recomputes the TRUE residual ``b - A x`` every ``restart_every``
+  iterations, killing recursion drift outright.
+
+This is the classic restarted mixed-precision PCG; combined with
+``LargeScaleGP.refine()`` it extends float32 CG to condition numbers the
+library's default solver cannot touch.
+"""
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+
+def mixed_pcg(matvec, b, M=None, tol=1e-6, maxiter=1000, restart_every=50):
+    """
+    Solve ``A x = b`` (A symmetric positive-definite, applied by
+    ``matvec``) by preconditioned CG with float64 scalar recurrences and
+    periodic true-residual restarts. Requires ``jax_enable_x64`` for the
+    f64 scalars; vectors stay in ``b``'s dtype.
+
+    Returns ``(x, info)`` with ``info = 0`` on convergence (mirroring the
+    jax.scipy API shape; ``info`` is the final iteration count otherwise).
+    """
+    if M is None:
+        M = lambda v: v
+    f64 = jnp.float64
+    vdtype = b.dtype
+
+    def dot64(u, v):
+        return jnp.sum(u.astype(f64) * v.astype(f64))
+
+    b_norm = jnp.sqrt(dot64(b, b))
+    atol2 = (tol * b_norm) ** 2
+
+    x0 = jnp.zeros_like(b)
+    r0 = b
+    z0 = M(r0)
+    p0 = z0
+    rz0 = dot64(r0, z0)
+
+    def cond(s):
+        i, x, r, z, p, rz, rr, ok = s
+        return ok & (i < maxiter) & (rr > atol2)
+
+    def body(s):
+        i, x, r, z, p, rz, rr, ok = s
+        Ap = matvec(p)
+        pAp = dot64(p, Ap)
+        # breakdown guard: a non-positive curvature in exact arithmetic is
+        # impossible for SPD A; in float32 it signals total loss of
+        # precision — stop with the current iterate
+        ok = ok & (pAp > 0.0)
+        alpha = jnp.where(pAp > 0.0, rz / pAp, 0.0)
+        x = x + alpha.astype(vdtype) * p
+
+        restart = (i % restart_every) == (restart_every - 1)
+
+        def true_residual(_):
+            return b - matvec(x)
+
+        def recurrent_residual(_):
+            return r - alpha.astype(vdtype) * Ap
+
+        r = lax.cond(restart, true_residual, recurrent_residual, None)
+        z = M(r)
+        rz_new = dot64(r, z)
+        rr = dot64(r, r)
+        beta = jnp.where(rz != 0.0, rz_new / rz, 0.0)
+        p = z + beta.astype(vdtype) * p
+        return (i + 1, x, r, z, p, rz_new, rr, ok)
+
+    init = (
+        jnp.asarray(0, jnp.int32),
+        x0,
+        r0,
+        z0,
+        p0,
+        rz0,
+        dot64(r0, r0),
+        jnp.asarray(True),
+    )
+    i, x, r, *_ = lax.while_loop(cond, body, init)
+    rr = dot64(r, r)
+    info = jnp.where(rr <= atol2, 0, i)
+    return x, info

@@ -143,3 +143,30 @@ def test_refine_never_degrades():
     gp.refine(max_rounds=6, residual_backend="host")
     r1 = gp.residual_norm_f64(residual_backend="host")
     assert r1 <= r0 * (1 + 1e-12)
+
+
+@pytest.mark.slow
+def test_mixed_solver_beats_plain_cg_at_small_noise():
+    """solver='mixed' (f64 scalar recurrences + true-residual restarts)
+    makes honest progress where plain float32 CG diverges silently
+    (at this size/conditioning plain CG returns a residual WORSE than
+    the zero vector while reporting convergence)."""
+    rng = np.random.default_rng(0)
+    n = 4096
+    x = rng.uniform(0, 10, size=(n, 2))
+    y = np.sin(x[:, 0]) * np.cos(x[:, 1])
+    err = np.full(n, 0.01)
+    kwargs = dict(
+        hyperpars=np.array([0.0, 0.0, 0.0]),
+        preconditioner_rank=512, cg_maxiter=2000, dtype="float32",
+    )
+    plain = LargeScaleGP(x, y, err, solver="cg", **kwargs)
+    mixed = LargeScaleGP(x, y, err, solver="mixed", **kwargs)
+    r_plain = plain.residual_norm_f64(residual_backend="host")
+    r_mixed = mixed.residual_norm_f64(residual_backend="host")
+    assert r_plain > 0.5          # plain f32 CG has diverged here
+    # exact floors depend on device count / reduction order; the robust
+    # claim is strict dominance (observed 4-20x across configurations)
+    assert r_mixed < 0.5 * r_plain
+    with pytest.raises(ValueError):
+        LargeScaleGP(x, y, err, solver="bogus", **kwargs)
