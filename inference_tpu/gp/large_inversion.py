@@ -48,6 +48,9 @@ class LargeScaleGpLinearInverter:
     :param block_size: parameter rows per covariance-block matmul.
     :param cg_tol: conjugate-gradient relative tolerance.
     :param cg_maxiter: conjugate-gradient iteration cap.
+    :param solver: "cg" (default) or "mixed" — restarted PCG with float64
+        scalar recurrences (see ``LargeScaleGP``); use for very small
+        noise where float32 CG's recursive residual drifts.
     :param mesh: optional 1D mesh; parameter rows and the model-matrix
         columns shard over its first axis.
     """
@@ -63,8 +66,15 @@ class LargeScaleGpLinearInverter:
         block_size: int = 4096,
         cg_tol: float = 1e-6,
         cg_maxiter: int = 1000,
+        solver: str = "cg",
         mesh=None,
     ):
+        if solver not in ("cg", "mixed"):
+            raise ValueError(
+                f"[ LargeScaleGpLinearInverter error ] 'solver' must be "
+                f"'cg' or 'mixed', but '{solver}' was given."
+            )
+        self.solver = solver
         dtype = default_float()
         y = np.asarray(y, dtype=float).squeeze()
         y_err = np.asarray(y_err, dtype=float).squeeze()
@@ -144,15 +154,28 @@ class LargeScaleGpLinearInverter:
             Kp = k_matvec(x, p)
             return sig * v + jnp.dot(A, Kp, precision=_HI)
 
+        use_mixed = self.solver == "mixed"
+
         def solve_data(A, x, sig, rhs):
             # Jacobi preconditioner on the noise diagonal
-            sol, _ = cg(
-                lambda v: data_matvec(A, x, sig, v),
-                rhs,
-                tol=cg_tol,
-                maxiter=cg_maxiter,
-                M=lambda v: v / sig,
-            )
+            if use_mixed:
+                from ..ops.solvers import mixed_pcg
+
+                sol, _ = mixed_pcg(
+                    lambda v: data_matvec(A, x, sig, v),
+                    rhs,
+                    M=lambda v: v / sig,
+                    tol=cg_tol,
+                    maxiter=cg_maxiter,
+                )
+            else:
+                sol, _ = cg(
+                    lambda v: data_matvec(A, x, sig, v),
+                    rhs,
+                    tol=cg_tol,
+                    maxiter=cg_maxiter,
+                    M=lambda v: v / sig,
+                )
             return sol
 
         def solve_data_space(A, x, sig, y):
