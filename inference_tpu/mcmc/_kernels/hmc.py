@@ -235,7 +235,14 @@ def make_hmc_step(
     return step
 
 
-@partial(jax.jit, static_argnums=(0, 2))
-def run_steps(step, state, n_steps: int):
-    """Scan ``step`` for ``n_steps`` transitions, returning stacked outputs."""
-    return lax.scan(lambda s, _: step(s), state, None, length=n_steps)
+@partial(jax.jit, static_argnums=(0, 2, 3))
+def run_steps(step, state, n_steps: int, store: bool = True):
+    """Scan ``step`` for ``n_steps`` transitions. With ``store`` (default)
+    the per-step outputs are stacked and returned; with ``store=False``
+    the scan emits no outputs at all — nothing is materialised in HBM
+    beyond the final state (the maximum-throughput path)."""
+    if store:
+        return lax.scan(lambda s, _: step(s), state, None, length=n_steps)
+    return lax.scan(
+        lambda s, _: (step(s)[0], None), state, None, length=n_steps
+    )

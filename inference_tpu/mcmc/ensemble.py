@@ -101,6 +101,18 @@ class EnsembleSampler(MarkovChain):
         if starting_positions is not None:
             positions = self.__validate_starting_positions(starting_positions)
             self.n_walkers, self.n_parameters = positions.shape
+            if self.n_walkers < 2 * (self.n_parameters + 1):
+                from warnings import warn
+
+                warn(
+                    f"[ EnsembleSampler ] {self.n_walkers} walkers for "
+                    f"{self.n_parameters} parameters: the red/black "
+                    f"half-ensemble update needs each half to span the "
+                    f"space, so n_walkers >= 2 * (n_parameters + 1) = "
+                    f"{2 * (self.n_parameters + 1)} is strongly "
+                    f"recommended (the reference's sequential update only "
+                    f"needed n_parameters + 1)."
+                )
 
             if self.bounds is not None:
                 for v in positions:
@@ -211,8 +223,10 @@ class EnsembleSampler(MarkovChain):
         self._state = state
 
         # final walker set: a device view of the state, fetched lazily
-        self.walker_positions = state.walkers
-        self.walker_probs = state.logps
+        # (the public attributes are properties that convert to numpy on
+        # first access, so their observable type never changes)
+        self._walker_positions = state.walkers
+        self._walker_probs = state.logps
         self._pending_stats.append((outs.attempts, outs.failures))
         self.n_iterations += n
         self.chain_length += n * self.n_walkers
@@ -223,6 +237,32 @@ class EnsembleSampler(MarkovChain):
         if self._device_history_bytes > DEVICE_HISTORY_LIMIT:
             _ = self.sample      # consolidate + offload walkers/logps
             self._drain_stats()  # ...and the deferred attempt statistics
+
+    @property
+    def walker_positions(self) -> np.ndarray:
+        """Current walker positions, shape (n_walkers, P). Device views
+        convert to (mutable) numpy on first access, so the public type is
+        stable across the sampler's lifecycle."""
+        wp = self._walker_positions
+        if not isinstance(wp, np.ndarray):
+            # np.array (copy): np.asarray of a device buffer is read-only
+            self._walker_positions = wp = np.array(wp)
+        return wp
+
+    @walker_positions.setter
+    def walker_positions(self, value):
+        self._walker_positions = value
+
+    @property
+    def walker_probs(self) -> np.ndarray:
+        wp = self._walker_probs
+        if not isinstance(wp, np.ndarray):
+            self._walker_probs = wp = np.array(wp)
+        return wp
+
+    @walker_probs.setter
+    def walker_probs(self, value):
+        self._walker_probs = value
 
     def _drain_stats(self):
         """Process deferred per-iteration proposal/failure statistics."""
@@ -326,7 +366,21 @@ class EnsembleSampler(MarkovChain):
         """
         self._drain_stats()
         x = np.linspace(1, self.n_iterations, self.n_iterations)
-        rates = x / np.array(self.total_proposals).cumsum(axis=1)
+        if self.retry:
+            # repeat-until-accept: acceptance = iterations / proposals
+            rates = x / np.array(self.total_proposals).cumsum(axis=1)
+        else:
+            # single-proposal mode always makes exactly one proposal per
+            # iteration, so acceptance is read from the sample history: a
+            # walker that kept its position rejected that proposal
+            walkers = self.sample.reshape(
+                self.n_iterations, self.n_walkers, self.n_parameters
+            )
+            moved = (np.diff(walkers, axis=0) != 0).any(axis=2)  # (n-1, W)
+            accepted = np.concatenate(
+                [np.ones((1, self.n_walkers), bool), moved]
+            )
+            rates = accepted.cumsum(axis=0).T / x[None, :]
         avg_rate = rates.mean(axis=0)
 
         fig = plt.figure(figsize=(10, 4))

@@ -93,12 +93,17 @@ class PcaChain(MetropolisChain):
     def _advance_n(self, n: int):
         remaining = int(n)
         while remaining > 0:
+            if self.chain_length >= self.next_update:
+                # catches schedules at-or-behind the current length too (a
+                # strict-equality trigger could skip an update and then
+                # never fire again); update_directions always reschedules
+                self.update_directions()
             to_update = self.next_update - self.chain_length
             run = min(remaining, to_update) if to_update > 0 else remaining
             super()._advance_n(run)
             remaining -= run
-            if self.chain_length == self.next_update:
-                self.update_directions()
+        if self.chain_length >= self.next_update:
+            self.update_directions()
 
     def update_directions(self):
         """
@@ -109,6 +114,10 @@ class PcaChain(MetropolisChain):
         theta = self._consolidated_theta()
         data = theta[1:][self.last_update :].T  # (n_params, n_new_samples)
         if data.shape[1] < 2:
+            # too few new samples for a covariance: reschedule, or the
+            # equality trigger in _advance_n would never fire again and
+            # direction updates would silently stop for the whole run
+            self.next_update = self.chain_length + self.dir_update_interval
             return
 
         if self.covar is not None:

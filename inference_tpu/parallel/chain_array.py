@@ -106,7 +106,10 @@ class ChainArray:
             self._logp,
             self.n_parameters,
             dtype,
-            widths=widths,
+            # widths may be per-chain (n_chains, P): the real values are
+            # written into the state after init (below); build_kind only
+            # needs a placeholder of per-chain shape-free form
+            widths=1.0 if kind in ("gibbs", "metropolis", "pca") else widths,
             epsilon=epsilon,
             steps=steps,
             inverse_mass=inverse_mass,
@@ -161,7 +164,7 @@ class ChainArray:
         otherwise every ``thin``-th step's positions are appended to the
         host history.
         """
-        state, outs = run_steps(self._step, self._state, n)
+        state, outs = run_steps(self._step, self._state, n, store)
         self._state = state
         if store:
             if self.kind == "ensemble":
@@ -172,6 +175,7 @@ class ChainArray:
             self._history.append(np.asarray(pos))  # (n/thin, K[, W], P)
             self._prob_history.append(np.asarray(logp))
         else:
+            # no outputs were materialised at all (the scan emits None)
             jax.block_until_ready(jax.tree.leaves(state)[0])
         return self
 
@@ -206,9 +210,10 @@ class ChainArray:
 
     def effective_sample_size(self, burn: int = 0) -> np.ndarray:
         """
-        Per-chain, per-parameter effective sample sizes, shape
-        (n_chains, n_parameters), computed as one batched device FFT
-        autocorrelation (same estimator as
+        Per-chain, per-parameter effective sample sizes — shape
+        (n_chains, n_parameters), with a walker axis inserted for the
+        ensemble kind: (n_chains, n_walkers, n_parameters). Computed as
+        one batched device FFT autocorrelation (same estimator as
         ``inference_tpu.utils.effective_sample_size``, reference:
         mcmc/utilities.py:83-95 — which handles one series at a time).
         """

@@ -447,21 +447,24 @@ class ShardedTempering:
             empty = empty + (positions_of(self._state)[1].shape[-1],)
         return np.zeros(empty)
 
-    def run_for(self, minutes=0, hours=0, days=0, swap_interval: int = 10):
+    def run_for(self, minutes=0, hours=0, days=0, swap_interval: int = 10,
+                store: bool = True, thin: int = 1):
         """
         Advance all rungs for a chosen amount of wall-clock time
         (reference: parallel.py:283-326 — which self-calibrates how many
         cycles fit between status updates; here the calibration sizes the
-        compiled chunk instead).
+        compiled chunk instead). Long drives should pass ``thin`` (or
+        ``store=False``) — every stored step is steps x rungs x lanes of
+        host memory.
         """
         run_time = ((days * 24.0 + hours) * 60.0 + minutes) * 60.0
         end_time = time() + run_time
 
         # warm the compiled cycle first (remote compilation costs seconds
         # and would wreck the calibration), then time a warm cycle
-        self.advance(swap_interval, swap_interval)
+        self.advance(swap_interval, swap_interval, store=store, thin=thin)
         t1 = time()
-        self.advance(swap_interval, swap_interval)
+        self.advance(swap_interval, swap_interval, store=store, thin=thin)
         t2 = time()
 
         # cycles per chunk for a status line roughly every 2 seconds,
@@ -471,7 +474,7 @@ class ShardedTempering:
 
         while time() < end_time:
             chunk = min(n, 512)
-            self.advance(chunk * swap_interval, swap_interval)
+            self.advance(chunk * swap_interval, swap_interval, store=store, thin=thin)
             if self.display_progress:
                 seconds_remaining = max(end_time - time(), 0)
                 m, s = divmod(seconds_remaining, 60)
