@@ -60,11 +60,17 @@ class CovarianceFunction(ABC):
     def covariance_and_gradients(self, theta):
         """
         The data covariance matrix and its gradients with respect to each
-        hyperparameter, computed by forward-mode autodiff.
+        hyperparameter, computed by forward-mode autodiff. Traced on the
+        plain-XLA covariance path: the Pallas kernel's custom VJP forbids
+        ``jacfwd`` (the fitting path never needs this method — it
+        differentiates the scalar likelihood in reverse mode).
         """
+        from ..ops.pairwise import force_fallback
+
         theta = jnp.asarray(theta)
         K = self.build_covariance(theta)
-        jac = jax.jacfwd(self.build_covariance)(theta)
+        with force_fallback():
+            jac = jax.jacfwd(self.build_covariance)(theta)
         return K, [jac[..., i] for i in range(theta.size)]
 
     def __add__(self, other):

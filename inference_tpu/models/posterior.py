@@ -47,7 +47,7 @@ class Posterior:
             raise ValueError(
                 "'n_guesses' and 'prior_samples' must both be greater than zero"
             )
-        if n_guesses > prior_samples:
+        if n_guesses >= prior_samples:
             raise ValueError(
                 "The value of 'n_guesses' must be less than that of 'prior_samples'"
             )

@@ -103,6 +103,10 @@ class JointPrior(BasePrior):
         # merge components of the same type into single vectorised components
         self.components = []
         for cls in (GaussianPrior, ExponentialPrior, UniformPrior):
+            # isinstance-based grouping mirrors the reference exactly
+            # (reference: priors.py:137-143) - note this means subclasses
+            # of the three base families merge through the BASE class's
+            # combine when grouped with other members of that family
             group = [c for c in components if isinstance(c, cls)]
             if len(group) == 1:
                 self.components.extend(group)

@@ -14,11 +14,29 @@ squared-exponential covariance into the distance matmul, avoiding an extra
 round-trip of the N x N distance matrix through HBM.
 """
 
+import contextlib
+
 import jax
 import jax.numpy as jnp
 
 _TILE = 256  # pallas tile edge (multiple of the 128-lane requirement)
 _PALLAS_MIN_N = 2048  # below this, plain XLA fusion is already optimal
+_FORCE_FALLBACK = False
+
+
+@contextlib.contextmanager
+def force_fallback():
+    """Trace-time switch to the plain-XLA covariance path. The Pallas
+    kernel is wrapped in ``jax.custom_vjp``, which forbids forward-mode
+    autodiff — callers that need ``jacfwd`` (e.g. the generic
+    ``covariance_and_gradients``) trace under this context instead."""
+    global _FORCE_FALLBACK
+    prev = _FORCE_FALLBACK
+    _FORCE_FALLBACK = True
+    try:
+        yield
+    finally:
+        _FORCE_FALLBACK = prev
 
 
 def scaled_sq_distances(u, v, lengthscales):
@@ -199,6 +217,8 @@ def sqexp_covariance(u, v, amplitude, lengthscales):
     """
     u = jnp.atleast_2d(jnp.asarray(u))
     v = jnp.atleast_2d(jnp.asarray(v))
+    if _FORCE_FALLBACK:
+        return _sqexp_fallback(u, v, amplitude, jnp.asarray(lengthscales))
     on_tpu = jax.default_backend() == "tpu"
     # the Pallas kernel exists to avoid float32 cancellation; float64 inputs
     # don't need it (and TPU Pallas has no f64 support — it faults)

@@ -35,6 +35,12 @@ def mixed_pcg(matvec, b, M=None, tol=1e-6, maxiter=1000, restart_every=50):
     Returns ``(x, info)`` with ``info = 0`` on convergence (mirroring the
     jax.scipy API shape; ``info`` is the final iteration count otherwise).
     """
+    if not jax.config.read("jax_enable_x64"):
+        raise ValueError(
+            "mixed_pcg requires jax_enable_x64: without it the float64 "
+            "scalar recurrences silently truncate to float32 and the "
+            "solver loses exactly the precision it exists to provide"
+        )
     if M is None:
         M = lambda v: v
     f64 = jnp.float64

@@ -18,8 +18,13 @@ def effective_sample_size(x) -> int:
     x = np.asarray(x, dtype=float)
     f = np.fft.irfft(np.abs(np.fft.rfft(x - x.mean())) ** 2)
     f = f[: len(f) // 2]
-    if f[0] < 0.0:
-        raise ValueError("First element of the autocorrelation is negative")
+    if f[0] <= 0.0:
+        raise ValueError(
+            "effective_sample_size requires a series with positive "
+            "variance (a constant chain has no effective samples)"
+            if f[0] == 0.0
+            else "First element of the autocorrelation is negative"
+        )
     cut = np.argmax(f < 0.0)
     if cut > 0:
         f = f[:cut]

@@ -47,7 +47,10 @@ class PhaseTimer:
         try:
             yield
         finally:
-            (jax.device_put(0.0) + 0).block_until_ready()
+            # barrier on every device: a default-device-only op would let
+            # async work on other mesh devices leak into later phases
+            for dev in jax.devices():
+                jax.device_put(0.0, dev).block_until_ready()
             self.totals[name] += time.perf_counter() - start
             self.counts[name] += 1
 

@@ -14,7 +14,10 @@ import jax
 
 
 def make_key(seed=None):
-    """Create a jax PRNG key, drawing entropy from the OS if seed is None."""
+    """Create a jax PRNG key, drawing entropy from the OS if seed is None.
+    Any Python integer is accepted (folded into 32 bits — numpy >= 2 raises
+    on out-of-range uint32 casts, and 64-bit seeds from hashes/time_ns are
+    common)."""
     if seed is None:
         seed = int.from_bytes(os.urandom(4), "little")
-    return jax.random.PRNGKey(np.uint32(seed))
+    return jax.random.PRNGKey(np.uint32(int(seed) % (2**32)))

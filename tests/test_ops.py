@@ -180,3 +180,43 @@ def test_sample_hdi_device_single_column():
     assert np.allclose(dev, host)
     flat = np.asarray(sample_hdi_device(jnp.asarray(x), 0.68))
     assert flat.shape == (2,)
+
+
+def test_make_key_wide_seeds():
+    """64-bit and negative seeds fold into 32 bits instead of raising
+    (numpy >= 2 errors on out-of-range uint32 casts)."""
+    from inference_tpu.utils import make_key
+
+    assert make_key(2**33) is not None
+    assert make_key(-1) is not None
+    # folding is deterministic
+    a = np.asarray(jax.random.normal(make_key(2**33), (3,)))
+    b = np.asarray(jax.random.normal(make_key(2**33), (3,)))
+    assert np.array_equal(a, b)
+
+
+def test_ess_constant_series_message():
+    with np.errstate(invalid="ignore"):
+        try:
+            effective_sample_size(np.ones(64))
+            raised = False
+        except ValueError as e:
+            raised = "positive" in str(e) and "variance" in str(e)
+    assert raised
+
+
+def test_covariance_and_gradients_forces_fallback_path():
+    """The generic jacfwd gradient path must not hit the custom-VJP Pallas
+    wrapper (forward-mode is forbidden there); force_fallback covers it."""
+    from inference_tpu.ops import pairwise
+    from inference_tpu.gp import SquaredExponential
+
+    k = SquaredExponential()
+    x = np.random.default_rng(0).normal(size=(64, 2))
+    k.pass_spatial_data(jnp.asarray(x))
+    theta = jnp.asarray([0.1, 0.0, 0.2])
+    with pairwise.force_fallback():
+        K = pairwise.sqexp_covariance(x, x, 1.0, jnp.asarray([1.0, 1.0]))
+    assert K.shape == (64, 64)
+    K2, grads = k.covariance_and_gradients(theta)
+    assert len(grads) == 3 and K2.shape == (64, 64)
