@@ -26,6 +26,9 @@ large-N regime: compensated summation is useless here; the lever is
 evaluating the kernel entries themselves in double-float (pair-arithmetic
 d2 + exp inside a Pallas kernel), which would cost ~10-20 f32 VPU ops per
 entry (~10x the exp) and bring entry noise to ~1e-14.
+(Control: re-evaluating the host truth on f32-truncated inputs leaves
+all three errors unchanged at 1.22e-5 — input truncation is excluded;
+the noise is genuinely the device-side f32 d2/exp evaluation.)
 """
 
 import sys
