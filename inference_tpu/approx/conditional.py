@@ -5,10 +5,26 @@ TPU-native rebuild of the reference conditional tools
 a posterior around a point, sampled and summarised via a piecewise-linear
 inverse-transform sampler with a numerically-stable trapezium branch.
 
-The adaptive mode-refinement and threshold-bracketing searches are
-inherently sequential, but every batch of grid evaluations goes through a
-vmapped posterior call so the compiled posterior is evaluated in parallel
-across grid points where possible.
+Design notes (vs the reference):
+
+- Grid evaluations go through a single jitted+vmapped posterior program.
+  The pinned variable index is a *traced* argument (a dynamic-update-slice)
+  and every batch is padded to one of two fixed shapes, so a full
+  ``get_conditionals`` call compiles at most two programs regardless of the
+  number of variables — the reference evaluates one scalar posterior call
+  per grid point.
+- The threshold bisection refines **both** bracket edges simultaneously,
+  one batched evaluation per iteration with masked (branchless) bracket
+  updates, instead of the reference's two sequential scalar bisections
+  (reference: conditional.py:33-58,160-170).
+- Within-cell sampling inverts the trapezium CDF in closed form as one
+  branchless vectorised quantile function, and cell selection is an
+  inverse-CDF ``searchsorted`` on the cumulative cell masses
+  (reference: conditional.py:61-135 uses boolean-index assignment over a
+  near-zero mask plus ``rng.choice``).
+- Cell masses use the trapezium-rule weights ``means * dx`` — see
+  DELTAS.md #21 (the reference divides by ``dx``, which mis-weights
+  non-uniform grids; reference: conditional.py:130).
 """
 
 import numpy as np
@@ -30,10 +46,16 @@ class Conditional:
         self.theta = np.asarray(theta, dtype=float)
         self.variable_index = variable_index
         self._batched = None
+        self.trace_count = 0  # incremented at trace time; one per compile
         if is_traceable(posterior, self.theta):
             base = jnp.asarray(self.theta)
 
             def eval_batch(xs, index):
+                # traced (not static) index: one compiled program serves
+                # every variable, so compile count is set by the batch
+                # shapes alone
+                self.trace_count += 1
+
                 def one(x):
                     return jnp.asarray(
                         self.posterior(base.at[index].set(x))
@@ -41,7 +63,7 @@ class Conditional:
 
                 return jax.vmap(one)(jnp.asarray(xs))
 
-            self._batched = jax.jit(eval_batch, static_argnums=1)
+            self._batched = jax.jit(eval_batch)
 
     def __call__(self, x) -> float:
         t = self.theta.copy()
@@ -55,77 +77,103 @@ class Conditional:
             return np.asarray(self._batched(xs, self.variable_index))
         return np.array([self(x) for x in xs])
 
-
-def binary_search(func, target, x, y, tol=0.05, max_itr=20) -> float:
-    """Bisection for a point where ``func`` crosses ``target``."""
-    x1, x2 = x
-    y1, y2 = y
-    assert (y1 < target < y2) or (y2 < target < y1)
-    x_new = 0.5 * (x1 + x2)
-    for _ in range(max_itr):
-        x_new = 0.5 * (x1 + x2)
-        y_new = func(x_new)
-        if abs(y_new - target) < tol:
-            break
-        if (y1 < target < y_new) or (y_new < target < y1):
-            x2, y2 = x_new, y_new
-        else:
-            x1, y1 = x_new, y_new
-    return x_new
+    def batch_padded(self, xs, width: int) -> np.ndarray:
+        """``batch`` padded up to a fixed width so repeated calls with
+        varying point counts reuse one compiled program."""
+        xs = np.asarray(xs, dtype=float)
+        n = xs.size
+        if self._batched is None or n >= width:
+            return self.batch(xs)
+        return self.batch(np.pad(xs, (0, width - n), mode="edge"))[:n]
 
 
-def trapezium_full(x, dh):
-    b = dh - 1
-    return (b + np.sqrt(b**2 + 4 * x * dh)) / (2 * dh)
-
-
-def trapezium_near_zero(x, dh):
-    return x + (1 - x) * x * dh
-
-
-def trapezium_transform(x, dh):
+def _trapezium_quantile(u, dh):
     """
-    Transform uniform random numbers on [0, 1] to trapezium-distributed
-    numbers on [0, 1]; ``dh`` is the difference between the uniform and
-    trapezium densities at x = 1. A series branch handles ``dh`` near zero
-    (reference: conditional.py:61-90).
+    Quantile function of the linear ("trapezium") density on [0, 1] whose
+    value at t=1 exceeds the uniform density by ``dh``:
+    f(t) = 1 + dh*(2t - 1), so F(t) = dh*t^2 + (1 - dh)*t and the quantile
+    is the positive root of that quadratic. Where ``dh`` is tiny the
+    quadratic formula cancels catastrophically; a first-order series in
+    ``dh`` takes over, selected branchlessly.
     """
+    u = np.asarray(u, dtype=float)
+    dh = np.asarray(dh, dtype=float)
     near_zero = np.abs(dh) < 1e-5
-    if near_zero.any():
-        stable = ~near_zero
-        t = np.zeros(x.size)
-        t[near_zero] = trapezium_near_zero(x[near_zero], dh[near_zero])
-        t[stable] = trapezium_full(x[stable], dh[stable])
-        return t
-    return trapezium_full(x, dh)
+    dh_safe = np.where(near_zero, 1.0, dh)
+    b = dh - 1.0
+    root = (b + np.sqrt(b * b + 4.0 * u * dh_safe)) / (2.0 * dh_safe)
+    series = u + (1.0 - u) * u * dh
+    return np.where(near_zero, series, root)
 
 
 def piecewise_linear_sample(x, probability_density, n_samples: int) -> np.ndarray:
     """
     Sample a 1D distribution evaluated on a grid by approximating the
-    density as piecewise-linear (reference: conditional.py:93-135).
+    density as piecewise-linear (reference behaviour: conditional.py:93-135).
+    Fully vectorised: cells are drawn by inverse-CDF over the cumulative
+    trapezium-rule masses, then positions within each cell by the
+    closed-form trapezium quantile.
     """
     x = np.asarray(x, dtype=float)
-    probability_density = np.asarray(probability_density, dtype=float)
-    dx = x[1:] - x[:-1]
+    density = np.asarray(probability_density, dtype=float)
+    dx = np.diff(x)
     if (dx <= 0.0).any():
         raise ValueError(
             "[ piecewise_linear_sample error ] The 'x' argument must be "
             "given in strictly ascending order."
         )
-    if (probability_density < 0).any():
+    if (density < 0).any():
         raise ValueError(
             "[ piecewise_linear_sample error ] All values in the given "
             "'probability_density' array must be non-negative."
         )
 
-    means = 0.5 * (probability_density[1:] + probability_density[:-1])
-    delta = 0.5 * (probability_density[1:] - probability_density[:-1]) / means
-    weights = means * dx
-    weights = weights / weights.sum()
-    inds = rng.choice(weights.size, size=n_samples, p=weights)
-    trapz = trapezium_transform(rng.random(size=n_samples), delta[inds]) * dx[inds]
-    return x[inds] + trapz
+    p_lo, p_hi = density[:-1], density[1:]
+    mass = 0.5 * (p_lo + p_hi) * dx  # trapezium-rule mass per cell
+    cdf = np.cumsum(mass)
+    cdf /= cdf[-1]
+    cells = np.searchsorted(cdf, rng.random(n_samples), side="right")
+    cells = np.minimum(cells, dx.size - 1)
+
+    mid = 0.5 * (p_lo[cells] + p_hi[cells])
+    # density slope relative to the cell's uniform level; zero-mass cells
+    # are (almost surely) never drawn but must not divide by zero
+    dh = 0.5 * (p_hi[cells] - p_lo[cells]) / np.where(mid > 0, mid, 1.0)
+    t = _trapezium_quantile(rng.random(n_samples), dh)
+    return x[cells] + t * dx[cells]
+
+
+def _refine_edges(
+    batch_eval, target, x1, x2, y1, active, tol=0.05, max_itr=20
+) -> np.ndarray:
+    """
+    Vectorised bisection for several threshold crossings at once: all
+    brackets step together, each iteration costing one batched conditional
+    evaluation, with converged/inactive rows frozen by masking. ``x1``/``y1``
+    is the edge kept when the crossing lies in the lower half.
+    Returns the final midpoints (rows where ``active`` is False are
+    meaningless and ignored by the caller).
+    """
+    x1 = np.array(x1, dtype=float)
+    x2 = np.array(x2, dtype=float)
+    y1 = np.array(y1, dtype=float)
+    done = ~np.asarray(active, dtype=bool)
+    xm = 0.5 * (x1 + x2)
+    for _ in range(max_itr):
+        if done.all():
+            break
+        xm = np.where(done, xm, 0.5 * (x1 + x2))
+        ym = batch_eval(xm)
+        newly_done = ~done & (np.abs(ym - target) < tol)
+        crossing_low = ((y1 < target) & (target < ym)) | (
+            (ym < target) & (target < y1)
+        )
+        step = ~done & ~newly_done
+        x2 = np.where(step & crossing_low, xm, x2)
+        x1 = np.where(step & ~crossing_low, xm, x1)
+        y1 = np.where(step & ~crossing_low, ym, y1)
+        done |= newly_done
+    return xm
 
 
 def evaluate_conditional(func: Conditional, points, grid_size: int = 64):
@@ -133,10 +181,10 @@ def evaluate_conditional(func: Conditional, points, grid_size: int = 64):
     Refine the mode estimate, bracket the region of non-negligible
     probability mass (an 8-nat drop from the mode), and evaluate the
     normalised conditional on a uniform grid over it
-    (reference: conditional.py:138-177).
+    (reference behaviour: conditional.py:138-177).
     """
     points = np.asarray(points, dtype=float)
-    p = func.batch(points)
+    p = func.batch_padded(points, grid_size)
     x = points.copy()
     threshold = 8.0
 
@@ -154,17 +202,20 @@ def evaluate_conditional(func: Conditional, points, grid_size: int = 64):
     lwr_ind = max(inds[0] - 1, 0)
     upr_ind = min(inds[-1] + 1, p.size - 1)
 
-    if p[lwr_ind] >= p_target:
-        x_lwr = x[lwr_ind]
-    else:
-        slc = slice(lwr_ind, lwr_ind + 2)
-        x_lwr = binary_search(func, p_target, x[slc], p[slc])
-
-    if p[upr_ind] >= p_target:
-        x_upr = x[upr_ind]
-    else:
-        slc = slice(upr_ind - 1, upr_ind + 1)
-        x_upr = binary_search(func, p_target, x[slc], p[slc])
+    # both threshold crossings bisected simultaneously — one shape-(2,)
+    # batched evaluation per iteration
+    need_lwr = p[lwr_ind] < p_target
+    need_upr = p[upr_ind] < p_target
+    edges = _refine_edges(
+        func.batch,
+        p_target,
+        x1=[x[lwr_ind + 1], x[upr_ind - 1]],
+        x2=[x[lwr_ind], x[upr_ind]],
+        y1=[p[lwr_ind + 1], p[upr_ind - 1]],
+        active=[need_lwr, need_upr],
+    )
+    x_lwr = edges[0] if need_lwr else x[lwr_ind]
+    x_upr = edges[1] if need_upr else x[upr_ind]
 
     x_cond = np.linspace(x_lwr, x_upr, grid_size)
     p_cond = func.batch(x_cond)

@@ -85,7 +85,9 @@ def mixed_pcg(matvec, b, M=None, tol=1e-6, maxiter=1000, restart_every=50):
         z = M(r)
         rz_new = dot64(r, z)
         rr = dot64(r, r)
-        beta = jnp.where(rz != 0.0, rz_new / rz, 0.0)
+        # after a true-residual restart the old direction is no longer
+        # conjugate to the fresh residual — reset to steepest descent
+        beta = jnp.where((rz != 0.0) & ~restart, rz_new / rz, 0.0)
         p = z + beta.astype(vdtype) * p
         return (i + 1, x, r, z, p, rz_new, rr, ok)
 

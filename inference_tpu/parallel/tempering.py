@@ -202,6 +202,7 @@ class ShardedTempering:
         self.successful_swaps = np.zeros((self.n_rungs, self.n_rungs))
         self._history = []
         self._prob_history = []
+        self._raw_steps = 0  # unthinned steps offered to _store so far
 
     # ------------------------------------------------------------------ #
     # sharding / program construction
@@ -387,7 +388,12 @@ class ShardedTempering:
             pos, logp = outs.walkers, outs.logps
         else:
             pos, logp = outs.theta, outs.logp
-        pos, logp = jax.device_get((pos[::thin], logp[::thin]))
+        # chunk lengths vary (2*interval*n_super vs single-cycle vs tail),
+        # so thin against a running global step offset — a per-chunk [::thin]
+        # would give an irregular stride across chunk boundaries
+        offset = (-self._raw_steps) % thin
+        self._raw_steps += pos.shape[0]
+        pos, logp = jax.device_get((pos[offset::thin], logp[offset::thin]))
         self._history.append(np.asarray(pos))
         self._prob_history.append(np.asarray(logp))
 
@@ -611,9 +617,19 @@ class ShardedTempering:
         (same mesh / kind / temperatures / chain count), re-applying the
         rung x chain shardings."""
         D = np.load(filename)
+        # older checkpoints (pre round-2 full-surface rewrite) stored a
+        # 'swap_counter' instead of 'kind'/'phase' and carried no swap-stat
+        # matrices — fall back rather than stranding a resumable run
+        ck_kind = str(D["kind"]) if "kind" in D else self.kind
+        if "phase" in D:
+            ck_phase = int(D["phase"])
+        elif "swap_counter" in D:
+            ck_phase = int(D["swap_counter"]) % 2
+        else:
+            ck_phase = 0
         if (
             int(D["n_chains"]) != self.n_chains
-            or str(D["kind"]) != self.kind
+            or ck_kind != self.kind
             or not np.allclose(D["temperatures"], self.temperatures)
         ):
             raise ValueError(
@@ -625,7 +641,11 @@ class ShardedTempering:
             jnp.asarray(D[f"leaf_{i}"], v.dtype) for i, v in enumerate(leaves)
         ]
         self._state = self._shard(jax.tree.unflatten(treedef, new_leaves))
-        self._phase = int(D["phase"])
-        self.attempted_swaps = np.asarray(D["attempted_swaps"])
-        self.successful_swaps = np.asarray(D["successful_swaps"])
+        self._phase = ck_phase
+        if "attempted_swaps" in D:
+            self.attempted_swaps = np.asarray(D["attempted_swaps"])
+            self.successful_swaps = np.asarray(D["successful_swaps"])
+        else:
+            self.attempted_swaps = np.identity(self.n_rungs)
+            self.successful_swaps = np.zeros((self.n_rungs, self.n_rungs))
         return self

@@ -48,9 +48,11 @@ class PhaseTimer:
             yield
         finally:
             # barrier on every device: a default-device-only op would let
-            # async work on other mesh devices leak into later phases
+            # async work on other mesh devices leak into later phases.
+            # The "+ 0" forces a compute op ordered after queued kernels —
+            # a bare transfer is not ordered against in-flight compute.
             for dev in jax.devices():
-                jax.device_put(0.0, dev).block_until_ready()
+                (jax.device_put(0.0, dev) + 0).block_until_ready()
             self.totals[name] += time.perf_counter() - start
             self.counts[name] += 1
 

@@ -86,3 +86,22 @@ def test_piecewise_linear_sample_validation():
         piecewise_linear_sample(np.array([1.0, 0.5]), np.array([1.0, 1.0]), 10)
     with pytest.raises(ValueError):
         piecewise_linear_sample(np.array([0.0, 1.0]), np.array([-1.0, 1.0]), 10)
+
+
+def test_get_conditionals_compile_count():
+    """The pinned-variable index is traced and batches are padded to fixed
+    shapes, so a full get_conditionals call compiles at most two programs
+    and the count does not grow with the number of variables."""
+    from inference_tpu.approx.conditional import Conditional, evaluate_conditional
+
+    for n_params in (2, 4):
+        point = np.zeros(n_params)
+        cond = Conditional(
+            lambda t: -0.5 * jnp.sum(jnp.asarray(t) ** 2), point, 0
+        )
+        for i in range(n_params):
+            cond.variable_index = i
+            evaluate_conditional(cond, np.linspace(-5, 5, 17))
+        assert cond.trace_count <= 2, (
+            f"{cond.trace_count} compiles for {n_params} variables"
+        )
