@@ -1,0 +1,365 @@
+"""Double-float (two-float32) arithmetic and the df64 covariance matvec.
+
+TPU hardware has no native float64; XLA's emulated f64 builds programs the
+remote backend cannot hold at large N. This module provides the middle
+path the small-noise GP regime needs (see BENCH_NOTES and
+``benchmarks/df64_matvec_experiment.py``): each quantity is carried as an
+unevaluated pair of float32 values ``(hi, lo)`` with ``value = hi + lo``
+and ``|lo| <= ulp(hi)/2`` — roughly 48 bits of significand, evaluated
+entirely with float32 VPU ops.
+
+The round-2 experiment isolated the error budget of the float32 covariance
+matvec: compensated summation and hi/lo *product* splitting gain nothing,
+because the 1.2e-5 error is the float32 evaluation of the kernel entries
+themselves (the ``d^2`` accumulation and the exp argument). The lever is
+therefore evaluating the **entries** in double-float — which is what
+``sqexp_matvec_df64`` below does, fused into a single Pallas kernel:
+
+- pairwise displacements of pre-scaled coordinate *pairs* (error-free
+  two-sum subtraction),
+- squares and the dimension sum in pair arithmetic,
+- a pair-arithmetic exponential (``df_exp_neg``) — the TPU float32 exp
+  intrinsic is only ~4e-6 accurate (measured 37 ulps on this chip), so the
+  argument reduction ``a = k ln2 + r`` and the series reconstruction are
+  done explicitly in pair arithmetic (~2e-8 relative),
+- entry x vector products with an error-free two-product,
+- compensated (pair) accumulation over data points, reduced by a pairwise
+  tree so no float32 rounding chain ever exceeds a few operations.
+
+The result is a matvec with ~1e-8-level relative error instead of the
+plain float32 path's eps32-scaled entry noise (1.2e-5 at N=8k) — three
+orders of magnitude, with no float64 program anywhere.
+
+The error-free transformations (Knuth two-sum, Veltkamp split, Dekker
+two-product) rely on IEEE round-to-nearest float32 ops that are not
+reassociated; XLA and Mosaic preserve floating-point semantics, and the
+unit tests assert the error-free properties directly on device.
+
+References: Dekker (1971), "A floating-point technique for extending the
+available precision"; the reference library sidesteps all of this by
+running on host float64 (reference: inference/gp/regression.py:239-244).
+"""
+
+import contextlib
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+# --------------------------------------------------------------------- #
+# error-free transformations (float32, no FMA required)
+# --------------------------------------------------------------------- #
+def two_sum(a, b):
+    """Knuth two-sum: s + e == a + b exactly, s = fl(a + b). 6 flops."""
+    s = a + b
+    bb = s - a
+    e = (a - (s - bb)) + (b - bb)
+    return s, e
+
+
+def fast_two_sum(a, b):
+    """Dekker two-sum requiring |a| >= |b| (or a == 0): 3 flops.
+
+    WARNING: XLA's CPU algebraic simplifier rewrites this pattern's error
+    term to zero when ``a`` is a broadcast constant (measured in this
+    repo's test suite); the branch-free Knuth ``two_sum`` survives every
+    backend tested, so all pair renormalisations below use ``two_sum``
+    even where the Dekker precondition holds. Kept for documentation and
+    for callers that control their compilation path."""
+    s = a + b
+    e = b - (s - a)
+    return s, e
+
+
+def veltkamp_split(a):
+    """Split a float32 into 12 high + 12 low significand bits, exactly."""
+    c = a * jnp.asarray(4097.0, a.dtype)  # 2**12 + 1
+    hi = c - (c - a)
+    return hi, a - hi
+
+
+def two_prod(a, b):
+    """Dekker two-product: p + e == a * b exactly. 17 flops."""
+    p = a * b
+    ah, al = veltkamp_split(a)
+    bh, bl = veltkamp_split(b)
+    e = ((ah * bh - p) + ah * bl + al * bh) + al * bl
+    return p, e
+
+
+# --------------------------------------------------------------------- #
+# double-float (pair) arithmetic
+# --------------------------------------------------------------------- #
+def df_add(xh, xl, yh, yl):
+    """Pair + pair (Dekker add2): ~11 flops, relative error ~2^-47."""
+    s, e = two_sum(xh, yh)
+    e = e + (xl + yl)
+    return two_sum(s, e)
+
+
+def df_sub(xh, xl, yh, yl):
+    return df_add(xh, xl, -yh, -yl)
+
+
+def df_mul(xh, xl, yh, yl):
+    """Pair * pair (Dekker mul2): ~24 flops."""
+    p, e = two_prod(xh, yh)
+    e = e + (xh * yl + xl * yh)
+    return two_sum(p, e)
+
+
+def df_mul_f32(xh, xl, y):
+    """Pair * float32: ~21 flops."""
+    p, e = two_prod(xh, y)
+    e = e + xl * y
+    return two_sum(p, e)
+
+
+def split_f64(a):
+    """Host helper: split float64 array(s) into a (hi, lo) float32 pair."""
+    a = np.asarray(a, np.float64)
+    hi = a.astype(np.float32)
+    lo = (a - hi.astype(np.float64)).astype(np.float32)
+    return hi, lo
+
+
+# ln2 as a float32 pair (hi + lo matches float64 ln2 to ~1e-17)
+_LN2_HI = np.float32(0.6931472)
+_LN2_LO = np.float32(np.log(2.0) - np.float64(np.float32(0.6931472)))
+_INV_LN2 = np.float32(1.0 / np.log(2.0))
+# Taylor coefficients of (exp(r) - 1 - r) / r^2 = 1/2 + r/6 + ... ;
+# evaluated in plain float32 (its leading factor r^2 <= 0.121 keeps the
+# rounding contribution ~1e-8 relative)
+_EXP_P = tuple(
+    np.float32(1.0 / __import__("math").factorial(k)) for k in range(8, 1, -1)
+)
+
+
+def df_exp_neg_parts(ah, al):
+    """
+    ``exp(a) = scale * (1 + q)`` for a non-positive pair argument, with
+    ``scale`` an exact power of two and ``q`` a pair, ~1e-8 relative — the
+    TPU float32 exp intrinsic is only ~4e-6 accurate (measured: 37 ulps),
+    far too coarse for double-float kernel entries, so the reduction and
+    reconstruction are done explicitly:
+
+        a = k ln2 + r,  |r| <= ln2/2
+        exp(a) = 2^k (1 + [r + r^2 P(r)])
+
+    with k*ln2 subtracted in pair arithmetic (two-product on the high word
+    of ln2), P a degree-6 float32 Horner, the bracketed ``q`` assembled in
+    pair arithmetic, and 2^k applied exactly by exponent-bit assembly.
+    Arguments below -87 (entries < 2e-38) get ``scale = 0``.
+
+    The "1 +" is deliberately left to the caller: XLA's constant folding
+    corrupts error-free transformations that involve a literal constant
+    (measured: ``two_sum(ones_like(x), x)`` returns a wrong error word
+    under jit on CPU), so the final add must use runtime data — e.g. fuse
+    it into a product ``exp(a) * v = scale * (v + q*v)``.
+    """
+    f32 = ah.dtype
+    k = jnp.floor(ah * _INV_LN2 + f32.type(0.5))
+    ph, pe = two_prod(k, jnp.asarray(_LN2_HI, f32))
+    t, te = two_sum(ah, -ph)
+    te = te + (al - pe - k * jnp.asarray(_LN2_LO, f32))
+    rh, rl = two_sum(t, te)
+
+    p = jnp.asarray(_EXP_P[0], f32)
+    for c in _EXP_P[1:]:
+        p = p * rh + c
+    r2h, r2l = df_mul(rh, rl, rh, rl)
+    th, tl = df_mul_f32(r2h, r2l, p)
+    qh, ql = df_add(rh, rl, th, tl)  # q = r + r^2 P(r)
+
+    # 2^k by exponent-bit assembly (exact); k in [-126, 0] after clamping
+    ki = jnp.clip(k, -126.0, 0.0).astype(jnp.int32)
+    scale = jax.lax.bitcast_convert_type(
+        (ki + 127) << 23, jnp.float32
+    ).astype(f32)
+    scale = jnp.where(ah < f32.type(-87.0), jnp.zeros_like(scale), scale)
+    return scale, qh, ql
+
+
+def df_exp_neg(ah, al):
+    """``exp(a)`` for a non-positive pair argument, as a pair (~1e-8
+    relative; plain float32 accuracy below exp(a) ~ 1e-31 where the low
+    word's scaling underflows). See ``df_exp_neg_parts``."""
+    scale, qh, ql = df_exp_neg_parts(ah, al)
+    # the optimization barrier keeps XLA from constant-folding the literal
+    # one into the error-free transform (which corrupts its error word)
+    one = jax.lax.optimization_barrier(jnp.ones_like(ah))
+    s, se = two_sum(one, qh)
+    return s * scale, (se + ql) * scale
+
+
+# --------------------------------------------------------------------- #
+# fused df64 squared-exponential matvec
+# --------------------------------------------------------------------- #
+_TJ = 128  # data-point (reduction) tile: sublane axis
+_TI = 128  # output-row tile: lane axis
+
+
+def _tree_pair_reduce(hi, lo, stop: int = 8):
+    """Reduce pair arrays over axis 0 by pairwise halving — log2(TJ/stop)
+    compensated adds per element instead of a TJ-long rounding chain.
+    Stops at ``stop`` rows (the TPU sublane minimum for an output block);
+    the final few adds happen outside the kernel in float64, exactly."""
+    n = hi.shape[0]
+    while n > stop:
+        half = n // 2
+        hi, lo = df_add(hi[:half], lo[:half], hi[half:], lo[half:])
+        n = half
+    return hi, lo
+
+
+def _matvec_kernel(d: int):
+    """Pallas kernel body for grid (n_i, n_j): accumulate
+    sum_j exp(-0.5 * d2_ij) * v_j into a pair accumulator, elementwise
+    over a (TJ, TI) tile, reducing over TJ only once per output tile."""
+
+    def kernel(
+        uj_hi_ref, uj_lo_ref, ui_hi_ref, ui_lo_ref, v_ref,
+        out_hi_ref, out_lo_ref, acc_hi, acc_lo,
+    ):
+        j = pl.program_id(1)
+        n_j = pl.num_programs(1)
+
+        @pl.when(j == 0)
+        def _():
+            acc_hi[:] = jnp.zeros_like(acc_hi)
+            acc_lo[:] = jnp.zeros_like(acc_lo)
+
+        # squared distance in pair arithmetic, one dimension at a time
+        d2h = jnp.zeros((_TJ, _TI), jnp.float32)
+        d2l = jnp.zeros((_TJ, _TI), jnp.float32)
+        for k in range(d):  # d is a static python int (small)
+            ah = uj_hi_ref[:, k][:, None]
+            al = uj_lo_ref[:, k][:, None]
+            bh = ui_hi_ref[:, k][None, :]
+            bl = ui_lo_ref[:, k][None, :]
+            dh, dl = df_add(ah, al, -bh, -bl)
+            sh, sl = df_mul(dh, dl, dh, dl)
+            d2h, d2l = df_add(d2h, d2l, sh, sl)
+
+        # exp of the pair argument, itself in pair arithmetic — the TPU
+        # float32 exp intrinsic (~4e-6 relative) would dominate the budget.
+        # The entry*vector product fuses the exponential's "1 +" term:
+        #   E_ij v_j = scale * (v_j + q_ij v_j)
+        # so no literal constant enters an error-free transform (XLA
+        # constant folding corrupts those — see df_exp_neg_parts).
+        scale, qh, ql = df_exp_neg_parts(-0.5 * d2h, -0.5 * d2l)
+
+        v = v_ref[:]  # (TJ, 1)
+        tvh, tvl = df_mul_f32(qh, ql, v)
+        s, se = two_sum(jnp.broadcast_to(v, tvh.shape), tvh)
+        ph = s * scale
+        plo = (se + tvl) * scale
+        acc_h, acc_l = df_add(acc_hi[:], acc_lo[:], ph, plo)
+        acc_hi[:] = acc_h
+        acc_lo[:] = acc_l
+
+        @pl.when(j == n_j - 1)
+        def _():
+            rh, rl = _tree_pair_reduce(acc_hi[:], acc_lo[:])
+            out_hi_ref[:] = rh
+            out_lo_ref[:] = rl
+
+    return kernel
+
+
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _x64_off_ctx():
+    """Trace f32 pallas kernels with x64 disabled: under jax_enable_x64 the
+    grid/index types trace as i64, which Mosaic cannot legalize."""
+    try:
+        from jax._src.config import enable_x64
+
+        return enable_x64(False)
+    except ImportError:  # pragma: no cover
+        return contextlib.nullcontext()
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _sqexp_matvec_df64_pallas(uh, ul, v, interpret=False):
+    n, d = uh.shape
+    n_j = n // _TJ
+    n_i = n // _TI
+
+    kernel = _matvec_kernel(d)
+    with _x64_off_ctx():
+        out_hi, out_lo = pl.pallas_call(
+            kernel,
+            out_shape=(
+                jax.ShapeDtypeStruct((n_i * 8, _TI), jnp.float32),
+                jax.ShapeDtypeStruct((n_i * 8, _TI), jnp.float32),
+            ),
+            grid=(n_i, n_j),
+            in_specs=[
+                pl.BlockSpec((_TJ, d), lambda i, j: (j, 0)),
+                pl.BlockSpec((_TJ, d), lambda i, j: (j, 0)),
+                pl.BlockSpec((_TI, d), lambda i, j: (i, 0)),
+                pl.BlockSpec((_TI, d), lambda i, j: (i, 0)),
+                pl.BlockSpec((_TJ, 1), lambda i, j: (j, 0)),
+            ],
+            out_specs=(
+                pl.BlockSpec((8, _TI), lambda i, j: (i, 0)),
+                pl.BlockSpec((8, _TI), lambda i, j: (i, 0)),
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((_TJ, _TI), jnp.float32),
+                pltpu.VMEM((_TJ, _TI), jnp.float32),
+            ],
+            # the pair arithmetic is a long straight-line dataflow whose
+            # temporaries the compiler stack-allocates; the default 16 MB
+            # scoped-vmem budget is too small at useful tile sizes
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024
+            ),
+            interpret=interpret,
+        )(uh, ul, uh, ul, v.reshape(n, 1))
+    # the last 8 partial rows are combined exactly in float64 (cheap:
+    # O(N) elementwise, no N x N f64 program)
+    ph = out_hi.reshape(n_i, 8, _TI).astype(jnp.float64)
+    plo = out_lo.reshape(n_i, 8, _TI).astype(jnp.float64)
+    y64 = (ph + plo).sum(axis=1).reshape(n)
+    return y64
+
+
+def sqexp_matvec_df64(us_hi, us_lo, v, interpret: bool = None):
+    """
+    ``y = E v`` with ``E_ij = exp(-0.5 ||us_i - us_j||^2)`` evaluated in
+    double-float precision, where the pre-scaled coordinates
+    ``us = x / lengthscales`` are supplied as a float32 pair (from
+    ``split_f64``). Returns the result as a float64 vector (the kernel
+    emits 8 float32 partial-pair rows per output tile; combining them is
+    O(N) elementwise float64 — cheap even on TPU). Requires
+    ``jax_enable_x64``.
+
+    Amplitude and diagonal terms are the caller's job (they are exact in
+    float64 outside the kernel). ``n`` must be a multiple of 256 — callers
+    pad with rows whose ``v`` entries are zero.
+    """
+    if not jax.config.read("jax_enable_x64"):
+        raise ValueError(
+            "sqexp_matvec_df64 requires jax_enable_x64 (the partial-pair "
+            "combine and the returned vector are float64)"
+        )
+    if interpret is None:
+        # compiled Mosaic on TPU; the (slow, exact) interpreter elsewhere
+        # so CPU-mesh tests exercise the identical kernel logic
+        interpret = jax.default_backend() != "tpu"
+    uh = jnp.asarray(us_hi, jnp.float32)
+    ul = jnp.asarray(us_lo, jnp.float32)
+    v = jnp.asarray(v, jnp.float32)
+    n, d = uh.shape
+    if n % _TJ != 0:
+        raise ValueError(
+            f"[ sqexp_matvec_df64 error ] n ({n}) must be a multiple of "
+            f"{_TJ}; pad the data rows (zero-padded v entries are inert)."
+        )
+    return _sqexp_matvec_df64_pallas(uh, ul, v, interpret=interpret)
