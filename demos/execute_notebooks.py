@@ -1,0 +1,77 @@
+"""Execute every demo notebook in place, committing outputs + figures.
+
+The reference's notebooks are *executed documents* — their figures are the
+de-facto gallery (reference: demos/gibbs_sampling_demo.ipynb ships ~400 KB
+of executed cells). This script brings the rebuild's notebooks to the same
+state, and the slow-tier test ``tests/test_notebooks.py`` keeps them
+executable in CI.
+
+The kernel subprocess must select the CPU backend *before* jax
+initialises (on the axon TPU tunnel the chip is single-client, and the
+``JAX_PLATFORMS`` env var is ignored there) — a temporary ``sitecustomize``
+on the kernel's PYTHONPATH does this without touching the notebooks.
+
+Usage: python demos/execute_notebooks.py [notebook.ipynb ...]
+"""
+
+import os
+import sys
+import tempfile
+
+import nbformat
+from nbclient import NotebookClient
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+_SITECUSTOMIZE = """\
+import jax
+jax.config.update("jax_platforms", "cpu")
+"""
+
+
+def execute(path: str, timeout: int = 1200) -> None:
+    nb = nbformat.read(path, as_version=4)
+    with tempfile.TemporaryDirectory() as td:
+        with open(os.path.join(td, "sitecustomize.py"), "w") as f:
+            f.write(_SITECUSTOMIZE)
+        env = dict(os.environ)
+        env["PYTHONPATH"] = os.pathsep.join(
+            [td, REPO] + env.get("PYTHONPATH", "").split(os.pathsep)
+        ).rstrip(os.pathsep)
+        # no MPLBACKEND override: ipykernel's inline backend must stay
+        # active so plt.show() captures figures as cell outputs
+        client = NotebookClient(
+            nb,
+            timeout=timeout,
+            kernel_name="python3",
+            resources={"metadata": {"path": os.path.dirname(path) or "."}},
+        )
+        # nbclient passes the env to the kernel via jupyter_client
+        client.km_kwargs = {}
+        os_environ_backup = dict(os.environ)
+        os.environ.update(env)
+        try:
+            client.execute()
+        finally:
+            os.environ.clear()
+            os.environ.update(os_environ_backup)
+    nbformat.write(nb, path)
+
+
+def main():
+    targets = sys.argv[1:]
+    if not targets:
+        demo_dir = os.path.join(REPO, "demos")
+        targets = sorted(
+            os.path.join(demo_dir, f)
+            for f in os.listdir(demo_dir)
+            if f.endswith(".ipynb")
+        )
+    for t in targets:
+        print(f"[ executing {os.path.basename(t)} ]", flush=True)
+        execute(t)
+        print(f"[ done      {os.path.basename(t)} ]", flush=True)
+
+
+if __name__ == "__main__":
+    main()

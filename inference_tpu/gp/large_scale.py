@@ -69,14 +69,19 @@ class LargeScaleGP:
         inner CG itself breaks down (its recursive residual drifts from
         the true one) — use ``dtype="float64"`` where the backend supports
         emulated f64 at that scale.
-    :param solver: "cg" (default, ``jax.scipy`` CG) or "mixed" — restarted
-        PCG with float64 scalar recurrences and periodic true-residual
-        recomputation (``ops.solvers.mixed_pcg``). The default CG's
-        float32 recursive residual drifts at condition numbers ≳1e6
-        (small-noise regimes) and can return garbage while reporting
-        convergence; "mixed" stays honest there. Requires
-        ``jax_enable_x64`` (only for cheap scalar reductions — no f64
-        matvec programs are built).
+    :param solver: "cg" (default, ``jax.scipy`` CG), "mixed" or "df64".
+        "mixed" is restarted PCG with float64 scalar recurrences and
+        periodic true-residual recomputation (``ops.solvers.mixed_pcg``) —
+        the default CG's float32 recursive residual drifts at condition
+        numbers ≳1e6 and can return garbage while reporting convergence.
+        "df64" goes further for the very-small-noise regime (sigma ~ 1e-2
+        of the amplitude at N ≳ 16k) where the float32 *matvec entries*
+        themselves are the error floor: the covariance matvec is evaluated
+        in double-float (two-f32) pair arithmetic inside a fused Pallas
+        kernel (``ops.df64.sqexp_matvec_df64``, ~1e-8 relative) and the CG
+        iterate/residual are float64 (``ops.solvers.df64_pcg``). Both
+        require ``jax_enable_x64``; neither builds an N x N float64
+        program.
     :param mesh: optional 1D mesh; data rows and solves shard over its
         first axis.
     """
@@ -97,16 +102,24 @@ class LargeScaleGP:
         dtype=None,
         mesh=None,
     ):
-        if solver not in ("cg", "mixed"):
+        if solver not in ("cg", "mixed", "df64"):
             raise ValueError(
-                f"[ LargeScaleGP error ] 'solver' must be 'cg' or 'mixed', "
-                f"but '{solver}' was given."
+                f"[ LargeScaleGP error ] 'solver' must be 'cg', 'mixed' or "
+                f"'df64', but '{solver}' was given."
             )
-        if solver == "mixed" and not jax.config.read("jax_enable_x64"):
+        if solver in ("mixed", "df64") and not jax.config.read(
+            "jax_enable_x64"
+        ):
             raise ValueError(
-                "[ LargeScaleGP error ] solver='mixed' requires "
-                "jax.config.update('jax_enable_x64', True) (float64 scalar "
-                "recurrences)."
+                f"[ LargeScaleGP error ] solver='{solver}' requires "
+                "jax.config.update('jax_enable_x64', True)."
+            )
+        if solver == "df64" and mesh is not None:
+            raise ValueError(
+                "[ LargeScaleGP error ] solver='df64' runs the fused "
+                "double-float Pallas matvec on a single chip; drop the "
+                "mesh (N up to ~10^5 fits one chip: no N x N matrix is "
+                "ever formed)."
             )
         self.solver = solver
         if dtype is None:
@@ -177,6 +190,12 @@ class LargeScaleGP:
         self._build_preconditioner(preconditioner_rank)
         self._build_compiled(cg_tol, cg_maxiter)
         self.alpha = self._solve_alpha()
+        if solver == "df64":
+            # the df64 solve returns a float64 iterate; keep it in full
+            # precision (as refine() does) and a float32 cast for the
+            # prediction paths
+            self.alpha64 = np.asarray(self.alpha, np.float64)
+            self.alpha = jnp.asarray(self.alpha64, dtype)
         self.cg_iterations_estimate = None  # jax cg does not report count
 
     def _pivoted_cholesky(self, rank: int):
@@ -299,6 +318,35 @@ class LargeScaleGP:
             "failed even with diagonal regularisation"
         )
 
+    def _matvec64_pair(self, v32):
+        """Double-float system matvec: float32 vector in, float64
+        ``(K + diag(sig) + jitter I) v`` out, ~1e-8 relative — the fused
+        Pallas pair-arithmetic kernel for the covariance part, exact
+        float64 elementwise for the diagonal (``ops/df64.py``)."""
+        from ..ops.df64 import sqexp_matvec_df64
+
+        Ev = sqexp_matvec_df64(self._us_hi, self._us_lo, v32)
+        amp2 = np.exp(2.0 * float(self.hyperpars[0]))
+        diag = self._sig64 + amp2 * 1e-12
+        return amp2 * Ev + diag * v32.astype(jnp.float64)
+
+    def _prepare_df64(self):
+        """Pre-split the scaled coordinates into a float32 pair (computed
+        in host float64 — hyperparameters are fixed for the solve)."""
+        from ..ops.df64 import split_f64, _TJ
+
+        if self._n_padded % _TJ != 0:
+            raise ValueError(
+                f"[ LargeScaleGP error ] solver='df64' needs the padded "
+                f"row count to be a multiple of {_TJ}; use a block_size "
+                f"that is a multiple of {_TJ}."
+            )
+        ls64 = np.exp(np.asarray(self.hyperpars[1:], np.float64))
+        uh, ul = split_f64(self._x_host / ls64[None, :])
+        self._us_hi = jnp.asarray(uh)
+        self._us_lo = jnp.asarray(ul)
+        self._sig64 = jnp.asarray(self._sig_host, jnp.float64)
+
     def _build_compiled(self, cg_tol, cg_maxiter):
         x, sig_diag = self._x, self._sig_diag
         amp, ls = self._amp, self._ls
@@ -320,6 +368,9 @@ class LargeScaleGP:
             return Kv + (sig_diag + jitter) * v
 
         use_mixed = self.solver == "mixed"
+        use_df64 = self.solver == "df64"
+        if use_df64:
+            self._prepare_df64()
 
         def solve(rhs, pc):
             if has_precond:
@@ -334,7 +385,17 @@ class LargeScaleGP:
 
             else:
                 M = None
-            if use_mixed:
+            if use_df64:
+                from ..ops.solvers import df64_pcg
+
+                sol, _ = df64_pcg(
+                    self._matvec64_pair,
+                    rhs.astype(jnp.float64),
+                    M=M,
+                    tol=cg_tol,
+                    maxiter=cg_maxiter,
+                )
+            elif use_mixed:
                 from ..ops.solvers import mixed_pcg
 
                 sol, _ = mixed_pcg(
@@ -445,6 +506,17 @@ class LargeScaleGP:
         return out + (self._sig_host + amp2 * 1e-12) * v
 
     def _residual64(self, alpha64, backend: str):
+        if backend == "df64":
+            # pair-arithmetic Pallas matvec on an exact hi/lo split of
+            # alpha: ~1e-8 relative at any N, no f64 program, no host pass
+            if not hasattr(self, "_us_hi"):
+                self._prepare_df64()
+            ah = alpha64.astype(np.float32)
+            al = (alpha64 - ah.astype(np.float64)).astype(np.float32)
+            return np.asarray(
+                self._matvec64_pair(jnp.asarray(ah))
+                + self._matvec64_pair(jnp.asarray(al))
+            )
         if backend == "device":
             self._build_matvec64()
             return np.asarray(self._matvec64(jnp.asarray(alpha64)))
@@ -483,10 +555,17 @@ class LargeScaleGP:
         (cast per-dtype) and is available in full precision as ``alpha64``.
         """
         if residual_backend == "auto":
-            use_device = (
-                jax.config.read("jax_enable_x64") and self._n_padded <= 16384
-            )
-            residual_backend = "device" if use_device else "host"
+            x64 = jax.config.read("jax_enable_x64")
+            if (
+                x64
+                and jax.default_backend() == "tpu"
+                and self._n_padded % 128 == 0
+            ):
+                residual_backend = "df64"
+            elif x64 and self._n_padded <= 16384:
+                residual_backend = "device"
+            else:
+                residual_backend = "host"
         if residual_backend == "device" and not jax.config.read(
             "jax_enable_x64"
         ):
@@ -529,10 +608,17 @@ class LargeScaleGP:
         float64 — the honest convergence measure for small-noise problems
         where a float32 residual saturates at float32 rounding."""
         if residual_backend == "auto":
-            use_device = (
-                jax.config.read("jax_enable_x64") and self._n_padded <= 16384
-            )
-            residual_backend = "device" if use_device else "host"
+            x64 = jax.config.read("jax_enable_x64")
+            if (
+                x64
+                and jax.default_backend() == "tpu"
+                and self._n_padded % 128 == 0
+            ):
+                residual_backend = "df64"
+            elif x64 and self._n_padded <= 16384:
+                residual_backend = "device"
+            else:
+                residual_backend = "host"
         b64 = (np.asarray(self._y_host) - self.mean_value) * self._mask
         alpha = getattr(self, "alpha64", None)
         if alpha is None:

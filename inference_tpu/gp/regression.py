@@ -321,8 +321,14 @@ class GpRegressor:
 
             return add_diagonal(K * (m[:, None] * m[None, :]), 1.0 - m)
 
-        def lml(theta, x, y, sig, m):
+        def lml(theta, x, y, sig, m, jitter=0.0):
             K = apply_mask(add_sig(cov.matrix(x, theta[cov_slc]), sig), m)
+            # fit-path-only relative jitter (jitter=0 on the exact/parity
+            # paths): in float32 a BFGS line search probing extreme
+            # hyperparameters makes K numerically singular, and the NaN
+            # factorisation poisons gradients (0 * NaN) — a tiny
+            # trace-scaled shift keeps the whole fit finite
+            K = K + (jitter * jnp.diagonal(K).mean()) * identity_like(K)
             mu = mean.vector(x, theta[mean_slc])
             L = jnp.linalg.cholesky(K)
             ok = jnp.isfinite(L).all()
@@ -334,8 +340,9 @@ class GpRegressor:
             floor = jnp.asarray(jnp.finfo(K.dtype).min / 4, K.dtype)
             return jnp.where(ok, value, floor)
 
-        def loo(theta, x, y, sig, m):
+        def loo(theta, x, y, sig, m, jitter=0.0):
             K = apply_mask(add_sig(cov.matrix(x, theta[cov_slc]), sig), m)
+            K = K + (jitter * jnp.diagonal(K).mean()) * identity_like(K)
             mu = mean.vector(x, theta[mean_slc])
             L = jnp.linalg.cholesky(K)
             ok = jnp.isfinite(L).all()
@@ -694,6 +701,12 @@ class GpRegressor:
         upr = np.array([b[1] for b in self.hp_bounds], dtype=float)
         obj = self._loo_raw if self.cross_val else self._lml_raw
 
+        # in float32 the exact objective is not BFGS-safe (singular
+        # factorisations at extreme hyperparameters poison gradients);
+        # a trace-relative jitter keeps the whole search finite. The
+        # float64 path keeps the exact objective.
+        fit_jitter = 1e-6 if self._x_dev.dtype == jnp.float32 else 0.0
+
         cache = getattr(self, "_fit_ms_cache", None)
         if cache is None:
             cache = self._fit_ms_cache = {}
@@ -703,14 +716,21 @@ class GpRegressor:
             # is reused across ``update_data`` refits
             def neg(z, lo, hi, x, y, sig, m):
                 theta = lo + (hi - lo) * jax.nn.sigmoid(z)
-                return -obj(theta, x, y, sig, m)
+                return -obj(theta, x, y, sig, m, jitter=fit_jitter)
 
             def solve_one(z0, lo, hi, x, y, sig, m):
                 res = _jax_minimize(
                     neg, z0, args=(lo, hi, x, y, sig, m), method="BFGS",
                     options={"maxiter": 250},
                 )
-                return res.x, res.fun
+                # a diverged line search can return NaN iterates: score
+                # them out rather than letting NaN win the argmin
+                z_ok = jnp.isfinite(res.x).all()
+                z = jnp.where(z_ok, res.x, z0)
+                f = jnp.where(
+                    z_ok & jnp.isfinite(res.fun), res.fun, jnp.inf
+                )
+                return z, f
 
             def solve_and_refine(z0, lo, hi, x, y, sig, m):
                 """All starts + winner refinement in ONE device program:
@@ -718,12 +738,17 @@ class GpRegressor:
                 zs, fs = jax.vmap(
                     solve_one, in_axes=(0,) + (None,) * 6
                 )(z0, lo, hi, x, y, sig, m)
-                best = jnp.nanargmin(jnp.where(jnp.isfinite(fs), fs, jnp.inf))
+                best = jnp.argmin(fs)  # solve_one already mapped NaN -> inf
+                # if every start failed, fall back to the box centre
+                z_start = jnp.where(
+                    jnp.isfinite(fs[best]), zs[best], jnp.zeros_like(zs[best])
+                )
                 res = _jax_minimize(
-                    neg, zs[best], args=(lo, hi, x, y, sig, m),
+                    neg, z_start, args=(lo, hi, x, y, sig, m),
                     method="BFGS", options={"maxiter": 500, "gtol": 1e-8},
                 )
-                z_best = jnp.where(res.fun <= fs[best], res.x, zs[best])
+                improved = (res.fun <= fs[best]) & jnp.isfinite(res.x).all()
+                z_best = jnp.where(improved, res.x, z_start)
                 return zs, fs, z_best
 
             fit_ms = (

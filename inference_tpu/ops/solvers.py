@@ -85,8 +85,14 @@ def mixed_pcg(matvec, b, M=None, tol=1e-6, maxiter=1000, restart_every=50):
         z = M(r)
         rz_new = dot64(r, z)
         rr = dot64(r, r)
-        # after a true-residual restart the old direction is no longer
-        # conjugate to the fresh residual — reset to steepest descent
+        # after a true-residual restart the old direction (built from the
+        # NOISY float32 recurrence) is no longer conjugate to the fresh
+        # residual — reset to steepest descent. Measured on a kappa=1e6
+        # SPD test: with the f32 matvec this reset is the difference
+        # between a 7e-7 floor and outright divergence. (The opposite
+        # holds in df64_pcg, whose matvec is accurate: there the refresh
+        # is a tiny perturbation of the same Krylov process and the
+        # direction must be KEPT — resetting wrecks convergence.)
         beta = jnp.where((rz != 0.0) & ~restart, rz_new / rz, 0.0)
         p = z + beta.astype(vdtype) * p
         return (i + 1, x, r, z, p, rz_new, rr, ok)
@@ -122,8 +128,9 @@ def df64_pcg(matvec64, b64, M=None, tol=1e-10, maxiter=2000, restart_every=50):
       direction only needs eps32 relative accuracy),
     - every ``restart_every`` iterations the TRUE residual is recomputed
       as ``b - A x_hi - A x_lo`` with x split into a float32 pair, so the
-      recurrence never drifts beyond the matvec's own ~1e-8,
-    - the direction resets to steepest descent at restarts.
+      recurrence never drifts beyond the matvec's own ~1e-8 (the search
+      direction and beta carry across the refresh — it is a perturbation
+      of the same Krylov process, not a restart).
 
     Returns ``(x, info)`` with float64 ``x``; ``info = 0`` on convergence.
     """
@@ -179,7 +186,8 @@ def df64_pcg(matvec64, b64, M=None, tol=1e-10, maxiter=2000, restart_every=50):
         z = M(r.astype(f32)).astype(f64)
         rz_new = dot(r, z)
         rr = dot(r, r)
-        beta = jnp.where((rz != 0.0) & ~restart, rz_new / rz, 0.0)
+        # beta kept across refreshes — see the note in mixed_pcg
+        beta = jnp.where(rz != 0.0, rz_new / rz, 0.0)
         p = z + beta * p
         return (i + 1, x, r, z, p, rz_new, rr, ok)
 

@@ -170,3 +170,29 @@ def test_mixed_solver_beats_plain_cg_at_small_noise():
     assert r_mixed < 0.5 * r_plain
     with pytest.raises(ValueError):
         LargeScaleGP(x, y, err, solver="bogus", **kwargs)
+
+
+@pytest.mark.slow
+def test_df64_solver_small_noise():
+    """solver='df64' (pair-arithmetic Pallas matvec + float64 CG vectors)
+    reaches ~1e-9 single-solve residuals in the sigma=0.01 regime where
+    float32 matvec entry noise floors the other solvers. Runs the real
+    kernel logic through the Pallas interpreter on CPU; the on-chip
+    figures at N=16k/50k are recorded in BENCH_NOTES.md."""
+    rng = np.random.default_rng(7)
+    n = 512
+    x = rng.uniform(0, 8, size=(n, 2))
+    y = np.sin(x[:, 0]) * np.cos(0.5 * x[:, 1])
+    err = np.full(n, 0.01)
+    gp = LargeScaleGP(
+        x, y, err, hyperpars=np.array([0.0, 0.0, 0.0]), block_size=128,
+        preconditioner_rank=128, solver="df64", cg_tol=1e-9,
+        cg_maxiter=3000, dtype="float32",
+    )
+    assert hasattr(gp, "alpha64")
+    res = gp.residual_norm_f64(residual_backend="host")
+    assert res < 1e-7  # the matvec's own ~1e-8 noise sets the floor
+
+    # the df64 residual backend agrees with the host float64 one
+    res_df = gp.residual_norm_f64(residual_backend="df64")
+    assert abs(res_df - res) < 1e-8

@@ -105,3 +105,33 @@ def test_sqexp_matvec_df64_validates_padding():
     uh = np.zeros((100, 2), np.float32)
     with pytest.raises(ValueError):
         sqexp_matvec_df64(uh, uh, np.zeros(100, np.float32))
+
+
+def test_df64_pcg_ill_conditioned():
+    """df64_pcg converges to ~1e-11 residuals on a kappa ~ 1e6 SPD system
+    given an accurate matvec — far beyond any float32 CG floor. Also
+    guards the direction-handling asymmetry: the search direction must be
+    KEPT across true-residual refreshes here (a steepest-descent reset —
+    correct for mixed_pcg's noisy f32 matvec — wrecks this solver:
+    measured floor 5e-7 vs 1e-11 on this very system)."""
+    from inference_tpu.ops.solvers import df64_pcg
+
+    if not jax.config.read("jax_enable_x64"):
+        pytest.skip("requires x64")
+    rng = np.random.default_rng(0)
+    n = 300
+    Q, _ = np.linalg.qr(rng.normal(size=(n, n)))
+    A = (Q * np.logspace(0, 6, n)) @ Q.T
+    x_true = rng.normal(size=n)
+    b = A @ x_true
+    A_dev = jnp.asarray(A)
+
+    def matvec64(v32):
+        return A_dev @ v32.astype(jnp.float64)
+
+    x, info = df64_pcg(
+        matvec64, jnp.asarray(b), tol=1e-11, maxiter=20000, restart_every=50
+    )
+    res = np.linalg.norm(b - A @ np.asarray(x)) / np.linalg.norm(b)
+    assert res < 1e-10
+    assert int(info) == 0

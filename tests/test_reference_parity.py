@@ -265,3 +265,37 @@ def test_bounds_parity():
         p_r, r_r = ref.reflect_momenta(theta)
         assert np.allclose(np.asarray(p_o), p_r)
         assert np.allclose(np.asarray(r_o), r_r)
+
+
+@pytest.mark.slow
+def test_gp_lml_parity_at_scale():
+    """The BASELINE.md north-star contract evidenced AT SCALE: LML value
+    and full hyperparameter gradient match the reference at N = 2048 in
+    float64 (the N=30 test above checks formulas; this one checks that
+    nothing degrades with size — conditioning, summation order, the
+    matmul-free gradient identities)."""
+    from inference.gp import GpRegressor as RefGp
+    from inference_tpu.gp import GpRegressor
+
+    rng = np.random.default_rng(11)
+    n = 2048
+    x = rng.uniform(0, 10, size=(n, 2))
+    y = (
+        np.sin(x[:, 0]) * np.cos(0.5 * x[:, 1])
+        + rng.normal(0, 0.1, n)
+    )
+    err = np.full(n, 0.1)
+    theta = np.array([1.5, 0.0, 0.2, 0.4])  # [mean, lnA, ln l1, ln l2]
+
+    ref = RefGp(x, y, y_err=err, hyperpars=theta)
+    ours = GpRegressor(x, y, y_err=err, hyperpars=theta)
+
+    for t in [theta, theta + 0.25]:
+        lml_ref = ref.marginal_likelihood(t)
+        lml_ours = ours.marginal_likelihood(t)
+        assert abs(lml_ours - lml_ref) / abs(lml_ref) < 1e-8
+
+        _, g_ref = ref.marginal_likelihood_gradient(t)
+        _, g_ours = ours.marginal_likelihood_gradient(t)
+        scale = np.abs(g_ref).max()
+        assert np.abs(np.asarray(g_ours) - g_ref).max() / scale < 1e-8
