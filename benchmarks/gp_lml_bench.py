@@ -26,6 +26,22 @@ def make_data(n, d=2, seed=0):
     return x, y, np.full(n, 0.1)
 
 
+def model_flops(n, d=2):
+    """Model-FLOP estimate for one LML value+gradient evaluation:
+    covariance assembly ~ (3d+3) N^2 (forward) and a similar backward
+    reduction, Cholesky N^3/3, its VJP ~ 2/3 N^3 (triangular solves with
+    matrix right-hand sides), triangular solve + quadratic form ~ 3 N^2.
+    The N^3 terms dominate at every benchmarked size."""
+    return n**3 + (6 * d + 9) * n**2
+
+
+# v5e peak: ~197 TFLOP/s dense bf16 MXU. The LML's matmul/Cholesky chain
+# runs float32 at Precision.HIGHEST (6-pass bf16 decomposition), so the
+# achievable ceiling for this computation is ~197/6 ~ 33 TFLOP/s.
+PEAK_BF16 = 197e12
+PEAK_F32_HIGHEST = PEAK_BF16 / 6
+
+
 def time_rebuild(n):
     import jax.numpy as jnp
     from inference_tpu.gp import GpRegressor
@@ -68,7 +84,14 @@ def main():
     sizes = [int(a) for a in sys.argv[1:]] or [2048, 8192, 16384]
     for n in sizes:
         dt, lml = time_rebuild(n)
-        line = f"N={n:6d}: rebuild {1 / dt:8.2f} evals/s ({dt * 1e3:8.1f} ms), lml={lml:.4f}"
+        tflops = model_flops(n) / dt / 1e12
+        line = (
+            f"N={n:6d}: rebuild {1 / dt:8.2f} evals/s ({dt * 1e3:8.1f} ms), "
+            f"{tflops:6.2f} TFLOP/s "
+            f"(MFU {100 * tflops * 1e12 / PEAK_BF16:.1f}% of bf16 peak, "
+            f"{100 * tflops * 1e12 / PEAK_F32_HIGHEST:.1f}% of the "
+            f"f32-HIGHEST ceiling), lml={lml:.4f}"
+        )
         if n <= 4096:
             ref_dt, ref_lml = time_reference(n)
             if ref_dt:

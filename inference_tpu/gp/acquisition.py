@@ -101,6 +101,11 @@ class AcquisitionFunction:
     def _objective(self, q, st):
         raise NotImplementedError
 
+    def _value_from_objective(self, v: float) -> float:
+        """Map a raw ``_objective`` value back to the acquisition value
+        (the quantity ``__call__`` returns) without a device evaluation."""
+        return -v
+
     def opt_func(self, x) -> float:
         q = jnp.asarray(np.asarray(x, dtype=float).flatten())
         return float(self._opt_func_jit(q, self.gp_state()))
@@ -153,6 +158,9 @@ class ExpectedImprovement(AcquisitionFunction):
     def _objective(self, q, st):
         return -self._log_ei(q, st)
 
+    def _value_from_objective(self, v: float) -> float:
+        return float(np.exp(-v))
+
     def __call__(self, x) -> float:
         # one dispatch through the compiled objective (-log EI)
         return float(np.exp(-self.opt_func(x)))
@@ -160,10 +168,16 @@ class ExpectedImprovement(AcquisitionFunction):
     def convergence_metric(self, x) -> float:
         return self.convergence_from_acquisition(self.__call__(x))
 
-    def convergence_from_acquisition(self, value: float) -> float:
+    def convergence_from_acquisition(
+        self, value: float, mu_max=None, y_min=None
+    ) -> float:
         """Convergence metric derived from an already-computed acquisition
-        value (no extra device evaluation)."""
-        return value / (self.mu_max - float(self.gp.y.min()))
+        value (no extra device evaluation). ``mu_max``/``y_min`` override
+        the live attributes — for deferred history entries that must use
+        the values current when the point was evaluated."""
+        mu_max = self.mu_max if mu_max is None else mu_max
+        y_min = float(self.gp.y.min()) if y_min is None else y_min
+        return value / (mu_max - y_min)
 
 
 class UpperConfidenceBound(AcquisitionFunction):
@@ -189,8 +203,10 @@ class UpperConfidenceBound(AcquisitionFunction):
     def convergence_metric(self, x) -> float:
         return self.convergence_from_acquisition(self.__call__(x))
 
-    def convergence_from_acquisition(self, value: float) -> float:
-        return value - self.mu_max
+    def convergence_from_acquisition(
+        self, value: float, mu_max=None, y_min=None
+    ) -> float:
+        return value - (self.mu_max if mu_max is None else mu_max)
 
 
 class MaxVariance(AcquisitionFunction):
@@ -213,5 +229,7 @@ class MaxVariance(AcquisitionFunction):
     def convergence_metric(self, x) -> float:
         return self.convergence_from_acquisition(self.__call__(x))
 
-    def convergence_from_acquisition(self, value: float) -> float:
+    def convergence_from_acquisition(
+        self, value: float, mu_max=None, y_min=None
+    ) -> float:
         return float(np.sqrt(value))

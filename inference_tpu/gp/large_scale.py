@@ -372,30 +372,28 @@ class LargeScaleGP:
         if use_df64:
             self._prepare_df64()
 
+        def make_preconditioner(pc):
+            if not has_precond:
+                return None
+            U, d, L_c = pc
+
+            def M(v):
+                # (D + U U^T)^{-1} v by the Woodbury identity
+                w = v / d
+                t = jnp.dot(U.T, w, precision=_HI)
+                t = jax.scipy.linalg.cho_solve((L_c, True), t)
+                return w - jnp.dot(U, t, precision=_HI) / d
+
+            return M
+
         def solve(rhs, pc):
-            if has_precond:
-                U, d, L_c = pc
-
-                def M(v):
-                    # (D + U U^T)^{-1} v by the Woodbury identity
-                    w = v / d
-                    t = jnp.dot(U.T, w, precision=_HI)
-                    t = jax.scipy.linalg.cho_solve((L_c, True), t)
-                    return w - jnp.dot(U, t, precision=_HI) / d
-
-            else:
-                M = None
-            if use_df64:
-                from ..ops.solvers import df64_pcg
-
-                sol, _ = df64_pcg(
-                    self._matvec64_pair,
-                    rhs.astype(jnp.float64),
-                    M=M,
-                    tol=cg_tol,
-                    maxiter=cg_maxiter,
-                )
-            elif use_mixed:
+            """Traced float32 solve — for the df64 solver this is the
+            fallback used only inside compiled prediction programs
+            (posterior variances are O(amp^2) quantities that do not need
+            df64 accuracy); training solves go through the host-driven
+            chunked Df64Solver instead."""
+            M = make_preconditioner(pc)
+            if use_mixed or use_df64:
                 from ..ops.solvers import mixed_pcg
 
                 sol, _ = mixed_pcg(
@@ -410,10 +408,37 @@ class LargeScaleGP:
             return solve(rhs, pc)
 
         solve_alpha_jit = jax.jit(solve_alpha)
-        self._solve_alpha = lambda: solve_alpha_jit(self._precond)
         self._matvec = jax.jit(matvec)
         solve_jit = jax.jit(solve)
-        self._solve_rhs = lambda rhs: solve_jit(rhs, self._precond)
+        if use_df64:
+            from ..ops.solvers import Df64Solver
+
+            if has_precond:
+                def M_df64(v, U, d, L_c):
+                    w = v / d
+                    t = jnp.dot(U.T, w, precision=_HI)
+                    t = jax.scipy.linalg.cho_solve((L_c, True), t)
+                    return w - jnp.dot(U, t, precision=_HI) / d
+
+                # the (N, m) factor travels as a runtime operand, never a
+                # baked-in program constant
+                self._df64_solver = Df64Solver(
+                    self._matvec64_pair, M=M_df64, M_args=self._precond
+                )
+            else:
+                self._df64_solver = Df64Solver(self._matvec64_pair)
+            self._solve_rhs = lambda rhs: self._df64_solver.solve(
+                jnp.asarray(rhs).astype(jnp.float64),
+                tol=cg_tol,
+                maxiter=cg_maxiter,
+            )[0]
+            self._solve_alpha = lambda: self._solve_rhs(
+                (self._y.astype(jnp.float64) - self.mean_value)
+                * self._mask_dev.astype(jnp.float64)
+            )
+        else:
+            self._solve_alpha = lambda: solve_alpha_jit(self._precond)
+            self._solve_rhs = lambda rhs: solve_jit(rhs, self._precond)
 
         def predict_mean(q, alpha):
             K_qx = sqexp_covariance(q, x, amp, ls)

@@ -97,14 +97,25 @@ class GpOptimiser:
         self.acquisition_max_history = []
         self.convergence_metric_history = []
         self.iteration_history = []
+        self._pending = None  # deferred-refit record (device optimizer)
 
     def __call__(self, x):
+        self._ensure_current()
         return self.gp(x)
 
     def add_evaluation(self, new_x, new_y, new_y_err=None):
         """
         Add the latest evaluation to the data set and re-train the
         Gaussian process (a full refit, including hyperparameters).
+
+        With ``optimizer="device"`` the refit is DEFERRED and fused into
+        the next ``propose_evaluation`` as a single device dispatch (refit
+        multistart + Cholesky/alpha state + acquisition multistart) — on a
+        remote accelerator each separate dispatch costs a network round
+        trip, and the eager path spends 4-5 of them per iteration. Note
+        that ``self.gp`` is stale between the two calls; the public
+        surfaces (``__call__``, ``plot_results``, the next
+        ``add_evaluation``) flush the pending refit automatically.
         """
         new_x = new_x if isinstance(new_x, np.ndarray) else np.array(new_x)
         if new_x.shape != (1, self.x.shape[1]):
@@ -113,13 +124,29 @@ class GpOptimiser:
         good_type = isinstance(new_y_err, (np.ndarray, type(None)))
         new_y_err = new_y_err if good_type else np.array(new_y_err)
 
-        # one acquisition evaluation serves both history entries
-        acq_value = self.acquisition(new_x.squeeze())
-        self.acquisition_max_history.append(acq_value)
-        self.convergence_metric_history.append(
-            self.acquisition.convergence_from_acquisition(acq_value)
-        )
-        self.iteration_history.append(self.y.size + 1)
+        deferred = self.optimizer == "device"
+        if deferred and getattr(self, "_pending", None) is not None:
+            # two adds without an intervening proposal: settle the first
+            self._ensure_current()
+
+        if not deferred:
+            # one acquisition evaluation serves both history entries
+            acq_value = self.acquisition(new_x.squeeze())
+            self.acquisition_max_history.append(acq_value)
+            self.convergence_metric_history.append(
+                self.acquisition.convergence_from_acquisition(acq_value)
+            )
+            self.iteration_history.append(self.y.size + 1)
+        else:
+            # the acquisition value at new_x (under the state that
+            # proposed it) is computed inside the next fused dispatch;
+            # keep the scalars its history entries need
+            self._pending = {
+                "new_x": np.asarray(new_x, dtype=float).ravel(),
+                "old_state": self.acquisition.gp_state(),
+                "mu_max": float(self.mu_max),
+                "y_min": float(self.y.min()),
+            }
 
         self.x = np.append(self.x, new_x, axis=0)
         self.y = np.append(self.y, new_y)
@@ -138,12 +165,49 @@ class GpOptimiser:
         # in-place data update: every compiled GP / acquisition program
         # takes the data as runtime arguments, so the refit reuses all
         # compilations while the padded shape (pad_to bucket) is unchanged
-        self.gp.update_data(self.x, self.y, y_err=self.y_err)
+        self.gp.update_data(
+            self.x, self.y, y_err=self.y_err, set_state=not deferred
+        )
+        if not deferred:
+            self.gp.set_hyperparameters(
+                self.gp.fit(
+                    optimizer=self.optimizer, n_processes=self.n_processes
+                )
+            )
+            self.mu_max = self.y.max()
+            self.acquisition.update_gp(self.gp)
+
+    def _ensure_current(self):
+        """Settle a deferred refit (non-fused fallback: history entry +
+        fit + state, for callers that need the GP before the next
+        proposal)."""
+        pending = getattr(self, "_pending", None)
+        if pending is None:
+            return
+        self._pending = None
+        import jax.numpy as jnp
+
+        obj_old = float(
+            self.acquisition._opt_func_jit(
+                jnp.asarray(pending["new_x"]), pending["old_state"]
+            )
+        )
+        self._append_history(pending, obj_old)
         self.gp.set_hyperparameters(
             self.gp.fit(optimizer=self.optimizer, n_processes=self.n_processes)
         )
         self.mu_max = self.y.max()
         self.acquisition.update_gp(self.gp)
+
+    def _append_history(self, pending, obj_old: float):
+        acq_value = self.acquisition._value_from_objective(obj_old)
+        self.acquisition_max_history.append(acq_value)
+        self.convergence_metric_history.append(
+            self.acquisition.convergence_from_acquisition(
+                acq_value, mu_max=pending["mu_max"], y_min=pending["y_min"]
+            )
+        )
+        self.iteration_history.append(self.y.size)
 
     def diff_evo(self):
         opt_result = differential_evolution(
@@ -239,23 +303,185 @@ class GpOptimiser:
         x_best = lwr + span / (1.0 + np.exp(-np.asarray(z_best)))
         return np.clip(x_best, lwr, upr), float(fun_val)
 
+    # ------------------------------------------------------------------ #
+    # fused single-dispatch iteration (device optimizer)
+    # ------------------------------------------------------------------ #
+    def _candidate_clouds(self, bucket: int = 16):
+        """Host-side acquisition multistart seeds, one 20-point cloud per
+        data point (reference: acquisition.py:13-37 evaluates these one at
+        a time; here the cloud scoring happens inside the fused program,
+        under the freshly refit GP). Padded to a ``bucket`` multiple of
+        clouds so the compiled shape is stable as the data set grows;
+        out-of-bounds points and padding contribute a repeated uniform
+        random seed instead (a harmless extra start)."""
+        lwr = np.array([b[0] for b in self.bounds], dtype=float)
+        upr = np.array([b[1] for b in self.bounds], dtype=float)
+        widths = upr - lwr
+        lwr_in = lwr + widths * 0.01
+        upr_in = upr - widths * 0.01
+        L = lwr.size
+        rng = np.random.default_rng()
+
+        n = self.x.shape[0]
+        S = -(-n // bucket) * bucket
+        cand = np.empty((S, 20, L))
+        for idx in range(S):
+            x0 = self.x[idx] if idx < n else None
+            if x0 is not None and ((x0 >= lwr_in) & (x0 <= upr_in)).all():
+                cand[idx] = np.clip(
+                    x0[None, :]
+                    + 0.02 * widths * (2 * rng.random((20, L)) - 1),
+                    lwr_in,
+                    upr_in,
+                )
+            else:
+                cand[idx] = lwr_in + (upr_in - lwr_in) * rng.random(L)
+        return cand
+
+    def _build_fused_step(self):
+        """One compiled program for a full warm BO iteration: acquisition
+        value of the just-evaluated point (old state), hyperparameter
+        multistart refit, Cholesky/alpha state, candidate-cloud scoring
+        and the acquisition multistart — a single device dispatch where
+        the eager path pays 4-5 network round trips per iteration."""
+        import jax
+        import jax.numpy as jnp
+        from jax.scipy.optimize import minimize as jax_minimize
+
+        gp = self.gp
+        _, _, fit_refine_raw = gp._fit_multistart_parts(16)
+        fit_state_raw = gp._fit_state_raw
+        objective = self.acquisition._objective
+        cov_slc, mean_slc = gp.cov_slice, gp.mean_slice
+
+        def neg_acq(z, lo, sp, st):
+            return objective(lo + sp * jax.nn.sigmoid(z), st)
+
+        def acq_solve_one(z, lo, sp, st):
+            res = jax_minimize(
+                neg_acq, z, args=(lo, sp, st), method="BFGS",
+                options={"maxiter": 150},
+            )
+            z_ok = jnp.isfinite(res.x).all()
+            return (
+                jnp.where(z_ok, res.x, z),
+                jnp.where(z_ok & jnp.isfinite(res.fun), res.fun, jnp.inf),
+            )
+
+        def fused(
+            z0_fit, lo_f, hi_f, x, y, sig, m,
+            cand, lo_a, span_a, new_x, old_state,
+        ):
+            obj_old = objective(new_x, old_state)
+
+            _, _, z_best = fit_refine_raw(z0_fit, lo_f, hi_f, x, y, sig, m)
+            theta = lo_f + (hi_f - lo_f) * jax.nn.sigmoid(z_best)
+            K_xx, mu, L, alpha = fit_state_raw(theta, x, y, sig, m)
+            mu_max = jnp.max(jnp.where(m > 0, y, -jnp.inf))
+            st = (x, L, alpha, theta[cov_slc], theta[mean_slc], m, mu_max)
+
+            scores = jax.vmap(
+                jax.vmap(objective, in_axes=(0, None)), in_axes=(0, None)
+            )(cand, st)
+            winners = cand[jnp.arange(cand.shape[0]), jnp.argmin(scores, axis=1)]
+            frac = jnp.clip((winners - lo_a) / span_a, 0.01, 0.99)
+            z0 = jnp.log(frac / (1.0 - frac))
+            zs, fs = jax.vmap(
+                acq_solve_one, in_axes=(0, None, None, None)
+            )(z0, lo_a, span_a, st)
+            best = jnp.argmin(fs)
+            z_start = jnp.where(
+                jnp.isfinite(fs[best]), zs[best], jnp.zeros_like(zs[best])
+            )
+            res = jax_minimize(
+                neg_acq, z_start, args=(lo_a, span_a, st), method="BFGS",
+                options={"maxiter": 400, "gtol": 1e-10},
+            )
+            improved = (res.fun <= fs[best]) & jnp.isfinite(res.x).all()
+            z_prop = jnp.where(improved, res.x, z_start)
+            f_prop = jnp.where(improved, res.fun, fs[best])
+            return theta, K_xx, mu, L, alpha, obj_old, z_prop, f_prop
+
+        return jax.jit(fused)
+
+    def _fused_propose(self):
+        import jax
+        import jax.numpy as jnp
+
+        pending = self._pending
+        self._pending = None
+        gp = self.gp
+
+        fused = getattr(self, "_fused_step", None)
+        if fused is None:
+            fused = self._fused_step = self._build_fused_step()
+
+        z0_fit = getattr(self, "_z0_fit", None)
+        if z0_fit is None:
+            # same deterministic start set as GpRegressor.fit_device
+            rng = np.random.default_rng(0)
+            u = rng.uniform(0.05, 0.95, size=(15, gp.n_hyperpars))
+            z0_fit = self._z0_fit = np.concatenate(
+                [np.log(u / (1 - u)), np.zeros((1, gp.n_hyperpars))]
+            )
+
+        lo_f = np.array([b[0] for b in gp.hp_bounds], dtype=float)
+        hi_f = np.array([b[1] for b in gp.hp_bounds], dtype=float)
+        lwr = np.array([b[0] for b in self.bounds], dtype=float)
+        upr = np.array([b[1] for b in self.bounds], dtype=float)
+        span = upr - lwr
+
+        out = fused(
+            jnp.asarray(z0_fit), jnp.asarray(lo_f), jnp.asarray(hi_f),
+            gp._x_dev, gp._y_dev, gp._sig_dev, gp._mask_dev,
+            jnp.asarray(self._candidate_clouds()),
+            jnp.asarray(lwr), jnp.asarray(span),
+            jnp.asarray(pending["new_x"]), pending["old_state"],
+        )
+        theta_dev, K_xx, mu, L, alpha, obj_old, z_prop, f_prop = out
+        # one consolidated device->host transfer of the small results;
+        # the big state arrays (K_xx, L, alpha) stay on device
+        theta_np, obj_old_np, z_np, f_np = jax.device_get(
+            (theta_dev, obj_old, z_prop, f_prop)
+        )
+
+        gp.hyperpars = np.asarray(theta_np, dtype=float)
+        gp.mean_hyperpars = gp.hyperpars[gp.mean_slice]
+        gp.cov_hyperpars = gp.hyperpars[gp.cov_slice]
+        gp.K_xx, gp.mu, gp.L, gp.alpha = K_xx, mu, L, alpha
+        gp._cov_pars_dev = theta_dev[gp.cov_slice]
+        gp._mean_pars_dev = theta_dev[gp.mean_slice]
+
+        self._append_history(pending, float(obj_old_np))
+        self.mu_max = float(self.y.max())
+        self.acquisition.update_gp(gp)
+
+        x_best = lwr + span / (1.0 + np.exp(-np.asarray(z_np)))
+        return np.clip(x_best, lwr, upr), float(f_np)
+
     def propose_evaluation(self, optimizer=None):
         """
         Propose the next evaluation location by maximising the acquisition
         function.
         """
         opt = optimizer if optimizer is not None else self.optimizer
-        if opt == "bfgs":
-            proposed_ev, _ = self.multistart_bfgs()
-        elif opt == "device":
-            proposed_ev, _ = self.multistart_device()
+        pending = getattr(self, "_pending", None)
+        if opt == "device" and pending is not None:
+            proposed_ev, _ = self._fused_propose()
         else:
-            proposed_ev, _ = self.diff_evo()
+            self._ensure_current()
+            if opt == "bfgs":
+                proposed_ev, _ = self.multistart_bfgs()
+            elif opt == "device":
+                proposed_ev, _ = self.multistart_device()
+            else:
+                proposed_ev, _ = self.diff_evo()
         if hasattr(proposed_ev, "__len__") and len(proposed_ev) == 1:
             proposed_ev = proposed_ev[0]
         return proposed_ev
 
     def plot_results(self, filename: str = None, show_plot=True):
+        self._ensure_current()
         fig = plt.figure(figsize=(10, 4))
         ax1 = fig.add_subplot(121)
         maxvals = np.maximum.accumulate(self.y)

@@ -238,14 +238,17 @@ class GpRegressor:
             sig_full[: self.n_points, : self.n_points] = self.sig
             self._sig_dev = jnp.asarray(sig_full)
 
-    def update_data(self, x, y, y_err=None, y_cov=None):
+    def update_data(self, x, y, y_err=None, y_cov=None, set_state=True):
         """
         Replace the training data without rebuilding the model. All compiled
         programs take the data as runtime arguments, so when the padded
         shape is unchanged (``pad_to`` buckets) a refit on updated data
         reuses every compilation — this is what makes the ``GpOptimiser``
         loop cheap. Hyperparameters are NOT refit automatically: call
-        ``fit``/``set_hyperparameters`` afterwards.
+        ``fit``/``set_hyperparameters`` afterwards. ``set_state=False``
+        skips the interim Cholesky/alpha recomputation at the old
+        hyperparameters (one device dispatch) — for callers that refit
+        immediately afterwards (the GpOptimiser's fused iteration).
         """
         old_n_hyperpars = self.n_hyperpars
         old_sig_is_diag = self._sig_is_diag
@@ -268,7 +271,7 @@ class GpRegressor:
             self._compiled_built = False
             self._build_compiled_functions()
             self._fit_ms_cache = {}
-        if getattr(self, "hyperpars", None) is not None:
+        if set_state and getattr(self, "hyperpars", None) is not None:
             self.set_hyperparameters(self.hyperpars)
 
     def fit(self, optimizer: str = "bfgs", n_starts: int = None,
@@ -389,6 +392,9 @@ class GpRegressor:
 
         fit_state_jit = jax.jit(fit_state)
         self._fit_state = lambda theta: fit_state_jit(theta, *data_args(self))
+        # raw (unjitted) form kept for composition into fused programs
+        # (the GpOptimiser's single-dispatch iteration)
+        self._fit_state_raw = fit_state
 
         def predict(q, x, L, alpha, cov_pars, mean_pars, m):
             K_qx = cov(q, x, cov_pars) * m[None, :]
@@ -695,68 +701,9 @@ class GpRegressor:
             the winner; False/None skips refinement.
         :return: the optimised hyperparameter vector (numpy array).
         """
-        from jax.scipy.optimize import minimize as _jax_minimize
-
         lwr = np.array([b[0] for b in self.hp_bounds], dtype=float)
         upr = np.array([b[1] for b in self.hp_bounds], dtype=float)
-        obj = self._loo_raw if self.cross_val else self._lml_raw
-
-        # in float32 the exact objective is not BFGS-safe (singular
-        # factorisations at extreme hyperparameters poison gradients);
-        # a trace-relative jitter keeps the whole search finite. The
-        # float64 path keeps the exact objective.
-        fit_jitter = 1e-6 if self._x_dev.dtype == jnp.float32 else 0.0
-
-        cache = getattr(self, "_fit_ms_cache", None)
-        if cache is None:
-            cache = self._fit_ms_cache = {}
-        fit_ms = cache.get(starts)
-        if fit_ms is None:
-            # bounds and data are runtime arguments so the compiled solver
-            # is reused across ``update_data`` refits
-            def neg(z, lo, hi, x, y, sig, m):
-                theta = lo + (hi - lo) * jax.nn.sigmoid(z)
-                return -obj(theta, x, y, sig, m, jitter=fit_jitter)
-
-            def solve_one(z0, lo, hi, x, y, sig, m):
-                res = _jax_minimize(
-                    neg, z0, args=(lo, hi, x, y, sig, m), method="BFGS",
-                    options={"maxiter": 250},
-                )
-                # a diverged line search can return NaN iterates: score
-                # them out rather than letting NaN win the argmin
-                z_ok = jnp.isfinite(res.x).all()
-                z = jnp.where(z_ok, res.x, z0)
-                f = jnp.where(
-                    z_ok & jnp.isfinite(res.fun), res.fun, jnp.inf
-                )
-                return z, f
-
-            def solve_and_refine(z0, lo, hi, x, y, sig, m):
-                """All starts + winner refinement in ONE device program:
-                the winner never round-trips through the host."""
-                zs, fs = jax.vmap(
-                    solve_one, in_axes=(0,) + (None,) * 6
-                )(z0, lo, hi, x, y, sig, m)
-                best = jnp.argmin(fs)  # solve_one already mapped NaN -> inf
-                # if every start failed, fall back to the box centre
-                z_start = jnp.where(
-                    jnp.isfinite(fs[best]), zs[best], jnp.zeros_like(zs[best])
-                )
-                res = _jax_minimize(
-                    neg, z_start, args=(lo, hi, x, y, sig, m),
-                    method="BFGS", options={"maxiter": 500, "gtol": 1e-8},
-                )
-                improved = (res.fun <= fs[best]) & jnp.isfinite(res.x).all()
-                z_best = jnp.where(improved, res.x, z_start)
-                return zs, fs, z_best
-
-            fit_ms = (
-                jax.jit(jax.vmap(solve_one, in_axes=(0,) + (None,) * 6)),
-                jax.jit(solve_and_refine),
-            )
-            cache[starts] = fit_ms
-        solve_batch, fused = fit_ms
+        solve_batch, fused, _ = self._fit_multistart_parts(starts)
 
         # start positions: uniform in the middle 90% of the box (in sigmoid
         # coordinates, logit of the box fraction), plus the box centre (z=0)
@@ -780,6 +727,72 @@ class GpRegressor:
             if polish in ("host", True):
                 theta, _, _ = self.launch_bfgs(theta)
         return np.asarray(theta, dtype=float)
+
+    def _fit_multistart_parts(self, starts: int):
+        """Compiled + raw pieces of the device multistart hyperparameter
+        fit: ``(jit(vmapped solve), jit(solve_and_refine), raw
+        solve_and_refine)``. The raw form composes into larger fused
+        programs (the GpOptimiser's one-dispatch iteration). Cached per
+        start count; bounds and data are runtime arguments so the compiled
+        solvers are reused across ``update_data`` refits."""
+        from jax.scipy.optimize import minimize as _jax_minimize
+
+        cache = getattr(self, "_fit_ms_cache", None)
+        if cache is None:
+            cache = self._fit_ms_cache = {}
+        parts = cache.get(starts)
+        if parts is not None:
+            return parts
+
+        obj = self._loo_raw if self.cross_val else self._lml_raw
+        # in float32 the exact objective is not BFGS-safe (singular
+        # factorisations at extreme hyperparameters poison gradients);
+        # a trace-relative jitter keeps the whole search finite. The
+        # float64 path keeps the exact objective.
+        fit_jitter = 1e-6 if self._x_dev.dtype == jnp.float32 else 0.0
+
+        def neg(z, lo, hi, x, y, sig, m):
+            theta = lo + (hi - lo) * jax.nn.sigmoid(z)
+            return -obj(theta, x, y, sig, m, jitter=fit_jitter)
+
+        def solve_one(z0, lo, hi, x, y, sig, m):
+            res = _jax_minimize(
+                neg, z0, args=(lo, hi, x, y, sig, m), method="BFGS",
+                options={"maxiter": 250},
+            )
+            # a diverged line search can return NaN iterates: score
+            # them out rather than letting NaN win the argmin
+            z_ok = jnp.isfinite(res.x).all()
+            z = jnp.where(z_ok, res.x, z0)
+            f = jnp.where(z_ok & jnp.isfinite(res.fun), res.fun, jnp.inf)
+            return z, f
+
+        def solve_and_refine(z0, lo, hi, x, y, sig, m):
+            """All starts + winner refinement in ONE device program:
+            the winner never round-trips through the host."""
+            zs, fs = jax.vmap(
+                solve_one, in_axes=(0,) + (None,) * 6
+            )(z0, lo, hi, x, y, sig, m)
+            best = jnp.argmin(fs)  # solve_one already mapped NaN -> inf
+            # if every start failed, fall back to the box centre
+            z_start = jnp.where(
+                jnp.isfinite(fs[best]), zs[best], jnp.zeros_like(zs[best])
+            )
+            res = _jax_minimize(
+                neg, z_start, args=(lo, hi, x, y, sig, m),
+                method="BFGS", options={"maxiter": 500, "gtol": 1e-8},
+            )
+            improved = (res.fun <= fs[best]) & jnp.isfinite(res.x).all()
+            z_best = jnp.where(improved, res.x, z_start)
+            return zs, fs, z_best
+
+        parts = (
+            jax.jit(jax.vmap(solve_one, in_axes=(0,) + (None,) * 6)),
+            jax.jit(solve_and_refine),
+            solve_and_refine,
+        )
+        cache[starts] = parts
+        return parts
 
     def multistart_bfgs(self, starts: int = None, n_processes: int = 1):
         if starts is None:

@@ -214,10 +214,10 @@ def _tree_pair_reduce(hi, lo, stop: int = 8):
     return hi, lo
 
 
-def _matvec_kernel(d: int):
+def _matvec_kernel(d: int, tj: int, ti: int):
     """Pallas kernel body for grid (n_i, n_j): accumulate
     sum_j exp(-0.5 * d2_ij) * v_j into a pair accumulator, elementwise
-    over a (TJ, TI) tile, reducing over TJ only once per output tile."""
+    over a (tj, ti) tile, reducing over tj only once per output tile."""
 
     def kernel(
         uj_hi_ref, uj_lo_ref, ui_hi_ref, ui_lo_ref, v_ref,
@@ -232,8 +232,8 @@ def _matvec_kernel(d: int):
             acc_lo[:] = jnp.zeros_like(acc_lo)
 
         # squared distance in pair arithmetic, one dimension at a time
-        d2h = jnp.zeros((_TJ, _TI), jnp.float32)
-        d2l = jnp.zeros((_TJ, _TI), jnp.float32)
+        d2h = jnp.zeros((tj, ti), jnp.float32)
+        d2l = jnp.zeros((tj, ti), jnp.float32)
         for k in range(d):  # d is a static python int (small)
             ah = uj_hi_ref[:, k][:, None]
             al = uj_lo_ref[:, k][:, None]
@@ -284,48 +284,49 @@ def _x64_off_ctx():
         return contextlib.nullcontext()
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def _sqexp_matvec_df64_pallas(uh, ul, v, interpret=False):
+@functools.partial(jax.jit, static_argnames=("interpret", "tj", "ti"))
+def _sqexp_matvec_df64_pallas(uh, ul, v, interpret=False, tj=_TJ, ti=_TI):
     n, d = uh.shape
-    n_j = n // _TJ
-    n_i = n // _TI
+    n_j = n // tj
+    n_i = n // ti
 
-    kernel = _matvec_kernel(d)
+    kernel = _matvec_kernel(d, tj, ti)
     with _x64_off_ctx():
         out_hi, out_lo = pl.pallas_call(
             kernel,
             out_shape=(
-                jax.ShapeDtypeStruct((n_i * 8, _TI), jnp.float32),
-                jax.ShapeDtypeStruct((n_i * 8, _TI), jnp.float32),
+                jax.ShapeDtypeStruct((n_i * 8, ti), jnp.float32),
+                jax.ShapeDtypeStruct((n_i * 8, ti), jnp.float32),
             ),
             grid=(n_i, n_j),
             in_specs=[
-                pl.BlockSpec((_TJ, d), lambda i, j: (j, 0)),
-                pl.BlockSpec((_TJ, d), lambda i, j: (j, 0)),
-                pl.BlockSpec((_TI, d), lambda i, j: (i, 0)),
-                pl.BlockSpec((_TI, d), lambda i, j: (i, 0)),
-                pl.BlockSpec((_TJ, 1), lambda i, j: (j, 0)),
+                pl.BlockSpec((tj, d), lambda i, j: (j, 0)),
+                pl.BlockSpec((tj, d), lambda i, j: (j, 0)),
+                pl.BlockSpec((ti, d), lambda i, j: (i, 0)),
+                pl.BlockSpec((ti, d), lambda i, j: (i, 0)),
+                pl.BlockSpec((tj, 1), lambda i, j: (j, 0)),
             ],
             out_specs=(
-                pl.BlockSpec((8, _TI), lambda i, j: (i, 0)),
-                pl.BlockSpec((8, _TI), lambda i, j: (i, 0)),
+                pl.BlockSpec((8, ti), lambda i, j: (i, 0)),
+                pl.BlockSpec((8, ti), lambda i, j: (i, 0)),
             ),
             scratch_shapes=[
-                pltpu.VMEM((_TJ, _TI), jnp.float32),
-                pltpu.VMEM((_TJ, _TI), jnp.float32),
+                pltpu.VMEM((tj, ti), jnp.float32),
+                pltpu.VMEM((tj, ti), jnp.float32),
             ],
             # the pair arithmetic is a long straight-line dataflow whose
             # temporaries the compiler stack-allocates; the default 16 MB
             # scoped-vmem budget is too small at useful tile sizes
             compiler_params=pltpu.CompilerParams(
-                vmem_limit_bytes=100 * 1024 * 1024
+                vmem_limit_bytes=100 * 1024 * 1024,
+                dimension_semantics=("parallel", "arbitrary"),
             ),
             interpret=interpret,
         )(uh, ul, uh, ul, v.reshape(n, 1))
     # the last 8 partial rows are combined exactly in float64 (cheap:
     # O(N) elementwise, no N x N f64 program)
-    ph = out_hi.reshape(n_i, 8, _TI).astype(jnp.float64)
-    plo = out_lo.reshape(n_i, 8, _TI).astype(jnp.float64)
+    ph = out_hi.reshape(n_i, 8, ti).astype(jnp.float64)
+    plo = out_lo.reshape(n_i, 8, ti).astype(jnp.float64)
     y64 = (ph + plo).sum(axis=1).reshape(n)
     return y64
 

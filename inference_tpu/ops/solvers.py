@@ -113,7 +113,7 @@ def mixed_pcg(matvec, b, M=None, tol=1e-6, maxiter=1000, restart_every=50):
     return x, info
 
 
-def df64_pcg(matvec64, b64, M=None, tol=1e-10, maxiter=2000, restart_every=50):
+class Df64Solver:
     """
     Preconditioned CG with **float64 iterate/residual vectors** and a
     double-float matvec: ``matvec64`` maps a *float32* vector to the
@@ -126,82 +126,107 @@ def df64_pcg(matvec64, b64, M=None, tol=1e-10, maxiter=2000, restart_every=50):
       it is N x N f64 *matvec programs* that are prohibitive),
     - search directions are applied through the matvec in float32 (a
       direction only needs eps32 relative accuracy),
-    - every ``restart_every`` iterations the TRUE residual is recomputed
-      as ``b - A x_hi - A x_lo`` with x split into a float32 pair, so the
-      recurrence never drifts beyond the matvec's own ~1e-8 (the search
-      direction and beta carry across the refresh — it is a perturbation
-      of the same Krylov process, not a restart).
+    - iterations run in compiled chunks of ``restart_every``, each chunk
+      ending with a TRUE residual ``b - A x_hi - A x_lo`` (x split into a
+      float32 pair), so the recurrence never drifts beyond the matvec's
+      own ~1e-8 (the search direction and beta carry across the refresh —
+      it is a perturbation of the same Krylov process, not a restart:
+      resetting p there was measured to wreck convergence, see
+      tests/test_df64.py),
+    - the HOST drives the chunk loop: one device dispatch per chunk keeps
+      every program's runtime bounded (a single while_loop program running
+      for hours tripped the remote worker's watchdog at N = 50k) and pulls
+      only one scalar per chunk.
 
-    Returns ``(x, info)`` with float64 ``x``; ``info = 0`` on convergence.
+    Construct once per operator (the compiled chunk is cached on the
+    instance) and call ``solve`` per right-hand side.
     """
-    if not jax.config.read("jax_enable_x64"):
-        raise ValueError(
-            "df64_pcg requires jax_enable_x64 (float64 iterate vectors)"
-        )
-    if M is None:
-        M = lambda v: v
-    f32 = jnp.float32
-    f64 = jnp.float64
-    b64 = jnp.asarray(b64, f64)
 
-    def true_residual(x):
-        xh = x.astype(f32)
-        xl = (x - xh.astype(f64)).astype(f32)
-        return b64 - matvec64(xh) - matvec64(xl)
+    def __init__(self, matvec64, M=None, M_args=(), restart_every: int = 50):
+        """``M(v, *M_args)`` applies the preconditioner; ``M_args`` are
+        passed as runtime operands on every dispatch — a preconditioner
+        closing over its (N, m) factor would bake it into the compiled
+        program as a constant (the compile-payload trap documented in
+        gp/large_scale.py)."""
+        if not jax.config.read("jax_enable_x64"):
+            raise ValueError(
+                "Df64Solver requires jax_enable_x64 (float64 iterate "
+                "vectors)"
+            )
+        self.matvec64 = matvec64
+        self.M = M if M is not None else (lambda v: v)
+        self.M_args = tuple(M_args)
+        self.restart_every = int(restart_every)
+        self._chunk = jax.jit(self._build_chunk())
 
-    def dot(u, v):
-        return jnp.sum(u * v)
+    def _build_chunk(self):
+        matvec64, M_outer = self.matvec64, self.M
+        f32, f64 = jnp.float32, jnp.float64
+        n_iter = self.restart_every
 
-    b_norm = jnp.sqrt(dot(b64, b64))
-    atol2 = (tol * b_norm) ** 2
+        def chunk(b64, x, r, z, p, rz, ok, M_args):
+            def M(v):
+                return M_outer(v, *M_args)
 
-    x0 = jnp.zeros_like(b64)
-    r0 = b64
-    z0 = M(r0.astype(f32)).astype(f64)
-    p0 = z0
-    rz0 = dot(r0, z0)
+            def body(_, s):
+                x, r, z, p, rz, ok = s
+                Ap = matvec64(p.astype(f32))
+                # the matvec consumed fl32(p): account for the truncation
+                # exactly by treating the applied direction as fl32(p)
+                p_applied = p.astype(f32).astype(f64)
+                pAp = jnp.sum(p_applied * Ap)
+                ok = ok & (pAp > 0.0)
+                alpha = jnp.where(pAp > 0.0, rz / pAp, 0.0)
+                x = x + alpha * p_applied
+                r = r - alpha * Ap
+                z = M(r.astype(f32)).astype(f64)
+                rz_new = jnp.sum(r * z)
+                beta = jnp.where(rz != 0.0, rz_new / rz, 0.0)
+                p = z + beta * p
+                return (x, r, z, p, rz_new, ok)
 
-    def cond(s):
-        i, x, r, z, p, rz, rr, ok = s
-        return ok & (i < maxiter) & (rr > atol2)
+            x, r, z, p, rz, ok = lax.fori_loop(
+                0, n_iter, body, (x, r, z, p, rz, ok)
+            )
+            # end-of-chunk true-residual refresh (kills recurrence drift);
+            # direction and beta deliberately carry over
+            xh = x.astype(f32)
+            xl = (x - xh.astype(f64)).astype(f32)
+            r = b64 - matvec64(xh) - matvec64(xl)
+            z = M(r.astype(f32)).astype(f64)
+            rz = jnp.sum(r * z)
+            rr = jnp.sum(r * r)
+            return x, r, z, p, rz, ok, rr
 
-    def body(s):
-        i, x, r, z, p, rz, rr, ok = s
-        Ap = matvec64(p.astype(f32))
-        # the matvec consumed fl32(p): account for the truncation exactly
-        # by treating the applied direction as fl32(p)
-        p_applied = p.astype(f32).astype(f64)
-        pAp = dot(p_applied, Ap)
-        ok = ok & (pAp > 0.0)
-        alpha = jnp.where(pAp > 0.0, rz / pAp, 0.0)
-        x = x + alpha * p_applied
+        return chunk
 
-        restart = (i % restart_every) == (restart_every - 1)
-        r = lax.cond(
-            restart,
-            lambda _: true_residual(x),
-            lambda _: r - alpha * Ap,
-            None,
-        )
-        z = M(r.astype(f32)).astype(f64)
-        rz_new = dot(r, z)
-        rr = dot(r, r)
-        # beta kept across refreshes — see the note in mixed_pcg
-        beta = jnp.where(rz != 0.0, rz_new / rz, 0.0)
-        p = z + beta * p
-        return (i + 1, x, r, z, p, rz_new, rr, ok)
+    def solve(self, b64, tol=1e-10, maxiter=2000):
+        """Returns ``(x, info)`` with float64 ``x``; ``info = 0`` on
+        convergence, else the iteration count reached."""
+        b64 = jnp.asarray(b64, jnp.float64)
+        atol2 = (float(tol) ** 2) * float(jnp.sum(b64 * b64))
+        x = jnp.zeros_like(b64)
+        r = b64
+        z = self.M(r.astype(jnp.float32), *self.M_args).astype(jnp.float64)
+        p = z
+        rz = jnp.sum(r * z)
+        ok = jnp.asarray(True)
+        done = 0
+        while done < maxiter:
+            x, r, z, p, rz, ok, rr = self._chunk(
+                b64, x, r, z, p, rz, ok, self.M_args
+            )
+            done += self.restart_every
+            rr_host = float(rr)
+            if rr_host <= atol2 or not bool(ok):
+                break
+        info = 0 if rr_host <= atol2 else done
+        return x, info
 
-    init = (
-        jnp.asarray(0, jnp.int32),
-        x0,
-        r0,
-        z0,
-        p0,
-        rz0,
-        dot(r0, r0),
-        jnp.asarray(True),
-    )
-    i, x, r, *_ = lax.while_loop(cond, body, init)
-    rr = dot(r, r)
-    info = jnp.where(rr <= atol2, 0, i)
-    return x, info
+
+def df64_pcg(matvec64, b64, M=None, tol=1e-10, maxiter=2000, restart_every=50):
+    """Functional wrapper over ``Df64Solver`` (compiles its chunk per
+    call — construct a ``Df64Solver`` directly to reuse it across
+    right-hand sides)."""
+    solver = Df64Solver(matvec64, M=M, restart_every=restart_every)
+    return solver.solve(b64, tol=tol, maxiter=maxiter)

@@ -87,3 +87,44 @@ def test_gpo_device_proposal_matches_host():
     x_dev, f_dev = opt.multistart_device()
     assert 0.0 <= float(np.atleast_1d(x_dev)[0]) <= 4.0
     assert f_dev <= f_host + 1e-6
+
+
+def test_fused_device_iteration_state_consistency():
+    """The device optimizer defers the refit into the next proposal (one
+    fused dispatch). After the proposal the GP state must be identical to
+    an explicit fit+set_hyperparameters at the same hyperparameters, and
+    the history entries must match the eager path's semantics (acquisition
+    value of the added point under the state that proposed it)."""
+    import numpy as np
+
+    def objective(x):
+        x = np.atleast_1d(x)[0]
+        return float(np.sin(2 * x) + 0.1 * x)
+
+    x0 = np.array([1.0, 5.0, 9.0]).reshape(-1, 1)
+    y0 = np.array([objective(v) for v in x0])
+    bo = GpOptimiser(
+        x0, y0, bounds=[(0.0, 10.0)], optimizer="device",
+        acquisition=ExpectedImprovement,
+    )
+    for _ in range(3):
+        nx = bo.propose_evaluation()
+        bo.add_evaluation(np.atleast_1d(nx), np.array([objective(nx)]))
+        assert bo._pending is not None  # refit deferred
+
+    # flush through the public surface; state becomes current
+    mu = bo(np.array([[2.5]]))
+    assert bo._pending is None
+    assert np.isfinite(mu).all()
+    assert len(bo.acquisition_max_history) == 3
+    assert len(bo.convergence_metric_history) == 3
+    assert bo.iteration_history == [4, 5, 6]
+
+    # the adopted fused state equals an explicit re-fit at the same theta
+    import jax.numpy as jnp
+    theta = bo.gp.hyperpars.copy()
+    L_fused = np.asarray(bo.gp.L)
+    alpha_fused = np.asarray(bo.gp.alpha)
+    bo.gp.set_hyperparameters(theta)
+    assert np.allclose(L_fused, np.asarray(bo.gp.L), atol=1e-6)
+    assert np.allclose(alpha_fused, np.asarray(bo.gp.alpha), atol=1e-5)
