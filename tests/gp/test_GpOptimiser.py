@@ -89,6 +89,7 @@ def test_gpo_device_proposal_matches_host():
     assert f_dev <= f_host + 1e-6
 
 
+@pytest.mark.slow
 def test_fused_device_iteration_state_consistency():
     """The device optimizer defers the refit into the next proposal (one
     fused dispatch). After the proposal the GP state must be identical to

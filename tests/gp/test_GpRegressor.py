@@ -292,6 +292,7 @@ def test_gpr_padding_is_exact():
     assert np.isclose(float(dv1), float(dv2), rtol=1e-6, atol=1e-12)
 
 
+@pytest.mark.slow
 def test_gpr_update_data_matches_fresh_fit():
     """update_data + refit must give the same model as constructing a fresh
     GpRegressor on the combined data (compiled programs take the data as

@@ -30,6 +30,7 @@ def test_ensemble_advance_shapes():
         assert sampler.get_sample(burn=burn, thin=thin).shape == (expected, 2)
 
 
+@pytest.mark.slow
 def test_ensemble_continuation():
     sampler = make_sampler(20, 30)
     sampler.advance(20)
@@ -86,6 +87,7 @@ def test_ensemble_save_load(tmp_path):
     assert loaded.n_iterations == 50
 
 
+@pytest.mark.slow
 def test_ensemble_plot_diagnostics():
     sampler = make_sampler(10, 30)
     sampler.plot_diagnostics(show=False)

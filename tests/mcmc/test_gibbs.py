@@ -26,8 +26,16 @@ def test_gibbs_chain_advance():
     assert np.isfinite(chain.get_probabilities()).all()
 
 
-@pytest.mark.parametrize("burn", [0, 1, 5, 100])
-@pytest.mark.parametrize("thin", [1, 3, 7])
+@pytest.mark.parametrize(
+    "burn",
+    [0, pytest.param(1, marks=pytest.mark.slow),
+     pytest.param(5, marks=pytest.mark.slow), 100],
+)
+@pytest.mark.parametrize(
+    "thin",
+    [1, pytest.param(3, marks=pytest.mark.slow),
+     pytest.param(7, marks=pytest.mark.slow)],
+)
 def test_gibbs_chain_burn_thin_slicing(burn, thin):
     chain = make_chain(n=300)
     expected = sliced_length(chain.chain_length, burn, thin)
@@ -156,6 +164,7 @@ def test_gibbs_numpy_posterior_callback():
     assert abs(s.mean() - 1.0) < 0.3
 
 
+@pytest.mark.slow
 def test_gibbs_run_for_wall_clock():
     """run_for advances the chain for (at least) the requested duration."""
     from time import time

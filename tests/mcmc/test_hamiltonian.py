@@ -115,6 +115,7 @@ def test_hamiltonian_save_load(tmp_path):
     assert loaded.chain_length == chain.chain_length + 50
 
 
+@pytest.mark.slow
 def test_hamiltonian_save_load_bounds(tmp_path):
     posterior = ToroidalGaussian()
     bounds = Bounds(lower=np.full(3, -5.0), upper=np.full(3, 5.0))
@@ -134,6 +135,7 @@ def test_hamiltonian_save_load_bounds(tmp_path):
     assert np.array_equal(loaded.bounds.upper, bounds.upper)
 
 
+@pytest.mark.slow
 def test_hamiltonian_plot_diagnostics():
     chain = make_chain(n=200)
     chain.plot_diagnostics(show=False)
@@ -152,9 +154,12 @@ def test_hamiltonian_steps_change_no_rebuild():
     """'steps' lives in the traced state: changing it must not rebuild the
     compiled kernel, and the recorded leapfrog counts must follow it."""
     posterior = ToroidalGaussian()
+    # seeded: with repeat-until-accept a rejected proposal adds a full
+    # extra leapfrog trajectory to the recorded count, so an unlucky
+    # unseeded run can push the steps=10 regime's mean past the bound
     chain = HamiltonianChain(
         posterior=posterior, start=np.array([1.0, 0.1, 0.1]),
-        display_progress=False,
+        display_progress=False, seed=0,
     )
     chain.advance(20)
     step_obj = chain._step
@@ -164,5 +169,6 @@ def test_hamiltonian_steps_change_no_rebuild():
     chain.advance(20)
     assert chain._step is step_obj  # same compiled kernel object
     second = np.concatenate(chain._leapfrog_chunks)[21:41]
-    # jitter is +-10%, so the two regimes are cleanly separated
-    assert first.mean() > 40 and second.mean() < 15
+    # per-attempt counts are steps +-10%, and each rejection adds a full
+    # extra trajectory; the two regimes still sit near ~2x50 vs ~1.3x10
+    assert first.mean() > 40 and second.mean() < 20

@@ -1,4 +1,5 @@
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -103,6 +104,7 @@ def test_sqexp_pallas_custom_vjp_matches_autodiff():
     assert np.allclose(np.asarray(g_pallas[1]), np.asarray(g_ref[1]), rtol=1e-8)
 
 
+@pytest.mark.slow
 def test_sqexp_pallas_position_vjp_matches_autodiff():
     """Position cotangents of the custom VJP match jax autodiff of the
     XLA fallback (interpreter mode on CPU, float64)."""
