@@ -46,8 +46,12 @@ def execute(path: str, timeout: int = 1200) -> None:
             kernel_name="python3",
             resources={"metadata": {"path": os.path.dirname(path) or "."}},
         )
-        # nbclient passes the env to the kernel via jupyter_client
-        client.km_kwargs = {}
+        # the kernel subprocess inherits the parent's environment, so the
+        # PYTHONPATH/sitecustomize forcing is delivered by mutating
+        # os.environ around execute() — do NOT remove this in favour of a
+        # kernel-manager kwarg without verifying the env actually reaches
+        # the kernel (a notebook that initialises the TPU backend will
+        # deadlock the single-client chip)
         os_environ_backup = dict(os.environ)
         os.environ.update(env)
         try:

@@ -123,7 +123,12 @@ class LargeScaleGP:
             )
         self.solver = solver
         if dtype is None:
-            dtype = default_float()
+            # df64 carries its precision in the pair-arithmetic matvec and
+            # the float64 CG vectors; the stored arrays (preconditioner,
+            # prediction paths) should stay float32 — float64 storage
+            # would route the pivoted Cholesky through emulated f64, which
+            # is slow at any size and crashes this backend beyond ~20k
+            dtype = jnp.float32 if solver == "df64" else default_float()
         else:
             dtype = jnp.dtype(dtype)
             if dtype == jnp.float64 and not jax.config.read("jax_enable_x64"):
@@ -347,6 +352,16 @@ class LargeScaleGP:
         self._us_lo = jnp.asarray(ul)
         self._sig64 = jnp.asarray(self._sig_host, jnp.float64)
 
+    def _df64_chunk(self) -> int:
+        """CG iterations per compiled Df64Solver chunk: sized so one
+        dispatch stays under ~1 minute at the measured ~1.7 ns/entry
+        pair-arithmetic matvec — a single compiled program that runs for
+        several minutes trips the remote TPU worker's watchdog (measured:
+        a 52-matvec chunk at N=53k, ~4 min, kills the worker; 24 s chunks
+        at N=16k are fine)."""
+        per_matvec = 1.7e-9 * float(self._n_padded) ** 2
+        return int(np.clip(30.0 / max(per_matvec, 1e-9), 8, 50))
+
     def _build_compiled(self, cg_tol, cg_maxiter):
         x, sig_diag = self._x, self._sig_diag
         amp, ls = self._amp, self._ls
@@ -423,18 +438,23 @@ class LargeScaleGP:
                 # the (N, m) factor travels as a runtime operand, never a
                 # baked-in program constant
                 self._df64_solver = Df64Solver(
-                    self._matvec64_pair, M=M_df64, M_args=self._precond
+                    self._matvec64_pair, M=M_df64, M_args=self._precond,
+                    restart_every=self._df64_chunk(),
                 )
             else:
-                self._df64_solver = Df64Solver(self._matvec64_pair)
+                self._df64_solver = Df64Solver(
+                    self._matvec64_pair, restart_every=self._df64_chunk()
+                )
             self._solve_rhs = lambda rhs: self._df64_solver.solve(
                 jnp.asarray(rhs).astype(jnp.float64),
                 tol=cg_tol,
                 maxiter=cg_maxiter,
             )[0]
+            # rhs from the float64 HOST data: building it from the float32
+            # device copy would floor the solve at eps32 and defeat the
+            # solver's whole purpose
             self._solve_alpha = lambda: self._solve_rhs(
-                (self._y.astype(jnp.float64) - self.mean_value)
-                * self._mask_dev.astype(jnp.float64)
+                jnp.asarray((self._y_host - self.mean_value) * self._mask)
             )
         else:
             self._solve_alpha = lambda: solve_alpha_jit(self._precond)
@@ -616,7 +636,10 @@ class LargeScaleGP:
             if res <= target or (rounds is None and res > 0.9 * last_res):
                 break
             last_res = res
-            d = self._solve_rhs(jnp.asarray(r64.astype(solve_dtype)))
+            if self.solver == "df64":
+                d = self._solve_rhs(jnp.asarray(r64))  # full f64 residual
+            else:
+                d = self._solve_rhs(jnp.asarray(r64.astype(solve_dtype)))
             alpha64 = alpha64 + np.asarray(d, np.float64)
         else:
             # all rounds ran: score the final iterate too

@@ -342,8 +342,8 @@ def sqexp_matvec_df64(us_hi, us_lo, v, interpret: bool = None):
     ``jax_enable_x64``.
 
     Amplitude and diagonal terms are the caller's job (they are exact in
-    float64 outside the kernel). ``n`` must be a multiple of 256 — callers
-    pad with rows whose ``v`` entries are zero.
+    float64 outside the kernel). ``n`` must be a multiple of 128 (the
+    tile edge) — callers pad with rows whose ``v`` entries are zero.
     """
     if not jax.config.read("jax_enable_x64"):
         raise ValueError(

@@ -204,7 +204,8 @@ class Df64Solver:
         """Returns ``(x, info)`` with float64 ``x``; ``info = 0`` on
         convergence, else the iteration count reached."""
         b64 = jnp.asarray(b64, jnp.float64)
-        atol2 = (float(tol) ** 2) * float(jnp.sum(b64 * b64))
+        bb = float(jnp.sum(b64 * b64))
+        atol2 = (float(tol) ** 2) * bb
         x = jnp.zeros_like(b64)
         r = b64
         z = self.M(r.astype(jnp.float32), *self.M_args).astype(jnp.float64)
@@ -212,6 +213,7 @@ class Df64Solver:
         rz = jnp.sum(r * z)
         ok = jnp.asarray(True)
         done = 0
+        rr_host = bb  # ||r0||^2: correct answer if maxiter <= 0
         while done < maxiter:
             x, r, z, p, rz, ok, rr = self._chunk(
                 b64, x, r, z, p, rz, ok, self.M_args
@@ -220,7 +222,9 @@ class Df64Solver:
             rr_host = float(rr)
             if rr_host <= atol2 or not bool(ok):
                 break
-        info = 0 if rr_host <= atol2 else done
+        # iteration granularity is restart_every, so cap the report at the
+        # caller's maxiter
+        info = 0 if rr_host <= atol2 else min(done, maxiter)
         return x, info
 
 
