@@ -48,9 +48,18 @@ class LargeScaleGpLinearInverter:
     :param block_size: parameter rows per covariance-block matmul.
     :param cg_tol: conjugate-gradient relative tolerance.
     :param cg_maxiter: conjugate-gradient iteration cap.
-    :param solver: "cg" (default) or "mixed" — restarted PCG with float64
-        scalar recurrences (see ``LargeScaleGP``); use for very small
-        noise where float32 CG's recursive residual drifts.
+    :param solver: "cg" (default), "mixed" or "df64". "mixed" is
+        restarted PCG with float64 scalar recurrences (see
+        ``LargeScaleGP``) for very small noise where float32 CG's
+        recursive residual drifts. "df64" additionally evaluates the
+        dominant error term — the N-dimensional prior-covariance
+        contraction ``K (A^T v)`` — in double-float (two-f32) pair
+        arithmetic (``ops.df64.sqexp_matvec_df64``) with float64 CG
+        vectors in bounded compiled chunks; the model-matrix products
+        stay float32 MXU matmuls (their M-dimensional reductions carry
+        ~eps32*sqrt(M) noise, far below the old float32 kernel-entry
+        floor for the typical M << N). Requires ``jax_enable_x64`` and a
+        single chip.
     :param mesh: optional 1D mesh; parameter rows and the model-matrix
         columns shard over its first axis.
     """
@@ -69,11 +78,23 @@ class LargeScaleGpLinearInverter:
         solver: str = "cg",
         mesh=None,
     ):
-        if solver not in ("cg", "mixed"):
+        if solver not in ("cg", "mixed", "df64"):
             raise ValueError(
                 f"[ LargeScaleGpLinearInverter error ] 'solver' must be "
-                f"'cg' or 'mixed', but '{solver}' was given."
+                f"'cg', 'mixed' or 'df64', but '{solver}' was given."
             )
+        if solver == "df64":
+            if not jax.config.read("jax_enable_x64"):
+                raise ValueError(
+                    "[ LargeScaleGpLinearInverter error ] solver='df64' "
+                    "requires jax.config.update('jax_enable_x64', True)."
+                )
+            if mesh is not None:
+                raise ValueError(
+                    "[ LargeScaleGpLinearInverter error ] solver='df64' "
+                    "runs the fused double-float Pallas matvec on a "
+                    "single chip; drop the mesh."
+                )
         self.solver = solver
         dtype = default_float()
         y = np.asarray(y, dtype=float).squeeze()
@@ -108,6 +129,12 @@ class LargeScaleGpLinearInverter:
             A = np.concatenate([A, np.zeros((self.M, extra))], axis=1)
         self._n_padded = n_pad
 
+        # float64 host copies for the df64 solve path (rhs and scaled
+        # coordinates must not be floored at eps32 by the device cast)
+        self._y_host = y
+        self._sig_host = y_err**2
+        self._A_row_sums = A.sum(axis=1)
+
         self._x = jnp.asarray(x, dtype)
         self._A = jnp.asarray(A, dtype)
         self._y = jnp.asarray(y, dtype)
@@ -124,9 +151,83 @@ class LargeScaleGpLinearInverter:
                 self._A, NamedSharding(mesh, P(None, axis))
             )
 
+        if solver == "df64":
+            self._prepare_df64(x)
         self._build_compiled(cg_tol, cg_maxiter)
         self.z = self._solve_data_space()
+        if solver == "df64":
+            # full-precision data-space solution kept; float32 cast feeds
+            # the compiled prediction programs
+            self.z64 = np.asarray(self.z, np.float64)
+            self.z = jnp.asarray(self.z64, dtype)
         self.posterior_mean_field = None
+
+    def _prepare_df64(self, x_padded):
+        """Pre-split the scaled parameter positions into a float32 pair
+        (host float64; hyperparameters are fixed for the solve)."""
+        from ..ops.df64 import split_f64, _TJ
+
+        if self._n_padded % _TJ != 0:
+            raise ValueError(
+                f"[ LargeScaleGpLinearInverter error ] solver='df64' "
+                f"needs the padded parameter count to be a multiple of "
+                f"{_TJ}; use a block_size that is a multiple of {_TJ}."
+            )
+        ls64 = np.exp(np.asarray(self.hyperpars[1:], np.float64))
+        uh, ul = split_f64(np.asarray(x_padded, np.float64) / ls64[None, :])
+        self._us_hi = jnp.asarray(uh)
+        self._us_lo = jnp.asarray(ul)
+        self._sig64 = jnp.asarray(self._sig_host, jnp.float64)
+        self._A64 = None  # set in _build_compiled (needs the padded A)
+
+    def _data_matvec64(self, v32, A64):
+        """Double-float data-space matvec ``(Sigma + A K A^T) v``: the
+        N-dimensional prior-covariance contraction runs through the
+        pair-arithmetic Pallas kernel on an exact hi/lo split of its
+        float64 input (the old float32 entry-noise floor), and the A
+        products are emulated-float64 M x N matVECs — tiny programs, a
+        factor N smaller than the N x N float64 programs this backend
+        cannot hold (float32 A products were measured to floor the
+        data-space residual at ~2e-5: their rounding is operator-internal
+        noise that the solver cannot correct)."""
+        from ..ops.df64 import sqexp_matvec_df64
+
+        f32, f64 = jnp.float32, jnp.float64
+        v64 = v32.astype(f64)
+        p64 = jnp.dot(A64.T, v64, precision=_HI)
+        ph = p64.astype(f32)
+        pl = (p64 - ph.astype(f64)).astype(f32)
+        amp2 = np.exp(2.0 * float(self.hyperpars[0]))
+        Kp = amp2 * (
+            sqexp_matvec_df64(self._us_hi, self._us_lo, ph)
+            + sqexp_matvec_df64(self._us_hi, self._us_lo, pl)
+        )
+        AKp = jnp.dot(A64, Kp, precision=_HI)
+        return self._sig64 * v64 + AKp
+
+    def _rhs64(self) -> np.ndarray:
+        return self._y_host - self.prior_mean * self._A_row_sums
+
+    def residual_norm_f64(self) -> float:
+        """Relative residual of the data-space solve, evaluated through
+        the double-float matvec (solver='df64' instances only)."""
+        if self.solver != "df64":
+            raise ValueError(
+                "[ LargeScaleGpLinearInverter error ] residual_norm_f64 "
+                "requires solver='df64'."
+            )
+        z64 = getattr(self, "z64", None)
+        if z64 is None:
+            z64 = np.asarray(self.z, np.float64)
+        zh = z64.astype(np.float32)
+        zl = (z64 - zh.astype(np.float64)).astype(np.float32)
+        Az = np.asarray(
+            self._data_matvec64(jnp.asarray(zh), self._A64)
+        ) + np.asarray(self._data_matvec64(jnp.asarray(zl), self._A64))
+        rhs = self._rhs64()
+        return float(
+            np.linalg.norm(rhs - Az) / max(np.linalg.norm(rhs), 1e-300)
+        )
 
     def _build_compiled(self, cg_tol, cg_maxiter):
         """All compiled programs take the model matrix, positions and
@@ -155,10 +256,14 @@ class LargeScaleGpLinearInverter:
             return sig * v + jnp.dot(A, Kp, precision=_HI)
 
         use_mixed = self.solver == "mixed"
+        use_df64 = self.solver == "df64"
 
         def solve_data(A, x, sig, rhs):
-            # Jacobi preconditioner on the noise diagonal
-            if use_mixed:
+            # Jacobi preconditioner on the noise diagonal. For the df64
+            # solver this traced float32 path serves only the compiled
+            # prediction programs (posterior variances); the data-space
+            # training solve goes through the host-driven Df64Solver.
+            if use_mixed or use_df64:
                 from ..ops.solvers import mixed_pcg
 
                 sol, _ = mixed_pcg(
@@ -186,9 +291,29 @@ class LargeScaleGpLinearInverter:
         solve_jit = jax.jit(solve_data)
         matvec_jit = jax.jit(data_matvec)
         args = lambda: (self._A, self._x, self._sig)
-        self._solve_data_space = lambda: solve_ds_jit(*args(), self._y)
         self._solve_data = lambda rhs: solve_jit(*args(), rhs)
         self._data_matvec = lambda v: matvec_jit(*args(), v)
+        if use_df64:
+            from ..ops.solvers import Df64Solver
+
+            self._A64 = jnp.asarray(np.asarray(self._A), jnp.float64)
+            # the data-space system is M x M but each iteration pays two
+            # N-dimensional pair-arithmetic kernel calls, so the chunk
+            # sizing tracks the kernel cost as in LargeScaleGP
+            per_matvec = 2 * 1.7e-9 * float(self._n_padded) ** 2
+            chunk = int(np.clip(30.0 / max(per_matvec, 1e-9), 8, 50))
+            solver = Df64Solver(
+                self._data_matvec64,
+                M=lambda v, sig: v / sig,
+                M_args=(self._sig,),
+                matvec_args=(self._A64,),
+                restart_every=chunk,
+            )
+            self._solve_data_space = lambda: solver.solve(
+                jnp.asarray(self._rhs64()), tol=cg_tol, maxiter=cg_maxiter
+            )[0]
+        else:
+            self._solve_data_space = lambda: solve_ds_jit(*args(), self._y)
 
         def mean_field(A, x, z):
             return self.prior_mean + k_matvec(

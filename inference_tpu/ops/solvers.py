@@ -142,11 +142,20 @@ class Df64Solver:
     instance) and call ``solve`` per right-hand side.
     """
 
-    def __init__(self, matvec64, M=None, M_args=(), restart_every: int = 50):
-        """``M(v, *M_args)`` applies the preconditioner; ``M_args`` are
-        passed as runtime operands on every dispatch — a preconditioner
-        closing over its (N, m) factor would bake it into the compiled
-        program as a constant (the compile-payload trap documented in
+    def __init__(
+        self,
+        matvec64,
+        M=None,
+        M_args=(),
+        matvec_args=(),
+        restart_every: int = 50,
+    ):
+        """``matvec64(v, *matvec_args)`` applies the operator and
+        ``M(v, *M_args)`` the preconditioner; both argument tuples are
+        passed as runtime operands on every dispatch — an operator or
+        preconditioner closing over a large array (an (N, m) factor, an
+        (M, N) model matrix) would bake it into the compiled program as a
+        constant (the compile-payload trap documented in
         gp/large_scale.py)."""
         if not jax.config.read("jax_enable_x64"):
             raise ValueError(
@@ -156,17 +165,21 @@ class Df64Solver:
         self.matvec64 = matvec64
         self.M = M if M is not None else (lambda v: v)
         self.M_args = tuple(M_args)
+        self.matvec_args = tuple(matvec_args)
         self.restart_every = int(restart_every)
         self._chunk = jax.jit(self._build_chunk())
 
     def _build_chunk(self):
-        matvec64, M_outer = self.matvec64, self.M
+        matvec64_outer, M_outer = self.matvec64, self.M
         f32, f64 = jnp.float32, jnp.float64
         n_iter = self.restart_every
 
-        def chunk(b64, x, r, z, p, rz, ok, M_args):
+        def chunk(b64, x, r, z, p, rz, ok, M_args, mv_args):
             def M(v):
                 return M_outer(v, *M_args)
+
+            def matvec64(v):
+                return matvec64_outer(v, *mv_args)
 
             def body(_, s):
                 x, r, z, p, rz, ok = s
@@ -216,7 +229,7 @@ class Df64Solver:
         rr_host = bb  # ||r0||^2: correct answer if maxiter <= 0
         while done < maxiter:
             x, r, z, p, rz, ok, rr = self._chunk(
-                b64, x, r, z, p, rz, ok, self.M_args
+                b64, x, r, z, p, rz, ok, self.M_args, self.matvec_args
             )
             done += self.restart_every
             rr_host = float(rr)
