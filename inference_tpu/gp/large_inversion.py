@@ -12,7 +12,8 @@ The M x M data-space operator is applied as ``A (K (A^T v)) + Sigma v``
 with the prior covariance matvec computed in row blocks on the fly (the
 same MXU-tiled block pattern as ``LargeScaleGP`` — no N x N matrix ever
 exists), solved with preconditioned conjugate gradients. Posterior
-variances come from one extra CG solve per requested parameter.
+variances come from one BATCHED multi-right-hand-side CG solve over the
+requested parameters (each iteration shares a single prior matmul).
 
 Parameter rows (and the model-matrix columns) shard over an optional
 device mesh, so N scales with the number of chips.
@@ -51,15 +52,14 @@ class LargeScaleGpLinearInverter:
     :param solver: "cg" (default), "mixed" or "df64". "mixed" is
         restarted PCG with float64 scalar recurrences (see
         ``LargeScaleGP``) for very small noise where float32 CG's
-        recursive residual drifts. "df64" additionally evaluates the
-        dominant error term — the N-dimensional prior-covariance
-        contraction ``K (A^T v)`` — in double-float (two-f32) pair
-        arithmetic (``ops.df64.sqexp_matvec_df64``) with float64 CG
-        vectors in bounded compiled chunks; the model-matrix products
-        stay float32 MXU matmuls (their M-dimensional reductions carry
-        ~eps32*sqrt(M) noise, far below the old float32 kernel-entry
-        floor for the typical M << N). Requires ``jax_enable_x64`` and a
-        single chip.
+        recursive residual drifts. "df64" evaluates the whole data-space
+        operator to double-float accuracy: the N-dimensional
+        prior-covariance contraction through the pair-arithmetic Pallas
+        kernel (``ops.df64.sqexp_matvec_df64``) on an exact hi/lo input
+        split, the A products as emulated-float64 M x N matvecs (tiny
+        programs — float32 A products were measured to floor the
+        residual at ~2e-5), and float64 CG vectors in bounded compiled
+        chunks. Requires ``jax_enable_x64`` and a single chip.
     :param mesh: optional 1D mesh; parameter rows and the model-matrix
         columns shard over its first axis.
     """
@@ -323,17 +323,42 @@ class LargeScaleGpLinearInverter:
         mean_jit = jax.jit(mean_field)
         self._mean_field = lambda: mean_jit(self._A, self._x, self.z)
 
+        def k_matvec_multi(x, V):
+            """Prior-covariance action on a block of vectors (n_pad, q)."""
+            x_blocks = x.reshape(n_blocks, block, -1)
+
+            def one_block(xb):
+                return jnp.dot(
+                    sqexp_covariance(xb, x, amp, ls), V, precision=_HI
+                )
+
+            return lax.map(one_block, x_blocks).reshape(
+                (n_pad,) + V.shape[1:]
+            )
+
         def variances(A, x, sig, idx):
             """Posterior variances for selected parameter indices: one
-            data-space CG solve per index."""
+            BATCHED data-space solve — every CG iteration applies one
+            shared prior matmul to all requested indices at once."""
+            from ..ops.solvers import pcg_multi
+
             x_sel = x[idx]
             K_sx = sqexp_covariance(x_sel, x, amp, ls)
             AK = jnp.dot(A, K_sx.T, precision=_HI)  # (M, n_sel)
 
-            def one(col):
-                return jnp.dot(col, solve_data(A, x, sig, col), precision=_HI)
+            def data_matvec_multi(V):
+                P = jnp.dot(A.T, V, precision=_HI)
+                KP = k_matvec_multi(x, P)
+                return (sig * V.T).T + jnp.dot(A, KP, precision=_HI)
 
-            quad = lax.map(one, AK.T)
+            sols, _ = pcg_multi(
+                data_matvec_multi,
+                AK,
+                M=lambda V: V / sig[:, None],
+                tol=cg_tol,
+                maxiter=cg_maxiter,
+            )
+            quad = jnp.sum(AK * sols, axis=0)
             return amp**2 - quad
 
         var_jit = jax.jit(variances)

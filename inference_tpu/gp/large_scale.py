@@ -466,13 +466,39 @@ class LargeScaleGP:
 
         self._predict_mean = jax.jit(predict_mean)
 
+        def matvec_multi(V):
+            """(K + diag(sig) + jitter I) @ V for a block of vectors: one
+            kernel-block MATMUL per row block serves every column, where a
+            per-column CG would sweep the O(N^2) kernel q times."""
+            x_blocks = x.reshape(n_blocks, block, -1)
+
+            def one_block(xb):
+                return jnp.dot(
+                    sqexp_covariance(xb, x, amp, ls), V, precision=_HI
+                )
+
+            KV = lax.map(one_block, x_blocks).reshape((n_pad,) + V.shape[1:])
+            return KV + ((sig_diag + jitter) * V.T).T
+
         def predict_var(q, alpha, pc):
+            from ..ops.solvers import pcg_multi
+
             K_qx = sqexp_covariance(q, x, amp, ls)  # (M, n_pad)
+            if has_precond:
+                U, d, L_c = pc
 
-            def solve_one(k_row):
-                return jnp.dot(k_row, solve(k_row, pc), precision=_HI)
+                def M_multi(V):
+                    W = V / d[:, None]
+                    t = jnp.dot(U.T, W, precision=_HI)
+                    t = jax.scipy.linalg.cho_solve((L_c, True), t)
+                    return W - jnp.dot(U, t, precision=_HI) / d[:, None]
 
-            quad = lax.map(solve_one, K_qx)
+            else:
+                M_multi = None
+            sols, _ = pcg_multi(
+                matvec_multi, K_qx.T, M=M_multi, tol=cg_tol, maxiter=cg_maxiter
+            )
+            quad = jnp.sum(K_qx.T * sols, axis=0)
             return amp**2 - quad
 
         predict_var_jit = jax.jit(predict_var)

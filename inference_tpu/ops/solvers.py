@@ -113,6 +113,61 @@ def mixed_pcg(matvec, b, M=None, tol=1e-6, maxiter=1000, restart_every=50):
     return x, info
 
 
+def pcg_multi(matvec, B, M=None, tol=1e-6, maxiter=1000):
+    """
+    Preconditioned CG over MANY right-hand sides at once: ``B`` is
+    (n, q) and every iteration applies ONE shared matrix-matvec
+    ``matvec(P)`` to all q systems (a kernel-block matmul against a
+    (n, q) matrix costs barely more than against a single vector on the
+    MXU, where q sequential CG runs pay the full O(n^2) sweep q times —
+    this is what makes batched posterior variances cheap). Scalar
+    recurrences are per-column; converged columns freeze via masking.
+
+    Returns ``(X, info)`` with ``info`` the number of iterations run.
+    """
+    if M is None:
+        M = lambda v: v
+    dtype = B.dtype
+
+    def colsum(U, V):
+        return jnp.sum(U * V, axis=0)
+
+    atol2 = (tol**2) * colsum(B, B)
+    X = jnp.zeros_like(B)
+    R = B
+    Z = M(R)
+    P = Z
+    rz = colsum(R, Z)
+    active0 = colsum(R, R) > atol2
+
+    def cond(s):
+        i, X, R, Z, P, rz, active = s
+        return jnp.any(active) & (i < maxiter)
+
+    def body(s):
+        i, X, R, Z, P, rz, active = s
+        AP = matvec(P)
+        pAp = colsum(P, AP)
+        ok = active & (pAp > 0.0)
+        alpha = jnp.where(ok, rz / jnp.where(pAp > 0.0, pAp, 1.0), 0.0)
+        X = X + alpha[None, :].astype(dtype) * P
+        R = R - alpha[None, :].astype(dtype) * AP
+        Z = M(R)
+        rz_new = colsum(R, Z)
+        rr = colsum(R, R)
+        active = ok & (rr > atol2)
+        beta = jnp.where(
+            active & (rz != 0.0), rz_new / jnp.where(rz != 0.0, rz, 1.0), 0.0
+        )
+        P = Z + beta[None, :].astype(dtype) * P
+        return (i + 1, X, R, Z, P, rz_new, active)
+
+    i, X, *_ = lax.while_loop(
+        cond, body, (jnp.asarray(0, jnp.int32), X, R, Z, P, rz, active0)
+    )
+    return X, i
+
+
 class Df64Solver:
     """
     Preconditioned CG with **float64 iterate/residual vectors** and a
