@@ -135,3 +135,26 @@ def test_df64_pcg_ill_conditioned():
     res = np.linalg.norm(b - A @ np.asarray(x)) / np.linalg.norm(b)
     assert res < 1e-10
     assert int(info) == 0
+
+
+def test_pcg_multi_matches_individual_solves():
+    """The batched multi-RHS PCG converges every column to the same
+    solution as independent solves, with masked freezing of converged
+    columns (columns of very different conditioning)."""
+    from inference_tpu.ops.solvers import pcg_multi
+
+    rng = np.random.default_rng(3)
+    n, q = 200, 5
+    Q, _ = np.linalg.qr(rng.normal(size=(n, n)))
+    A = (Q * np.logspace(0, 4, n)) @ Q.T
+    X_true = rng.normal(size=(n, q)) * np.logspace(0, 3, q)[None, :]
+    B = A @ X_true
+    A_dev = jnp.asarray(A, jnp.float64)
+
+    X, info = pcg_multi(
+        lambda V: A_dev @ V, jnp.asarray(B), tol=1e-10, maxiter=2000
+    )
+    res = np.linalg.norm(B - A @ np.asarray(X), axis=0) / np.linalg.norm(
+        B, axis=0
+    )
+    assert res.max() < 1e-9
