@@ -63,7 +63,9 @@ def main():
 
     from inference_tpu.gp import GpRegressor
 
-    gp = GpRegressor(x, y, y_err=err, hyperpars=theta)
+    # explicit float32: under an x64-enabled process the default would be
+    # (TPU-emulated) float64, which is unusable at this N
+    gp = GpRegressor(x, y, y_err=err, hyperpars=theta, dtype="float32")
     lml32 = gp.marginal_likelihood(theta)
     rel = abs(lml32 - lml64) / abs(lml64)
     print(f"chip f32 LML:   {lml32:.10f}  rel err {rel:.3e}")
@@ -76,7 +78,7 @@ def main():
 
     big = LargeScaleGP(
         x, y, err, hyperpars=theta[1:], mean_value=theta[0], solver="mixed",
-        cg_tol=1e-7,
+        cg_tol=1e-7, dtype="float32",
     )
     big.refine(target=1e-9)
     ar = np.asarray(big.alpha64)[:n]

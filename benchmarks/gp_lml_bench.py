@@ -48,7 +48,9 @@ def time_rebuild(n):
 
     x, y, err = make_data(n)
     theta = np.array([0.0, 0.0, 0.5, 0.5])
-    gp = GpRegressor(x, y, y_err=err, hyperpars=theta)
+    # float32 regardless of the process's x64 setting (the chip's
+    # measured working precision; emulated f64 is unusable at large N)
+    gp = GpRegressor(x, y, y_err=err, hyperpars=theta, dtype="float32")
 
     gp.marginal_likelihood_gradient(theta)  # compile
     reps = 10 if n <= 8192 else 3

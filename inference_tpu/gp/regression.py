@@ -108,7 +108,16 @@ class GpRegressor:
         n_processes: int = 1,
         n_starts: int = None,
         pad_to: int = None,
+        dtype=None,
     ):
+        # working dtype for the device arrays/compiled programs. The
+        # default tracks jax x64 mode (float64 on CPU test runs, float32
+        # otherwise); pass dtype="float32" explicitly to keep a large-N
+        # model in fast float32 under an x64-enabled process — on the TPU
+        # backend an emulated-float64 Cholesky at N >= 16k is unusable
+        self._dtype = (
+            jnp.dtype(dtype) if dtype is not None else None
+        )
         self.cov = kernel() if isclass(kernel) else kernel
         self.mean = mean() if isclass(mean) else mean
         # user-specified bounds persist across data updates; auto-estimated
@@ -226,17 +235,18 @@ class GpRegressor:
         # device copies; diagonal error models keep only the variance vector
         # on device (the dense matrix would cost O(N^2) memory and
         # compile-payload size at large N)
-        self._x_dev = jnp.asarray(self._x_padded)
-        self._y_dev = jnp.asarray(self._y_padded)
-        self._mask_dev = jnp.asarray(self._mask)
+        dt = self._dtype
+        self._x_dev = jnp.asarray(self._x_padded, dt)
+        self._y_dev = jnp.asarray(self._y_padded, dt)
+        self._mask_dev = jnp.asarray(self._mask, dt)
         if self._sig_is_diag:
             sig_diag = np.zeros(self._n_padded)
             sig_diag[: self.n_points] = np.diagonal(self.sig)
-            self._sig_dev = jnp.asarray(sig_diag)
+            self._sig_dev = jnp.asarray(sig_diag, dt)
         else:
             sig_full = np.zeros([self._n_padded, self._n_padded])
             sig_full[: self.n_points, : self.n_points] = self.sig
-            self._sig_dev = jnp.asarray(sig_full)
+            self._sig_dev = jnp.asarray(sig_full, dt)
 
     def update_data(self, x, y, y_err=None, y_cov=None, set_state=True):
         """
@@ -467,7 +477,7 @@ class GpRegressor:
         self.hyperpars = hyperpars
         self.mean_hyperpars = self.hyperpars[self.mean_slice]
         self.cov_hyperpars = self.hyperpars[self.cov_slice]
-        theta = jnp.asarray(hyperpars)
+        theta = jnp.asarray(hyperpars, self._x_dev.dtype)
         K_xx, mu, L, alpha = self._fit_state(theta)
         self.K_xx = K_xx
         self.mu = mu
@@ -554,7 +564,7 @@ class GpRegressor:
         Predictive means and standard deviations at the given points,
         computed in a single batched device call.
         """
-        p = jnp.asarray(self.process_points(points))
+        p = jnp.asarray(self.process_points(points), self._x_dev.dtype)
         mu, sig = self._predict(
             p,
             self._x_dev,
@@ -573,7 +583,7 @@ class GpRegressor:
         covariance function, so this works for **all** kernels (the
         reference only supports SquaredExponential here).
         """
-        p = jnp.asarray(self.process_points(points))
+        p = jnp.asarray(self.process_points(points), self._x_dev.dtype)
         mu_g, cov_g = jax.vmap(
             lambda q: self._grad_single(
                 q,
@@ -592,7 +602,7 @@ class GpRegressor:
         Gradients of the predictive mean and variance at the given points,
         via autodiff of the predictors.
         """
-        p = jnp.asarray(self.process_points(points))
+        p = jnp.asarray(self.process_points(points), self._x_dev.dtype)
         dmu, dvar = jax.vmap(
             lambda q: self._spatial_derivs_single(
                 q,
@@ -611,7 +621,7 @@ class GpRegressor:
         Full posterior mean vector (and covariance matrix) at the given
         points.
         """
-        v = jnp.asarray(self.process_points(points))
+        v = jnp.asarray(self.process_points(points), self._x_dev.dtype)
         K_qx = self.cov(v, self._x_dev, self._cov_pars_dev) * self._mask_dev[None, :]
         mu = K_qx @ self.alpha + jax.vmap(
             lambda p: self.mean(p, self._mean_pars_dev)
@@ -640,22 +650,22 @@ class GpRegressor:
     # ------------------------------------------------------------------ #
     def marginal_likelihood(self, theta) -> float:
         """Log-marginal likelihood (Rasmussen & Williams eq. 5.8)."""
-        return float(self._lml(jnp.asarray(theta)))
+        return float(self._lml(jnp.asarray(theta, self._x_dev.dtype)))
 
     def marginal_likelihood_gradient(self, theta):
         """LML and its hyperparameter gradient via ``jax.value_and_grad``
         (replacing R&W eq. 5.9 trace identities with autodiff through the
         Cholesky factorisation)."""
-        value, grad = self._lml_grad(jnp.asarray(theta))
+        value, grad = self._lml_grad(jnp.asarray(theta, self._x_dev.dtype))
         return float(value), np.asarray(grad)
 
     def loo_likelihood(self, theta) -> float:
         """Leave-one-out log-likelihood (R&W eqs. 5.10-5.12)."""
-        return float(self._loo(jnp.asarray(theta)))
+        return float(self._loo(jnp.asarray(theta, self._x_dev.dtype)))
 
     def loo_likelihood_gradient(self, theta):
         """LOO likelihood and gradient via autodiff."""
-        value, grad = self._loo_grad(jnp.asarray(theta))
+        value, grad = self._loo_grad(jnp.asarray(theta, self._x_dev.dtype))
         return float(value), np.asarray(grad)
 
     # ------------------------------------------------------------------ #
