@@ -268,9 +268,12 @@ class Df64Solver:
 
         return chunk
 
-    def solve(self, b64, tol=1e-10, maxiter=2000):
+    def solve(self, b64, tol=1e-10, maxiter=2000, verbose=False):
         """Returns ``(x, info)`` with float64 ``x``; ``info = 0`` on
-        convergence, else the iteration count reached."""
+        convergence, else the iteration count reached (chunk granularity,
+        capped at ``maxiter``). ``verbose`` prints the per-chunk relative
+        residual — long large-N solves run many minutes and are otherwise
+        silent."""
         b64 = jnp.asarray(b64, jnp.float64)
         bb = float(jnp.sum(b64 * b64))
         atol2 = (float(tol) ** 2) * bb
@@ -288,6 +291,13 @@ class Df64Solver:
             )
             done += self.restart_every
             rr_host = float(rr)
+            if verbose:
+                rel = (rr_host / bb) ** 0.5 if bb > 0 else 0.0
+                print(
+                    f"  [ Df64Solver: iteration {done}, relative residual "
+                    f"{rel:.3e} ]",
+                    flush=True,
+                )
             if rr_host <= atol2 or not bool(ok):
                 break
         # iteration granularity is restart_every, so cap the report at the
