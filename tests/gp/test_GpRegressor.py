@@ -340,3 +340,28 @@ def test_pad_to_rejects_data_sized_kernels():
             x, y, kernel=SquaredExponential() + HeteroscedasticNoise(),
             pad_to=64,
         )
+
+
+def test_gpr_explicit_dtype():
+    """dtype='float32' pins the compiled programs to float32 even under an
+    x64-enabled process (on TPU the x64 default would route the Cholesky
+    through emulated float64 — unusable at large N)."""
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(0)
+    x = np.linspace(0, 10, 40)
+    y = np.sin(x) + rng.normal(0, 0.1, x.size)
+    theta = np.array([0.0, 0.0, 0.3])
+    gp32 = GpRegressor(x, y, y_err=np.full(x.size, 0.1), hyperpars=theta,
+                       dtype="float32")
+    assert gp32._x_dev.dtype == jnp.float32
+    assert gp32.L.dtype == jnp.float32
+    gp = GpRegressor(x, y, y_err=np.full(x.size, 0.1), hyperpars=theta)
+    # float32 model agrees with the full-precision one to f32 accuracy
+    q = np.linspace(1, 9, 7)
+    mu32, sig32 = gp32(q)
+    mu, sig = gp(q)
+    assert np.allclose(mu32, mu, atol=1e-4)
+    assert np.allclose(sig32, sig, atol=1e-4)
+    lml32 = gp32.marginal_likelihood(theta)
+    assert abs(lml32 - gp.marginal_likelihood(theta)) / abs(lml32) < 1e-5
