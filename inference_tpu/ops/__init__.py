@@ -1,11 +1,13 @@
 """Low-level compute ops: MXU-friendly pairwise-distance / covariance
 assembly (with Pallas TPU kernels for the large-N hot path), device
-linear-algebra helpers (``linalg``) and the mixed-precision restarted
-PCG solver (``solvers``)."""
+linear-algebra helpers (``linalg``), double-float (two-float32)
+arithmetic and the fused pair-precision covariance matvec (``df64``),
+and the mixed-precision conjugate-gradient family (``solvers``)."""
 
 from .pairwise import scaled_sq_distances, sqexp_covariance
 from .linalg import add_diagonal, identity_like
-from .solvers import mixed_pcg
+from .solvers import mixed_pcg, pcg_multi, df64_pcg, Df64Solver
+from .df64 import sqexp_matvec_df64, split_f64
 
 __all__ = [
     "scaled_sq_distances",
@@ -13,4 +15,9 @@ __all__ = [
     "add_diagonal",
     "identity_like",
     "mixed_pcg",
+    "pcg_multi",
+    "df64_pcg",
+    "Df64Solver",
+    "sqexp_matvec_df64",
+    "split_f64",
 ]
