@@ -241,6 +241,31 @@ class LargeScaleGP:
 
         return build()
 
+    def _pivoted_cholesky_host(self, rank: int) -> np.ndarray:
+        """Greedy pivoted Cholesky in HOST float64. The on-device float32
+        build accumulates ~eps32*amp^2*m residual-diagonal error over m
+        steps — at sigma = 0.01 that rivals sigma^2 itself and the
+        resulting preconditioner stalls the df64 solve (measured at
+        N=50k, rank 1024: relative residual stuck at 0.88). O(N m^2)
+        numpy flops, built once."""
+        h = np.asarray(self.hyperpars, np.float64)
+        amp2 = np.exp(2.0 * h[0])
+        ls = np.exp(h[1:])
+        xs = np.asarray(self._x_host, np.float64) / ls[None, :]
+        n = xs.shape[0]
+        diag = amp2 * self._mask.astype(np.float64)
+        U = np.zeros((n, rank))
+        for i in range(rank):
+            j = int(np.argmax(diag))
+            d2 = ((xs - xs[j]) ** 2).sum(axis=1)
+            col = amp2 * np.exp(-0.5 * d2) * self._mask * self._mask[j]
+            proj = U[:, :i] @ U[j, :i]
+            root = np.sqrt(max(diag[j], np.finfo(np.float64).tiny))
+            u = (col - proj) / root
+            U[:, i] = u
+            diag = np.maximum(diag - u * u, 0.0) * self._mask
+        return U
+
     def _build_preconditioner(self, rank: int):
         """Low-rank preconditioner: K ~ U U^T (pivoted Cholesky or
         Nystrom), with (sigma^2 I + U U^T)^{-1} applied by the Woodbury
@@ -251,6 +276,18 @@ class LargeScaleGP:
         dtype = self._x.dtype
 
         if self.preconditioner == "pivchol":
+            if self.solver == "df64":
+                # float64 host build: the factor's QUALITY must beat the
+                # noise floor the df64 solver targets (see the docstring)
+                U64 = self._pivoted_cholesky_host(rank)
+                d64 = self._sig_host + np.exp(2.0 * self.hyperpars[0]) * 1e-12
+                G = (U64 / d64[:, None]).T @ U64
+                self._precond = (
+                    jnp.asarray(U64, dtype),
+                    jnp.asarray(d64, dtype),
+                    self._factor_woodbury_core(jnp.asarray(G)),
+                )
+                return
             U = self._pivoted_cholesky(rank)
 
             @jax.jit
