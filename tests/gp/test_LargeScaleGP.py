@@ -198,3 +198,22 @@ def test_df64_solver_small_noise():
     # the df64 residual backend agrees with the host float64 one
     res_df = gp.residual_norm_f64(residual_backend="df64")
     assert abs(res_df - res) < 1e-8
+
+
+def test_host_pivoted_cholesky_quality():
+    """The float64 host pivoted Cholesky (df64 preconditioner build) at
+    full rank reproduces the kernel matrix to float64 accuracy — the
+    float32 device build's ~eps32*amp^2*m accumulated error is what
+    stalled the N=50k small-noise solve."""
+    from inference_tpu.ops.pairwise import sqexp_covariance
+
+    x, y, err = make_problem(n=200)
+    gp = LargeScaleGP(
+        x, y, err, hyperpars=np.array([0.0, 0.0, 0.0]), block_size=128,
+        preconditioner="pivchol", preconditioner_rank=64, solver="df64",
+        cg_maxiter=50,
+    )
+    U = gp._pivoted_cholesky_host(gp.n_points)
+    d2 = ((gp._x_host[:, None, :] - gp._x_host[None, :, :]) ** 2).sum(axis=2)
+    K = np.exp(-0.5 * d2) * np.outer(gp._mask, gp._mask)
+    assert np.abs(U @ U.T - K).max() < 1e-10
