@@ -191,6 +191,13 @@ class LargeScaleGP:
                 f"[ LargeScaleGP error ] 'preconditioner' must be 'pivchol' "
                 f"or 'nystrom', but '{preconditioner}' was given."
             )
+        if solver == "df64" and preconditioner == "nystrom":
+            raise ValueError(
+                "[ LargeScaleGP error ] solver='df64' requires the "
+                "'pivchol' preconditioner: its factor is built AND applied "
+                "in float64 (the f32-built, f32-applied Nystrom factor "
+                "stalls the small-noise solve this solver exists for)."
+            )
         self.preconditioner = preconditioner
         self._build_preconditioner(preconditioner_rank)
         self._build_compiled(cg_tol, cg_maxiter)
@@ -272,16 +279,39 @@ class LargeScaleGP:
         identity."""
         if rank <= 0 or rank >= self.n_points:
             self._precond = None
+            self._precond64 = None
             return
         dtype = self._x.dtype
+        self._precond64 = None
 
         if self.preconditioner == "pivchol":
             if self.solver == "df64":
-                # float64 host build: the factor's QUALITY must beat the
-                # noise floor the df64 solver targets (see the docstring)
+                # float64 host BUILD and float64 APPLICATION operands —
+                # both matter at small noise. Build: the f32 device build
+                # accumulates ~eps32*amp^2*m residual-diagonal error,
+                # rivalling sigma^2 itself. Application: the Woodbury core
+                # has kappa ~ amp^2 N / sigma^2 (~1e8-1e9 at sigma=0.01)
+                # and its subtraction cancels ~8 digits, so an f32-applied
+                # preconditioner stalls PCG at 1e-4..1e-6 even with an
+                # EXACT f64 matvec (measured; f64 application converges to
+                # 1e-12 in <50 iterations on the same system).
                 U64 = self._pivoted_cholesky_host(rank)
-                d64 = self._sig_host + np.exp(2.0 * self.hyperpars[0]) * 1e-12
-                G = (U64 / d64[:, None]).T @ U64
+                amp2 = np.exp(2.0 * self.hyperpars[0])
+                d64 = self._sig_host + amp2 * 1e-12
+                V64 = U64 / d64[:, None]
+                G = V64.T @ U64
+                # explicit core inverse: the f64 M application is then
+                # pure (N, m) matmuls (emulated-f64 triangular solves are
+                # slow on TPU); as a preconditioner the explicit inverse's
+                # kappa*eps64 ~ 1e-7 relative error is irrelevant
+                Cinv = self._core_inverse_host(G)
+                self._precond64 = (
+                    jnp.asarray(V64, jnp.float64),
+                    jnp.asarray(Cinv, jnp.float64),
+                    jnp.asarray(1.0 / d64, jnp.float64),
+                )
+                # float32 casts serve the traced prediction paths, which
+                # only need O(amp^2)-scale accuracy
                 self._precond = (
                     jnp.asarray(U64, dtype),
                     jnp.asarray(d64, dtype),
@@ -334,6 +364,29 @@ class LargeScaleGP:
         # N, breaking remote compilation)
         U, d, G = build()
         self._precond = (U, d, self._factor_woodbury_core(G))
+
+    @staticmethod
+    def _core_inverse_host(G) -> np.ndarray:
+        """Explicit float64 inverse of the Woodbury core C = I + G on the
+        host (with the same escalating-jitter guard as the Cholesky
+        factorisation), for the df64 solver's all-matmul f64 application."""
+        m = G.shape[0]
+        C = np.eye(m) + 0.5 * (
+            np.asarray(G, np.float64) + np.asarray(G, np.float64).T
+        )
+        bump = 0.0
+        scale = float(np.diag(C).max())
+        for _ in range(6):
+            try:
+                L = np.linalg.cholesky(C + bump * np.eye(m))
+                Linv = np.linalg.inv(L)
+                return Linv.T @ Linv
+            except np.linalg.LinAlgError:
+                bump = max(bump * 100.0, 1e-10 * scale)
+        raise np.linalg.LinAlgError(
+            "[ LargeScaleGP error ] preconditioner core inversion failed "
+            "even with diagonal regularisation"
+        )
 
     def _factor_woodbury_core(self, G) -> jnp.ndarray:
         """Cholesky of C = I + G on the HOST in float64. With small noise
@@ -466,16 +519,18 @@ class LargeScaleGP:
             from ..ops.solvers import Df64Solver
 
             if has_precond:
-                def M_df64(v, U, d, L_c):
-                    w = v / d
-                    t = jnp.dot(U.T, w, precision=_HI)
-                    t = jax.scipy.linalg.cho_solve((L_c, True), t)
-                    return w - jnp.dot(U, t, precision=_HI) / d
+                def M_df64(v64, V, Cinv, dinv):
+                    # (D + U U^T)^{-1} v64 by Woodbury, ENTIRELY in f64
+                    # (V = U/d): the core's ~1e8 condition and the ~8-digit
+                    # cancellation in the subtraction are far beyond f32
+                    t = jnp.dot(Cinv, jnp.dot(V.T, v64, precision=_HI),
+                                precision=_HI)
+                    return dinv * v64 - jnp.dot(V, t, precision=_HI)
 
                 # the (N, m) factor travels as a runtime operand, never a
                 # baked-in program constant
                 self._df64_solver = Df64Solver(
-                    self._matvec64_pair, M=M_df64, M_args=self._precond,
+                    self._matvec64_pair, M=M_df64, M_args=self._precond64,
                     restart_every=self._df64_chunk(),
                 )
             else:

@@ -188,6 +188,13 @@ class Df64Solver:
       it is a perturbation of the same Krylov process, not a restart:
       resetting p there was measured to wreck convergence, see
       tests/test_df64.py),
+    - the preconditioner ``M`` receives the **float64** residual and its
+      output is used in float64: high-dynamic-range preconditioners (a
+      Woodbury application at sigma ~ 1e-2 has core condition ~1e8-1e9
+      and ~8-digit cancellation in its subtraction) must be applied in
+      f64 — an f32 application was measured to stall PCG at 1e-4..1e-6
+      even with an exact f64 matvec, while f64 application converges to
+      1e-12 in <50 iterations on the same system,
     - the HOST drives the chunk loop: one device dispatch per chunk keeps
       every program's runtime bounded (a single while_loop program running
       for hours tripped the remote worker's watchdog at N = 50k) and pulls
@@ -205,8 +212,10 @@ class Df64Solver:
         matvec_args=(),
         restart_every: int = 50,
     ):
-        """``matvec64(v, *matvec_args)`` applies the operator and
-        ``M(v, *M_args)`` the preconditioner; both argument tuples are
+        """``matvec64(v, *matvec_args)`` applies the operator to a
+        float32 vector and ``M(v, *M_args)`` applies the preconditioner
+        to the float64 residual (apply it IN float64 unless it is
+        diagonal — see the class docstring); both argument tuples are
         passed as runtime operands on every dispatch — an operator or
         preconditioner closing over a large array (an (N, m) factor, an
         (M, N) model matrix) would bake it into the compiled program as a
@@ -247,7 +256,7 @@ class Df64Solver:
                 alpha = jnp.where(pAp > 0.0, rz / pAp, 0.0)
                 x = x + alpha * p_applied
                 r = r - alpha * Ap
-                z = M(r.astype(f32)).astype(f64)
+                z = M(r).astype(f64)
                 rz_new = jnp.sum(r * z)
                 beta = jnp.where(rz != 0.0, rz_new / rz, 0.0)
                 p = z + beta * p
@@ -261,7 +270,7 @@ class Df64Solver:
             xh = x.astype(f32)
             xl = (x - xh.astype(f64)).astype(f32)
             r = b64 - matvec64(xh) - matvec64(xl)
-            z = M(r.astype(f32)).astype(f64)
+            z = M(r).astype(f64)
             rz = jnp.sum(r * z)
             rr = jnp.sum(r * r)
             return x, r, z, p, rz, ok, rr
@@ -279,7 +288,7 @@ class Df64Solver:
         atol2 = (float(tol) ** 2) * bb
         x = jnp.zeros_like(b64)
         r = b64
-        z = self.M(r.astype(jnp.float32), *self.M_args).astype(jnp.float64)
+        z = jnp.asarray(self.M(r, *self.M_args), jnp.float64)
         p = z
         rz = jnp.sum(r * z)
         ok = jnp.asarray(True)

@@ -217,3 +217,58 @@ def test_host_pivoted_cholesky_quality():
     d2 = ((gp._x_host[:, None, :] - gp._x_host[None, :, :]) ** 2).sum(axis=2)
     K = np.exp(-0.5 * d2) * np.outer(gp._mask, gp._mask)
     assert np.abs(U @ U.T - K).max() < 1e-10
+
+
+def test_df64_preconditioner_f64_application():
+    """The df64 solver's Woodbury preconditioner is built AND applied in
+    float64. At sigma ~ 1e-2 the Woodbury core has condition
+    ~ amp^2 N / sigma^2 and the w - U t / d subtraction cancels ~8
+    digits: an f32 application stalls PCG at 1e-4..1e-6 even with an
+    exact f64 matvec (the N=50k on-chip stall), while f64 application
+    converges in <50 iterations. This pins the application against a
+    dense float64 (D + U U^T)^{-1} to far beyond f32 reach, and the
+    operand dtypes."""
+    import jax
+    import jax.numpy as jnp
+
+    if not jax.config.read("jax_enable_x64"):
+        pytest.skip("requires x64")
+    rng = np.random.default_rng(11)
+    n = 384
+    x = rng.uniform(0, 8, size=(n, 2))
+    y = np.sin(x[:, 0]) * np.cos(0.5 * x[:, 1])
+    err = np.full(n, 0.01)
+    gp = LargeScaleGP(
+        x, y, err, hyperpars=np.array([0.0, 0.0, 0.0]), block_size=128,
+        preconditioner_rank=96, solver="df64", cg_tol=1e-9,
+        cg_maxiter=500, dtype="float32",
+    )
+    V, Cinv, dinv = gp._precond64
+    assert V.dtype == jnp.float64
+    assert Cinv.dtype == jnp.float64
+    assert dinv.dtype == jnp.float64
+
+    # dense float64 ground truth for (D + U U^T)^{-1} v
+    U = gp._pivoted_cholesky_host(96)
+    d = gp._sig_host + 1e-12
+    A = np.diag(d) + U @ U.T
+    v = rng.normal(size=n)
+    truth = np.linalg.solve(A, v)
+
+    t = np.asarray(Cinv) @ (np.asarray(V).T @ v)
+    z = np.asarray(dinv) * v - np.asarray(V) @ t
+    # the f32 cancellation noise on this quantity is ~eps32/sigma^2 ~ 1e-3
+    # absolute; the f64 application must sit orders of magnitude below it
+    assert np.abs(z - truth).max() < 1e-9 * np.abs(truth).max()
+
+
+def test_df64_rejects_nystrom_preconditioner():
+    """solver='df64' only supports the float64-built pivchol
+    preconditioner; the f32 Nystrom build would silently reintroduce the
+    small-noise stall."""
+    x, y, err = make_problem(n=64)
+    with pytest.raises(ValueError):
+        LargeScaleGP(
+            x, y, err, hyperpars=np.array([0.0, 0.0, 0.0]),
+            block_size=64, solver="df64", preconditioner="nystrom",
+        )
