@@ -131,6 +131,15 @@ def piecewise_linear_sample(x, probability_density, n_samples: int) -> np.ndarra
     p_lo, p_hi = density[:-1], density[1:]
     mass = 0.5 * (p_lo + p_hi) * dx  # trapezium-rule mass per cell
     cdf = np.cumsum(mass)
+    if not np.isfinite(cdf[-1]) or cdf[-1] <= 0.0:
+        # an all-zero (or non-finite) density would silently propagate
+        # NaN through the inverse-CDF; fail loudly like the numpy
+        # rng.choice the reference samples with (conditional.py:257)
+        raise ValueError(
+            "[ piecewise_linear_sample error ] The given "
+            "'probability_density' has zero or non-finite total mass — "
+            "the distribution cannot be sampled."
+        )
     cdf /= cdf[-1]
     cells = np.searchsorted(cdf, rng.random(n_samples), side="right")
     cells = np.minimum(cells, dx.size - 1)

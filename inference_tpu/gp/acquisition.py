@@ -13,6 +13,28 @@ import jax
 import jax.numpy as jnp
 from jax.scipy.special import log_ndtr
 
+# multistart seeding policy (reference: acquisition.py:13-37), shared by
+# the host path (AcquisitionFunction.starting_positions) and the fused
+# device path (GpOptimiser._candidate_clouds) — tune it here, once
+CLOUD_SIZE = 20  # candidates per observed data point
+CLOUD_INSET = 0.01  # bounds inset, as a fraction of the box width
+CLOUD_WIDTH = 0.02  # cloud half-width, as a fraction of the box width
+
+
+def candidate_cloud(x0, lwr_in, upr_in, widths, rng) -> np.ndarray:
+    """A ``CLOUD_SIZE``-point multistart cloud around an observed point
+    lying inside the inset bounds, or uniform draws over the inset box
+    when it does not (``x0`` may be None for pure padding rows)."""
+    L = widths.size
+    if x0 is not None and ((x0 >= lwr_in) & (x0 <= upr_in)).all():
+        return np.clip(
+            x0[None, :]
+            + CLOUD_WIDTH * widths * (2 * rng.random((CLOUD_SIZE, L)) - 1),
+            lwr_in,
+            upr_in,
+        )
+    return lwr_in + (upr_in - lwr_in) * rng.random((CLOUD_SIZE, L))
+
 
 class AcquisitionFunction:
     gp = None
@@ -28,37 +50,33 @@ class AcquisitionFunction:
         """
         lwr, upr = [np.array([k[i] for k in bounds], dtype=float) for i in [0, 1]]
         widths = upr - lwr
-        lwr = lwr + widths * 0.01
-        upr = upr - widths * 0.01
+        lwr = lwr + widths * CLOUD_INSET
+        upr = upr - widths * CLOUD_INSET
         rng = np.random.default_rng()
         L = len(widths)
 
         starts = []
-        groups = []  # (index into starts, 20 candidate rows) for inside points
+        groups = []  # (index into starts, cloud rows) for inside points
         candidates = []
         for x0 in self.gp.x:
             inside = ((x0 >= lwr) & (x0 <= upr)).all()
             if inside:
-                samples = np.clip(
-                    x0[None, :] + 0.02 * widths * (2 * rng.random((20, L)) - 1),
-                    lwr,
-                    upr,
-                )
                 groups.append((len(starts), len(candidates)))
-                candidates.append(samples)
+                candidates.append(candidate_cloud(x0, lwr, upr, widths, rng))
                 starts.append(None)  # filled in after batch scoring
             else:
                 starts.append(lwr + (upr - lwr) * rng.random(L))
 
         if candidates:
-            cand = np.concatenate(candidates, axis=0)  # (20 * n_inside, L)
+            cand = np.concatenate(candidates, axis=0)  # (CLOUD_SIZE * n_inside, L)
             scores = np.asarray(
                 self._opt_batch_jit(jnp.asarray(cand), self.gp_state())
             )
-            # per-group winner: candidates were appended in 20-row blocks
+            # per-group winner: candidates were appended in cloud-row blocks
+            c = CLOUD_SIZE
             for g, (start_idx, _) in enumerate(groups):
-                block = scores[g * 20 : (g + 1) * 20]
-                starts[start_idx] = cand[g * 20 + int(np.argmin(block))]
+                block = scores[g * c : (g + 1) * c]
+                starts[start_idx] = cand[g * c + int(np.argmin(block))]
         return starts
 
     def update_gp(self, gp):

@@ -294,14 +294,13 @@ class LargeScaleGpLinearInverter:
         self._solve_data = lambda rhs: solve_jit(*args(), rhs)
         self._data_matvec = lambda v: matvec_jit(*args(), v)
         if use_df64:
-            from ..ops.solvers import Df64Solver
+            from ..ops.solvers import Df64Solver, df64_chunk_iters
 
             self._A64 = jnp.asarray(np.asarray(self._A), jnp.float64)
             # the data-space system is M x M but each iteration pays two
             # N-dimensional pair-arithmetic kernel calls, so the chunk
             # sizing tracks the kernel cost as in LargeScaleGP
-            per_matvec = 2 * 1.7e-9 * float(self._n_padded) ** 2
-            chunk = int(np.clip(30.0 / max(per_matvec, 1e-9), 8, 50))
+            chunk = df64_chunk_iters(self._n_padded, matvecs_per_iter=2)
             solver = Df64Solver(
                 self._data_matvec64,
                 M=lambda v, sig: v / sig,

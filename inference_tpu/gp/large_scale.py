@@ -366,10 +366,16 @@ class LargeScaleGP:
         self._precond = (U, d, self._factor_woodbury_core(G))
 
     @staticmethod
-    def _core_inverse_host(G) -> np.ndarray:
-        """Explicit float64 inverse of the Woodbury core C = I + G on the
-        host (with the same escalating-jitter guard as the Cholesky
-        factorisation), for the df64 solver's all-matmul f64 application."""
+    def _factor_core_host(G) -> np.ndarray:
+        """Float64 host Cholesky of the Woodbury core C = I + G, with an
+        escalating-jitter retry. With small noise the Gram entries reach
+        ~amp^2 N / sigma^2 (1e8+ in the sigma = 1e-2 regime) and a float32
+        device Cholesky goes indefinite -> NaN, silently poisoning the
+        preconditioner so CG exits at its starting point. The m x m core is
+        tiny: one small transfer and a float64 factorisation make the
+        preconditioner robust at any noise level. Shared by the f32
+        (``_factor_woodbury_core``) and df64 (``_core_inverse_host``)
+        preconditioner builds — the jitter policy must stay identical."""
         m = G.shape[0]
         C = np.eye(m) + 0.5 * (
             np.asarray(G, np.float64) + np.asarray(G, np.float64).T
@@ -378,40 +384,26 @@ class LargeScaleGP:
         scale = float(np.diag(C).max())
         for _ in range(6):
             try:
-                L = np.linalg.cholesky(C + bump * np.eye(m))
-                Linv = np.linalg.inv(L)
-                return Linv.T @ Linv
-            except np.linalg.LinAlgError:
-                bump = max(bump * 100.0, 1e-10 * scale)
-        raise np.linalg.LinAlgError(
-            "[ LargeScaleGP error ] preconditioner core inversion failed "
-            "even with diagonal regularisation"
-        )
-
-    def _factor_woodbury_core(self, G) -> jnp.ndarray:
-        """Cholesky of C = I + G on the HOST in float64. With small noise
-        the Gram entries reach ~amp^2 N / sigma^2 (1e8+ in the
-        sigma = 1e-2 regime) and a float32 device Cholesky goes indefinite
-        -> NaN, silently poisoning the preconditioner so CG exits at its
-        starting point. The m x m core is tiny: one small transfer and a
-        float64 factorisation make the preconditioner robust at any noise
-        level (applied in the solve dtype)."""
-        m = G.shape[0]
-        C = np.eye(m) + 0.5 * (
-            np.asarray(G, np.float64) + np.asarray(G, np.float64).T
-        )
-        bump = 0.0
-        scale = float(np.diag(C).max())
-        for _ in range(6):
-            try:
-                L = np.linalg.cholesky(C + bump * np.eye(m))
-                return jnp.asarray(L, self._x.dtype)
+                return np.linalg.cholesky(C + bump * np.eye(m))
             except np.linalg.LinAlgError:
                 bump = max(bump * 100.0, 1e-10 * scale)
         raise np.linalg.LinAlgError(
             "[ LargeScaleGP error ] preconditioner core factorisation "
             "failed even with diagonal regularisation"
         )
+
+    @classmethod
+    def _core_inverse_host(cls, G) -> np.ndarray:
+        """Explicit float64 inverse of the Woodbury core C = I + G on the
+        host, for the df64 solver's all-matmul f64 application."""
+        L = cls._factor_core_host(G)
+        Linv = np.linalg.inv(L)
+        return Linv.T @ Linv
+
+    def _factor_woodbury_core(self, G) -> jnp.ndarray:
+        """Host-f64 Cholesky of C = I + G, cast to the solve dtype for the
+        traced f32 preconditioner application (see ``_factor_core_host``)."""
+        return jnp.asarray(self._factor_core_host(G), self._x.dtype)
 
     def _matvec64_pair(self, v32):
         """Double-float system matvec: float32 vector in, float64
@@ -443,14 +435,11 @@ class LargeScaleGP:
         self._sig64 = jnp.asarray(self._sig_host, jnp.float64)
 
     def _df64_chunk(self) -> int:
-        """CG iterations per compiled Df64Solver chunk: sized so one
-        dispatch stays under ~1 minute at the measured ~1.7 ns/entry
-        pair-arithmetic matvec — a single compiled program that runs for
-        several minutes trips the remote TPU worker's watchdog (measured:
-        a 52-matvec chunk at N=53k, ~4 min, kills the worker; 24 s chunks
-        at N=16k are fine)."""
-        per_matvec = 1.7e-9 * float(self._n_padded) ** 2
-        return int(np.clip(30.0 / max(per_matvec, 1e-9), 8, 50))
+        """Watchdog-safe CG iterations per compiled Df64Solver chunk
+        (see ``ops.solvers.df64_chunk_iters`` — the shared budget)."""
+        from ..ops.solvers import df64_chunk_iters
+
+        return df64_chunk_iters(self._n_padded, matvecs_per_iter=1)
 
     def _build_compiled(self, cg_tol, cg_maxiter):
         x, sig_diag = self._x, self._sig_diag
@@ -594,24 +583,67 @@ class LargeScaleGP:
             return amp**2 - quad
 
         predict_var_jit = jax.jit(predict_var)
-        self._predict_var = lambda q, alpha: predict_var_jit(
-            q, alpha, self._precond
-        )
+        self._cg_tol, self._cg_maxiter = cg_tol, cg_maxiter
+        if self.solver == "df64":
+            # the batched f32 CG above cannot serve the regime this tier
+            # exists for: at sigma ~ 1e-2 both the f32 matvec entries and
+            # the amp^2 - quad cancellation floor the variances FAR above
+            # their sigma^2-scale truth (measured: absolute errors 1e-3+
+            # against truth ~1e-5) — route each query column through the
+            # chunked df64 solve instead
+            self._predict_var = self._predict_var_df64
+        else:
+            self._predict_var = lambda q, alpha: predict_var_jit(
+                jnp.asarray(q, self._x.dtype), alpha, self._precond
+            )
 
     def __call__(self, points, with_variance: bool = False):
         """
         Predictive means (and optionally standard deviations — one CG solve
-        per query point) at the given locations.
+        per query point) at the given locations. With ``solver="df64"``
+        the variance solves run through the chunked double-float machinery
+        (one host-driven solve per query point, typically <= 15 iterations
+        under the f64-applied preconditioner) — the batched float32 CG the
+        other tiers use floors far above sigma^2-scale variances at small
+        noise.
         """
-        q = np.atleast_2d(np.asarray(points, dtype=float))
-        if q.shape[1] != self.n_dimensions:
-            q = q.reshape(-1, self.n_dimensions)
-        q = jnp.asarray(q, self._x.dtype)
+        q_host = np.atleast_2d(np.asarray(points, dtype=float))
+        if q_host.shape[1] != self.n_dimensions:
+            q_host = q_host.reshape(-1, self.n_dimensions)
+        q = jnp.asarray(q_host, self._x.dtype)
         mu = np.asarray(self._predict_mean(q, self.alpha))
         if not with_variance:
             return mu
-        var = np.asarray(self._predict_var(q, self.alpha))
+        # the variance path receives the FLOAT64 host query points: the
+        # df64 tier would otherwise inherit f32-truncated positions and
+        # with them an eps32-scale floor on the quadratic form
+        var = np.asarray(self._predict_var(q_host, self.alpha))
         return mu, np.sqrt(np.abs(var))
+
+    def _predict_var_df64(self, q_host, alpha):
+        """Posterior-variance quadratic forms for the df64 tier, at
+        float64 accuracy end to end: float64 host cross-covariance rows,
+        one chunked df64 solve per query point (pair-arithmetic matvec +
+        f64-applied Woodbury preconditioner), and the quadratic form
+        accumulated in host float64 — the amp^2 - quad subtraction
+        cancels to sigma^2 scale at small noise, far below float32
+        reach (reference computes this trivially in host f64:
+        inference/gp/regression.py:204-216)."""
+        q64 = np.atleast_2d(np.asarray(q_host, np.float64))
+        ls = np.exp(np.asarray(self.hyperpars[1:], np.float64))
+        amp2 = float(np.exp(2.0 * self.hyperpars[0]))
+        x64 = np.asarray(self._x_host, np.float64)
+        d2 = (((q64[:, None, :] - x64[None, :, :]) / ls) ** 2).sum(axis=2)
+        Kqx = amp2 * np.exp(-0.5 * d2) * self._mask[None, :]
+        quad = np.empty(q64.shape[0])
+        for j in range(q64.shape[0]):
+            s, _ = self._df64_solver.solve(
+                jnp.asarray(Kqx[j]),
+                tol=self._cg_tol,
+                maxiter=self._cg_maxiter,
+            )
+            quad[j] = float(Kqx[j] @ np.asarray(s, np.float64))
+        return amp2 - quad
 
     # ------------------------------------------------------------------ #
     # mixed-precision iterative refinement
@@ -717,18 +749,7 @@ class LargeScaleGP:
         Returns ``self``; the refined solution is used for predictions
         (cast per-dtype) and is available in full precision as ``alpha64``.
         """
-        if residual_backend == "auto":
-            x64 = jax.config.read("jax_enable_x64")
-            if (
-                x64
-                and jax.default_backend() == "tpu"
-                and self._n_padded % 128 == 0
-            ):
-                residual_backend = "df64"
-            elif x64 and self._n_padded <= 16384:
-                residual_backend = "device"
-            else:
-                residual_backend = "host"
+        residual_backend = self._resolve_residual_backend(residual_backend)
         if residual_backend == "device" and not jax.config.read(
             "jax_enable_x64"
         ):
@@ -769,22 +790,31 @@ class LargeScaleGP:
         self.alpha = jnp.asarray(best_alpha, solve_dtype)
         return self
 
+    def _resolve_residual_backend(self, residual_backend: str) -> str:
+        """'auto' -> the best available f64-residual evaluator: the df64
+        Pallas matvec on a TPU backend (any N, tile-aligned padding), a
+        compiled emulated-f64 matvec at moderate N elsewhere, blocked host
+        numpy as the universal fallback. ``refine()`` and
+        ``residual_norm_f64`` must resolve identically or they would score
+        the same iterate through different arithmetic."""
+        if residual_backend != "auto":
+            return residual_backend
+        x64 = jax.config.read("jax_enable_x64")
+        if (
+            x64
+            and jax.default_backend() == "tpu"
+            and self._n_padded % 128 == 0
+        ):
+            return "df64"
+        if x64 and self._n_padded <= 16384:
+            return "device"
+        return "host"
+
     def residual_norm_f64(self, residual_backend: str = "auto") -> float:
         """Relative residual of the (refined) solve, evaluated entirely in
         float64 — the honest convergence measure for small-noise problems
         where a float32 residual saturates at float32 rounding."""
-        if residual_backend == "auto":
-            x64 = jax.config.read("jax_enable_x64")
-            if (
-                x64
-                and jax.default_backend() == "tpu"
-                and self._n_padded % 128 == 0
-            ):
-                residual_backend = "df64"
-            elif x64 and self._n_padded <= 16384:
-                residual_backend = "device"
-            else:
-                residual_backend = "host"
+        residual_backend = self._resolve_residual_backend(residual_backend)
         b64 = (np.asarray(self._y_host) - self.mean_value) * self._mask
         alpha = getattr(self, "alpha64", None)
         if alpha is None:

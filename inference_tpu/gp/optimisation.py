@@ -94,10 +94,30 @@ class GpOptimiser:
         self.acquisition.update_gp(self.gp)
         self.mu_max = self.y.max()
 
-        self.acquisition_max_history = []
-        self.convergence_metric_history = []
-        self.iteration_history = []
+        self._acq_max_history = []
+        self._conv_metric_history = []
+        self._iter_history = []
         self._pending = None  # deferred-refit record (device optimizer)
+
+    # The histories are reference-parity public attributes users poll in
+    # stopping criteria (reference: inference/gp/optimisation.py:129-131);
+    # with the deferred device refit they are filled one dispatch later,
+    # so plain reads flush the pending record first — a user loop never
+    # sees a list one entry short.
+    @property
+    def acquisition_max_history(self):
+        self._ensure_current()
+        return self._acq_max_history
+
+    @property
+    def convergence_metric_history(self):
+        self._ensure_current()
+        return self._conv_metric_history
+
+    @property
+    def iteration_history(self):
+        self._ensure_current()
+        return self._iter_history
 
     def __call__(self, x):
         self._ensure_current()
@@ -114,8 +134,10 @@ class GpOptimiser:
         remote accelerator each separate dispatch costs a network round
         trip, and the eager path spends 4-5 of them per iteration. Note
         that ``self.gp`` is stale between the two calls; the public
-        surfaces (``__call__``, ``plot_results``, the next
-        ``add_evaluation``) flush the pending refit automatically.
+        surfaces (``__call__``, ``plot_results``, the history
+        attributes, the next ``add_evaluation``) flush the pending refit
+        automatically — call any of them (or ``propose_evaluation``)
+        before touching ``self.gp`` directly.
         """
         new_x = new_x if isinstance(new_x, np.ndarray) else np.array(new_x)
         if new_x.shape != (1, self.x.shape[1]):
@@ -132,11 +154,11 @@ class GpOptimiser:
         if not deferred:
             # one acquisition evaluation serves both history entries
             acq_value = self.acquisition(new_x.squeeze())
-            self.acquisition_max_history.append(acq_value)
-            self.convergence_metric_history.append(
+            self._acq_max_history.append(acq_value)
+            self._conv_metric_history.append(
                 self.acquisition.convergence_from_acquisition(acq_value)
             )
-            self.iteration_history.append(self.y.size + 1)
+            self._iter_history.append(self.y.size + 1)
         else:
             # the acquisition value at new_x (under the state that
             # proposed it) is computed inside the next fused dispatch;
@@ -201,13 +223,13 @@ class GpOptimiser:
 
     def _append_history(self, pending, obj_old: float):
         acq_value = self.acquisition._value_from_objective(obj_old)
-        self.acquisition_max_history.append(acq_value)
-        self.convergence_metric_history.append(
+        self._acq_max_history.append(acq_value)
+        self._conv_metric_history.append(
             self.acquisition.convergence_from_acquisition(
                 acq_value, mu_max=pending["mu_max"], y_min=pending["y_min"]
             )
         )
-        self.iteration_history.append(self.y.size)
+        self._iter_history.append(self.y.size)
 
     def diff_evo(self):
         opt_result = differential_evolution(
@@ -307,35 +329,31 @@ class GpOptimiser:
     # fused single-dispatch iteration (device optimizer)
     # ------------------------------------------------------------------ #
     def _candidate_clouds(self, bucket: int = 16):
-        """Host-side acquisition multistart seeds, one 20-point cloud per
-        data point (reference: acquisition.py:13-37 evaluates these one at
-        a time; here the cloud scoring happens inside the fused program,
-        under the freshly refit GP). Padded to a ``bucket`` multiple of
-        clouds so the compiled shape is stable as the data set grows;
-        out-of-bounds points and padding contribute a repeated uniform
-        random seed instead (a harmless extra start)."""
+        """Host-side acquisition multistart seeds, one cloud per data
+        point (reference: acquisition.py:13-37 evaluates these one at a
+        time; here the cloud scoring happens inside the fused program,
+        under the freshly refit GP). The cloud policy lives in
+        ``acquisition.candidate_cloud`` — shared with the host multistart
+        path. Padded to a ``bucket`` multiple of clouds so the compiled
+        shape is stable as the data set grows; out-of-bounds points and
+        padding rows contribute uniform draws instead (harmless extra
+        starts)."""
+        from .acquisition import CLOUD_INSET, CLOUD_SIZE, candidate_cloud
+
         lwr = np.array([b[0] for b in self.bounds], dtype=float)
         upr = np.array([b[1] for b in self.bounds], dtype=float)
         widths = upr - lwr
-        lwr_in = lwr + widths * 0.01
-        upr_in = upr - widths * 0.01
+        lwr_in = lwr + widths * CLOUD_INSET
+        upr_in = upr - widths * CLOUD_INSET
         L = lwr.size
         rng = np.random.default_rng()
 
         n = self.x.shape[0]
         S = -(-n // bucket) * bucket
-        cand = np.empty((S, 20, L))
+        cand = np.empty((S, CLOUD_SIZE, L))
         for idx in range(S):
             x0 = self.x[idx] if idx < n else None
-            if x0 is not None and ((x0 >= lwr_in) & (x0 <= upr_in)).all():
-                cand[idx] = np.clip(
-                    x0[None, :]
-                    + 0.02 * widths * (2 * rng.random((20, L)) - 1),
-                    lwr_in,
-                    upr_in,
-                )
-            else:
-                cand[idx] = lwr_in + (upr_in - lwr_in) * rng.random(L)
+            cand[idx] = candidate_cloud(x0, lwr_in, upr_in, widths, rng)
         return cand
 
     def _build_fused_step(self):

@@ -722,14 +722,21 @@ class GpRegressor:
         z0 = np.concatenate([np.log(u / (1 - u)), np.zeros((1, self.n_hyperpars))])
 
         data = (self._x_dev, self._y_dev, self._sig_dev, self._mask_dev)
+        # the start/bound operands must match the working dtype: under
+        # jax_enable_x64 a bare asarray traces them as float64, promoting
+        # theta and with it the whole objective (Cholesky included) to
+        # emulated f64 — exactly what dtype="float32" exists to avoid
+        wd = self._x_dev.dtype
         if polish == "device":
             _, _, z_best = fused(
-                jnp.asarray(z0), jnp.asarray(lwr), jnp.asarray(upr), *data
+                jnp.asarray(z0, wd), jnp.asarray(lwr, wd),
+                jnp.asarray(upr, wd), *data
             )
             theta = lwr + (upr - lwr) / (1.0 + np.exp(-np.asarray(z_best)))
         else:
             zs, fs = solve_batch(
-                jnp.asarray(z0), jnp.asarray(lwr), jnp.asarray(upr), *data
+                jnp.asarray(z0, wd), jnp.asarray(lwr, wd),
+                jnp.asarray(upr, wd), *data
             )
             zs, fs = np.asarray(zs), np.asarray(fs)
             best = int(np.nanargmin(np.where(np.isfinite(fs), fs, np.inf)))

@@ -113,7 +113,7 @@ def mixed_pcg(matvec, b, M=None, tol=1e-6, maxiter=1000, restart_every=50):
     return x, info
 
 
-def pcg_multi(matvec, B, M=None, tol=1e-6, maxiter=1000):
+def pcg_multi(matvec, B, M=None, tol=1e-6, maxiter=1000, restart_every=50):
     """
     Preconditioned CG over MANY right-hand sides at once: ``B`` is
     (n, q) and every iteration applies ONE shared matrix-matvec
@@ -123,14 +123,23 @@ def pcg_multi(matvec, B, M=None, tol=1e-6, maxiter=1000):
     this is what makes batched posterior variances cheap). Scalar
     recurrences are per-column; converged columns freeze via masking.
 
+    Like ``mixed_pcg``, the per-column scalar reductions run in float64
+    when ``jax_enable_x64`` is on (cheap: O(q) emulated scalars), and the
+    TRUE residual ``B - A X`` is recomputed every ``restart_every``
+    iterations with the search directions reset to steepest descent —
+    without these, float32 recursion drift makes CG "converge" to wrong
+    answers at condition numbers >= 1e6 (the small-noise GP regime whose
+    posterior-variance solves this function serves).
+
     Returns ``(X, info)`` with ``info`` the number of iterations run.
     """
     if M is None:
         M = lambda v: v
     dtype = B.dtype
+    sdtype = jnp.float64 if jax.config.read("jax_enable_x64") else dtype
 
     def colsum(U, V):
-        return jnp.sum(U * V, axis=0)
+        return jnp.sum(U.astype(sdtype) * V.astype(sdtype), axis=0)
 
     atol2 = (tol**2) * colsum(B, B)
     X = jnp.zeros_like(B)
@@ -151,13 +160,25 @@ def pcg_multi(matvec, B, M=None, tol=1e-6, maxiter=1000):
         ok = active & (pAp > 0.0)
         alpha = jnp.where(ok, rz / jnp.where(pAp > 0.0, pAp, 1.0), 0.0)
         X = X + alpha[None, :].astype(dtype) * P
-        R = R - alpha[None, :].astype(dtype) * AP
+
+        restart = (i % restart_every) == (restart_every - 1)
+        R = lax.cond(
+            restart,
+            lambda _: B - matvec(X),
+            lambda _: R - alpha[None, :].astype(dtype) * AP,
+            None,
+        )
         Z = M(R)
         rz_new = colsum(R, Z)
         rr = colsum(R, R)
         active = ok & (rr > atol2)
+        # the noisy-f32-matvec direction is no longer conjugate to a
+        # freshly recomputed residual — reset to steepest descent at
+        # restarts (same reasoning as mixed_pcg)
         beta = jnp.where(
-            active & (rz != 0.0), rz_new / jnp.where(rz != 0.0, rz, 1.0), 0.0
+            active & (rz != 0.0) & ~restart,
+            rz_new / jnp.where(rz != 0.0, rz, 1.0),
+            0.0,
         )
         P = Z + beta[None, :].astype(dtype) * P
         return (i + 1, X, R, Z, P, rz_new, active)
@@ -166,6 +187,22 @@ def pcg_multi(matvec, B, M=None, tol=1e-6, maxiter=1000):
         cond, body, (jnp.asarray(0, jnp.int32), X, R, Z, P, rz, active0)
     )
     return X, i
+
+
+def df64_chunk_iters(n_padded: int, matvecs_per_iter: int = 1) -> int:
+    """CG iterations per compiled ``Df64Solver`` chunk: sized so one
+    dispatch stays under ~1 minute at the measured ~1.7 ns/entry
+    pair-arithmetic matvec — a single compiled program that runs for
+    several minutes trips the remote TPU worker's watchdog (measured: a
+    52-matvec chunk at N=53k, ~4 min, kills the worker; 24 s chunks at
+    N=16k are fine). ``matvecs_per_iter`` is 1 for the N x N GP system,
+    2 for the data-space inversion system (A K A^T applies the kernel
+    twice per iteration). The single source of the watchdog budget and
+    the per-entry cost constant — callers must not inline copies."""
+    import numpy as np
+
+    per_iter = matvecs_per_iter * 1.7e-9 * float(n_padded) ** 2
+    return int(np.clip(30.0 / max(per_iter, 1e-9), 8, 50))
 
 
 class Df64Solver:
@@ -252,13 +289,16 @@ class Df64Solver:
                 # exactly by treating the applied direction as fl32(p)
                 p_applied = p.astype(f32).astype(f64)
                 pAp = jnp.sum(p_applied * Ap)
+                # breakdown latch: once pAp <= 0 every subsequent update
+                # in the chunk is frozen (alpha = beta = 0), not just the
+                # offending iteration — the host loop stops at chunk end
                 ok = ok & (pAp > 0.0)
-                alpha = jnp.where(pAp > 0.0, rz / pAp, 0.0)
+                alpha = jnp.where(ok, rz / jnp.where(pAp > 0.0, pAp, 1.0), 0.0)
                 x = x + alpha * p_applied
                 r = r - alpha * Ap
                 z = M(r).astype(f64)
                 rz_new = jnp.sum(r * z)
-                beta = jnp.where(rz != 0.0, rz_new / rz, 0.0)
+                beta = jnp.where(ok & (rz != 0.0), rz_new / rz, 0.0)
                 p = z + beta * p
                 return (x, r, z, p, rz_new, ok)
 

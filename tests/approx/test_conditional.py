@@ -105,3 +105,15 @@ def test_get_conditionals_compile_count():
         assert cond.trace_count <= 2, (
             f"{cond.trace_count} compiles for {n_params} variables"
         )
+
+
+def test_piecewise_linear_sample_zero_density_raises():
+    """An all-zero (or underflowed) density must fail loudly instead of
+    returning silently-NaN samples through the inverse CDF."""
+    import numpy as np
+    import pytest
+    from inference_tpu.approx.conditional import piecewise_linear_sample
+
+    x = np.linspace(0.0, 1.0, 32)
+    with pytest.raises(ValueError):
+        piecewise_linear_sample(x, np.zeros_like(x), 10)

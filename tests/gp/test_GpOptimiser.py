@@ -129,3 +129,28 @@ def test_fused_device_iteration_state_consistency():
     bo.gp.set_hyperparameters(theta)
     assert np.allclose(L_fused, np.asarray(bo.gp.L), atol=1e-6)
     assert np.allclose(alpha_fused, np.asarray(bo.gp.alpha), atol=1e-5)
+
+
+def test_deferred_history_flushes_on_plain_read():
+    """The histories are reference-parity attributes users poll in
+    stopping criteria: a plain read must settle the deferred device
+    refit, never returning a list one entry short."""
+
+    def objective(x):
+        x = np.atleast_1d(x)[0]
+        return float(np.sin(2 * x) + 0.1 * x)
+
+    x0 = np.array([1.0, 5.0, 9.0]).reshape(-1, 1)
+    y0 = np.array([objective(v) for v in x0])
+    bo = GpOptimiser(
+        x0, y0, bounds=[(0.0, 10.0)], optimizer="device",
+        acquisition=ExpectedImprovement,
+    )
+    nx = bo.propose_evaluation()
+    bo.add_evaluation(np.atleast_1d(nx), np.array([objective(nx)]))
+    assert bo._pending is not None  # refit deferred
+    # the plain attribute read flushes and reflects the new evaluation
+    assert len(bo.convergence_metric_history) == 1
+    assert bo._pending is None
+    assert len(bo.acquisition_max_history) == 1
+    assert bo.iteration_history == [4]

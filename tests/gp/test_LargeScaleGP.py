@@ -272,3 +272,37 @@ def test_df64_rejects_nystrom_preconditioner():
             x, y, err, hyperpars=np.array([0.0, 0.0, 0.0]),
             block_size=64, solver="df64", preconditioner="nystrom",
         )
+
+
+def test_df64_small_noise_variances_match_dense_truth():
+    """At sigma = 0.01 posterior variances are sigma^2-scale (~1e-5)
+    while the f32 batched CG's floor is orders of magnitude above them
+    (measured: absolute errors 1e-3+); the df64 tier must route variance
+    solves through the double-float machinery and land at f64-level
+    accuracy against a dense float64 solve."""
+    import jax
+
+    if not jax.config.read("jax_enable_x64"):
+        pytest.skip("requires x64")
+    rng = np.random.default_rng(2)
+    n, sig = 640, 0.01
+    x = rng.uniform(0, 8, size=(n, 2))
+    y = np.sin(x[:, 0]) * np.cos(0.5 * x[:, 1]) + sig * rng.normal(size=n)
+    q = rng.uniform(0, 8, size=(8, 2))
+
+    d2 = ((x[:, None, :] - x[None, :, :]) ** 2).sum(-1)
+    K = np.exp(-0.5 * d2) + (sig**2 + 1e-12) * np.eye(n)
+    d2q = ((q[:, None, :] - x[None, :, :]) ** 2).sum(-1)
+    Kq = np.exp(-0.5 * d2q)
+    var_truth = 1.0 - np.einsum("ij,ij->i", Kq, np.linalg.solve(K, Kq.T).T)
+
+    gp = LargeScaleGP(
+        x, y, np.full(n, sig), hyperpars=np.array([0.0, 0.0, 0.0]),
+        block_size=128, preconditioner_rank=160, solver="df64",
+        cg_tol=1e-9, cg_maxiter=600,
+    )
+    _, sd = gp(q, with_variance=True)
+    err = np.abs(sd**2 - var_truth)
+    # truth is ~1e-5..1e-4 here; the df64 route must resolve it to far
+    # better than its own scale (the f32 route misses by 1e-3+)
+    assert err.max() < 1e-7

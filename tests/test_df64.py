@@ -158,3 +158,65 @@ def test_pcg_multi_matches_individual_solves():
         B, axis=0
     )
     assert res.max() < 1e-9
+
+
+def test_pcg_multi_matches_mixed_pcg_at_high_condition():
+    """Float32 CG with f32 scalar recurrences 'converges' to garbage at
+    condition numbers >= 1e6 (the recursive residual drifts from the
+    true one) — the small-noise GP posterior-variance regime. pcg_multi
+    must carry the same defences as the battle-tested single-RHS
+    mixed_pcg (float64 per-column scalars, periodic true-residual
+    refresh with a steepest-descent direction reset): on a kappa = 1e6
+    SPD system each pcg_multi column must land exactly where mixed_pcg
+    lands on the same right-hand side."""
+    from inference_tpu.ops.solvers import mixed_pcg, pcg_multi
+
+    rng = np.random.default_rng(5)
+    n, q = 384, 3
+    # SPD with spectrum spanning 1e6
+    Q, _ = np.linalg.qr(rng.normal(size=(n, n)))
+    lam = np.logspace(0, 6, n)
+    A = (Q * lam) @ Q.T
+    A32 = jnp.asarray(A, jnp.float32)
+    B = jnp.asarray(rng.normal(size=(n, q)), jnp.float32)
+
+    def true_rel(x, b):
+        r = A @ np.asarray(x, np.float64) - np.asarray(b, np.float64)
+        return np.linalg.norm(r) / np.linalg.norm(np.asarray(b, np.float64))
+
+    X, _ = pcg_multi(lambda V: A32 @ V, B, tol=1e-6, maxiter=800)
+    assert np.isfinite(np.asarray(X)).all()
+    # CG at kappa = 1e6 is chaotically sensitive to rounding, so bitwise
+    # equality between the batched and single-RHS implementations is not
+    # expected — but each column must land at the same f32-matvec noise
+    # floor mixed_pcg reaches, never at the old pure-f32 recurrence's
+    # garbage (which drifts far past the mixed_pcg floor)
+    for k in range(q):
+        xk, _ = mixed_pcg(lambda v: A32 @ v, B[:, k], tol=1e-6, maxiter=800)
+        assert true_rel(X[:, k], B[:, k]) < 1.5 * true_rel(xk, B[:, k]) + 1e-6
+
+
+def test_df64_solver_breakdown_freezes_iterate():
+    """Once pAp <= 0 (impossible for SPD A in exact arithmetic — a
+    precision breakdown), every later update in the chunk must freeze:
+    the returned iterate is never made WORSE than the point of
+    breakdown by continuing to update along corrupt directions."""
+    from inference_tpu.ops.solvers import Df64Solver
+
+    rng = np.random.default_rng(7)
+    n = 128
+    # indefinite diagonal: CG's pAp goes negative once the iteration
+    # mixes in the negative eigendirections
+    d = np.ones(n)
+    d[-8:] = -0.5
+    b = rng.normal(size=n)
+
+    def matvec64(v32):
+        return (jnp.asarray(d) * v32.astype(jnp.float64))
+
+    solver = Df64Solver(matvec64, restart_every=25)
+    x, info = solver.solve(jnp.asarray(b), tol=1e-12, maxiter=100)
+    r = b - d * np.asarray(x)
+    # never worse than the starting residual ||b||
+    assert np.linalg.norm(r) <= np.linalg.norm(b) * (1.0 + 1e-6)
+    assert int(info) != 0  # breakdown reported, not claimed converged
