@@ -417,6 +417,18 @@ class LargeScaleGP:
         diag = self._sig64 + amp2 * 1e-12
         return amp2 * Ev + diag * v32.astype(jnp.float64)
 
+    def _matmat64_pair(self, V32):
+        """Multi-RHS double-float system matmat: float32 (n, q) block in,
+        float64 ``(K + diag(sig) + jitter I) V`` out — the column-batched
+        pair-arithmetic kernel amortises the entry evaluation across
+        right-hand sides (``ops/df64.py::sqexp_matmat_df64``)."""
+        from ..ops.df64 import sqexp_matmat_df64
+
+        EV = sqexp_matmat_df64(self._us_hi, self._us_lo, V32)
+        amp2 = np.exp(2.0 * float(self.hyperpars[0]))
+        diag = self._sig64 + amp2 * 1e-12
+        return amp2 * EV + diag[:, None] * V32.astype(jnp.float64)
+
     def _prepare_df64(self):
         """Pre-split the scaled coordinates into a float32 pair (computed
         in host float64 — hyperparameters are fixed for the solve)."""
@@ -635,15 +647,62 @@ class LargeScaleGP:
         x64 = np.asarray(self._x_host, np.float64)
         d2 = (((q64[:, None, :] - x64[None, :, :]) / ls) ** 2).sum(axis=2)
         Kqx = amp2 * np.exp(-0.5 * d2) * self._mask[None, :]
-        quad = np.empty(q64.shape[0])
-        for j in range(q64.shape[0]):
-            s, _ = self._df64_solver.solve(
-                jnp.asarray(Kqx[j]),
-                tol=self._cg_tol,
-                maxiter=self._cg_maxiter,
+
+        m = q64.shape[0]
+        qc = self._DF64_VAR_COLS
+        solver = self._get_df64_multi_solver()
+        quad = np.empty(m)
+        for start in range(0, m, qc):
+            stop = min(start + qc, m)
+            # fixed-width blocks (zero-padded columns converge instantly)
+            # keep ONE compiled chunk program across all query counts
+            B = np.zeros((self._n_padded, qc))
+            B[:, : stop - start] = Kqx[start:stop].T
+            X, _ = solver.solve(
+                jnp.asarray(B), tol=self._cg_tol, maxiter=self._cg_maxiter
             )
-            quad[j] = float(Kqx[j] @ np.asarray(s, np.float64))
+            X = np.asarray(X, np.float64)
+            quad[start:stop] = np.einsum(
+                "ij,ji->i", Kqx[start:stop], X[:, : stop - start]
+            )
         return amp2 - quad
+
+    # column-block width for the batched variance solves: the matmat
+    # kernel's (q, TJ, TI) pair accumulators pressure VMEM past ~16
+    # columns, and the watchdog chunk shrinks with the per-iteration cost
+    _DF64_VAR_COLS = 8
+
+    def _get_df64_multi_solver(self):
+        """Lazily-built multi-RHS df64 solver for the variance columns
+        (hyperparameters are fixed for the instance's lifetime, so the
+        compiled chunk is reusable across calls)."""
+        solver = getattr(self, "_df64_msolver", None)
+        if solver is not None:
+            return solver
+        from ..ops.solvers import Df64MultiSolver, df64_chunk_iters
+
+        qc = self._DF64_VAR_COLS
+        # per-iteration cost relative to one single-RHS matvec: the
+        # shared entry evaluation (~190 flops) plus ~40 per column
+        cost = (190.0 + 40.0 * qc) / 230.0
+        chunk = df64_chunk_iters(self._n_padded, matvecs_per_iter=cost)
+        if self._precond64 is not None:
+            def M_multi64(R, V, Cinv, dinv):
+                T = jnp.dot(
+                    Cinv, jnp.dot(V.T, R, precision=_HI), precision=_HI
+                )
+                return dinv[:, None] * R - jnp.dot(V, T, precision=_HI)
+
+            solver = Df64MultiSolver(
+                self._matmat64_pair, M=M_multi64, M_args=self._precond64,
+                restart_every=chunk,
+            )
+        else:
+            solver = Df64MultiSolver(
+                self._matmat64_pair, restart_every=chunk
+            )
+        self._df64_msolver = solver
+        return solver
 
     # ------------------------------------------------------------------ #
     # mixed-precision iterative refinement

@@ -6,8 +6,15 @@ and the mixed-precision conjugate-gradient family (``solvers``)."""
 
 from .pairwise import scaled_sq_distances, sqexp_covariance
 from .linalg import add_diagonal, identity_like
-from .solvers import mixed_pcg, pcg_multi, df64_pcg, Df64Solver
-from .df64 import sqexp_matvec_df64, split_f64
+from .solvers import (
+    mixed_pcg,
+    pcg_multi,
+    df64_pcg,
+    Df64Solver,
+    Df64MultiSolver,
+    df64_chunk_iters,
+)
+from .df64 import sqexp_matvec_df64, sqexp_matmat_df64, split_f64
 
 __all__ = [
     "scaled_sq_distances",
@@ -18,6 +25,9 @@ __all__ = [
     "pcg_multi",
     "df64_pcg",
     "Df64Solver",
+    "Df64MultiSolver",
+    "df64_chunk_iters",
     "sqexp_matvec_df64",
+    "sqexp_matmat_df64",
     "split_f64",
 ]

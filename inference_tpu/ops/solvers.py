@@ -20,6 +20,7 @@ library's default solver cannot touch.
 
 from functools import partial
 
+import numpy as np
 import jax
 import jax.numpy as jnp
 from jax import lax
@@ -189,7 +190,7 @@ def pcg_multi(matvec, B, M=None, tol=1e-6, maxiter=1000, restart_every=50):
     return X, i
 
 
-def df64_chunk_iters(n_padded: int, matvecs_per_iter: int = 1) -> int:
+def df64_chunk_iters(n_padded: int, matvecs_per_iter: float = 1.0) -> int:
     """CG iterations per compiled ``Df64Solver`` chunk: sized so one
     dispatch stays under ~1 minute at the measured ~1.7 ns/entry
     pair-arithmetic matvec — a single compiled program that runs for
@@ -197,9 +198,10 @@ def df64_chunk_iters(n_padded: int, matvecs_per_iter: int = 1) -> int:
     52-matvec chunk at N=53k, ~4 min, kills the worker; 24 s chunks at
     N=16k are fine). ``matvecs_per_iter`` is 1 for the N x N GP system,
     2 for the data-space inversion system (A K A^T applies the kernel
-    twice per iteration). The single source of the watchdog budget and
+    twice per iteration), and fractional-per-column for the batched
+    matmat (``Df64MultiSolver`` — entry evaluation shared across
+    columns). The single source of the watchdog budget and
     the per-entry cost constant — callers must not inline copies."""
-    import numpy as np
 
     per_iter = matvecs_per_iter * 1.7e-9 * float(n_padded) ** 2
     return int(np.clip(30.0 / max(per_iter, 1e-9), 8, 50))
@@ -353,6 +355,139 @@ class Df64Solver:
         # caller's maxiter
         info = 0 if rr_host <= atol2 else min(done, maxiter)
         return x, info
+
+
+class Df64MultiSolver:
+    """
+    Multi-right-hand-side counterpart of ``Df64Solver``: the same
+    chunked, host-driven float64-vector PCG, run over a (n, q) block of
+    systems at once through a ``matmat64`` operator (e.g.
+    ``ops.df64.sqexp_matmat_df64`` plus diagonal terms), which amortises
+    the expensive pair-arithmetic ENTRY evaluation across columns —
+    a q-column iteration costs ~(190 + 40 q)/230 of one single-RHS
+    matvec, not q of them. Scalar recurrences are per-column float64;
+    a column that hits a pAp <= 0 breakdown freezes (its ok flag drops)
+    while the others keep iterating; the host loop stops when every
+    column is converged or broken.
+
+    Used for batched posterior-variance solves in the small-noise GP
+    regime (``gp/large_scale.py``), where each query point is one column
+    and the f64-applied preconditioner converges them in ~10 iterations.
+    """
+
+    def __init__(
+        self,
+        matmat64,
+        M=None,
+        M_args=(),
+        matmat_args=(),
+        restart_every: int = 50,
+    ):
+        """``matmat64(V, *matmat_args)`` maps a float32 (n, q) block to
+        the float64 (n, q) result of ``A V``; ``M(R, *M_args)`` applies
+        the preconditioner to the float64 (n, q) residual block (in
+        float64 — see ``Df64Solver``). Argument tuples travel as runtime
+        operands (the compile-payload trap)."""
+        if not jax.config.read("jax_enable_x64"):
+            raise ValueError(
+                "Df64MultiSolver requires jax_enable_x64 (float64 "
+                "iterate vectors)"
+            )
+        self.matmat64 = matmat64
+        self.M = M if M is not None else (lambda V: V)
+        self.M_args = tuple(M_args)
+        self.matmat_args = tuple(matmat_args)
+        self.restart_every = int(restart_every)
+        self._chunk = jax.jit(self._build_chunk())
+
+    def _build_chunk(self):
+        matmat64_outer, M_outer = self.matmat64, self.M
+        f32, f64 = jnp.float32, jnp.float64
+        n_iter = self.restart_every
+
+        def colsum(U, V):
+            return jnp.sum(U * V, axis=0)
+
+        def chunk(B64, X, R, Z, P, rz, ok, M_args, mm_args):
+            def M(V):
+                return M_outer(V, *M_args)
+
+            def matmat64(V):
+                return matmat64_outer(V, *mm_args)
+
+            def body(_, s):
+                X, R, Z, P, rz, ok = s
+                P32 = P.astype(f32)
+                AP = matmat64(P32)
+                P_applied = P32.astype(f64)
+                pAp = colsum(P_applied, AP)
+                # per-column breakdown latch (see Df64Solver)
+                ok = ok & (pAp > 0.0)
+                alpha = jnp.where(
+                    ok, rz / jnp.where(pAp > 0.0, pAp, 1.0), 0.0
+                )
+                X = X + alpha[None, :] * P_applied
+                R = R - alpha[None, :] * AP
+                Z = M(R).astype(f64)
+                rz_new = colsum(R, Z)
+                beta = jnp.where(
+                    ok & (rz != 0.0),
+                    rz_new / jnp.where(rz != 0.0, rz, 1.0),
+                    0.0,
+                )
+                P = Z + beta[None, :] * P
+                return (X, R, Z, P, rz_new, ok)
+
+            X, R, Z, P, rz, ok = lax.fori_loop(
+                0, n_iter, body, (X, R, Z, P, rz, ok)
+            )
+            # end-of-chunk true-residual refresh; directions carry over
+            # (the accurate-matvec Krylov process — see Df64Solver)
+            Xh = X.astype(f32)
+            Xl = (X - Xh.astype(f64)).astype(f32)
+            R = B64 - matmat64(Xh) - matmat64(Xl)
+            Z = M(R).astype(f64)
+            rz = colsum(R, Z)
+            rr = colsum(R, R)
+            return X, R, Z, P, rz, ok, rr
+
+        return chunk
+
+    def solve(self, B64, tol=1e-10, maxiter=2000, verbose=False):
+        """Returns ``(X, info)`` with float64 (n, q) ``X``; ``info = 0``
+        when every column converged, else the iteration count reached."""
+        B64 = jnp.asarray(B64, jnp.float64)
+        bb = jnp.sum(B64 * B64, axis=0)
+        atol2 = (float(tol) ** 2) * np.asarray(bb)
+        X = jnp.zeros_like(B64)
+        R = B64
+        Z = jnp.asarray(self.M(R, *self.M_args), jnp.float64)
+        P = Z
+        rz = jnp.sum(R * Z, axis=0)
+        q = B64.shape[1]
+        ok = jnp.ones(q, bool)
+        done = 0
+        rr_host = np.asarray(bb)
+        while done < maxiter:
+            X, R, Z, P, rz, ok, rr = self._chunk(
+                B64, X, R, Z, P, rz, ok, self.M_args, self.matmat_args
+            )
+            done += self.restart_every
+            rr_host = np.asarray(rr)
+            ok_host = np.asarray(ok)
+            if verbose:
+                rel = np.sqrt(
+                    rr_host / np.where(atol2 > 0, np.asarray(bb), 1.0)
+                )
+                print(
+                    f"  [ Df64MultiSolver: iteration {done}, worst "
+                    f"relative residual {rel.max():.3e} ]",
+                    flush=True,
+                )
+            if np.all((rr_host <= atol2) | ~ok_host):
+                break
+        info = 0 if np.all(rr_host <= atol2) else min(done, maxiter)
+        return X, info
 
 
 def df64_pcg(matvec64, b64, M=None, tol=1e-10, maxiter=2000, restart_every=50):

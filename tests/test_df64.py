@@ -220,3 +220,64 @@ def test_df64_solver_breakdown_freezes_iterate():
     # never worse than the starting residual ||b||
     assert np.linalg.norm(r) <= np.linalg.norm(b) * (1.0 + 1e-6)
     assert int(info) != 0  # breakdown reported, not claimed converged
+
+
+def test_sqexp_matmat_df64_matches_matvec_columns():
+    """The multi-RHS kernel must produce BITWISE the single-RHS kernel's
+    result per column (same entry evaluation, same compensated
+    accumulation — only amortised), and land at df64 accuracy vs float64
+    truth."""
+    from inference_tpu.ops.df64 import (
+        split_f64,
+        sqexp_matmat_df64,
+        sqexp_matvec_df64,
+    )
+
+    rng = np.random.default_rng(0)
+    n, d, q = 384, 2, 5
+    x = rng.uniform(0, 8, size=(n, d))
+    uh, ul = split_f64(x)
+    V = rng.normal(size=(n, q))
+    u64 = uh.astype(np.float64) + ul.astype(np.float64)
+    d2 = ((u64[:, None, :] - u64[None, :, :]) ** 2).sum(-1)
+    truth = np.exp(-0.5 * d2) @ V
+
+    Y = np.asarray(sqexp_matmat_df64(uh, ul, V))
+    assert np.abs(Y - truth).max() / np.abs(truth).max() < 1e-7
+    for k in range(q):
+        yk = np.asarray(sqexp_matvec_df64(uh, ul, V[:, k]))
+        assert np.array_equal(Y[:, k], yk)
+
+
+def test_df64_multi_solver_matches_dense():
+    """Df64MultiSolver solves a block of systems to df64 accuracy with
+    per-column convergence, against a dense float64 solve."""
+    from inference_tpu.ops.df64 import split_f64, sqexp_matmat_df64
+    from inference_tpu.ops.solvers import Df64MultiSolver
+
+    rng = np.random.default_rng(1)
+    n, d, q = 256, 2, 4
+    x = rng.uniform(0, 6, size=(n, d))
+    uh, ul = split_f64(x)
+    # kappa ~ n/sig2 ~ 2.5e4: converges unpreconditioned within the
+    # budget (the small-noise preconditioned regime is exercised through
+    # LargeScaleGP in tests/gp/test_LargeScaleGP.py)
+    sig2 = 1e-2
+    u64 = uh.astype(np.float64) + ul.astype(np.float64)
+    d2 = ((u64[:, None, :] - u64[None, :, :]) ** 2).sum(-1)
+    A = np.exp(-0.5 * d2) + sig2 * np.eye(n)
+    B = rng.normal(size=(n, q))
+
+    def matmat64(V32):
+        EV = sqexp_matmat_df64(jnp.asarray(uh), jnp.asarray(ul), V32)
+        return EV + sig2 * V32.astype(jnp.float64)
+
+    solver = Df64MultiSolver(matmat64, restart_every=40)
+    X, info = solver.solve(jnp.asarray(B), tol=1e-7, maxiter=2000)
+    R = A @ np.asarray(X) - B
+    rel = np.linalg.norm(R, axis=0) / np.linalg.norm(B, axis=0)
+    # the CPU interpret-mode pair kernel floors solves at ~2e-7 relative
+    # (the compiled TPU kernel reaches ~1e-9; measured on-chip in
+    # BENCH_NOTES) — assert well below the f32 floor (~1e-3 here)
+    assert rel.max() < 1e-6
+    assert int(info) == 0
