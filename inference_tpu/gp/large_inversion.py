@@ -60,6 +60,11 @@ class LargeScaleGpLinearInverter:
         programs — float32 A products were measured to floor the
         residual at ~2e-5), and float64 CG vectors in bounded compiled
         chunks. Requires ``jax_enable_x64`` and a single chip.
+    :param dtype: optional dtype override for the stored arrays and the
+        traced solve programs. Defaults to float32 for ``solver="df64"``
+        (its precision lives in the pair-arithmetic operator and float64
+        CG vectors, not the storage) and to the JAX default float
+        otherwise.
     :param mesh: optional 1D mesh; parameter rows and the model-matrix
         columns shard over its first axis.
     """
@@ -76,6 +81,7 @@ class LargeScaleGpLinearInverter:
         cg_tol: float = 1e-6,
         cg_maxiter: int = 1000,
         solver: str = "cg",
+        dtype=None,
         mesh=None,
     ):
         if solver not in ("cg", "mixed", "df64"):
@@ -96,7 +102,22 @@ class LargeScaleGpLinearInverter:
                     "single chip; drop the mesh."
                 )
         self.solver = solver
-        dtype = default_float()
+        if dtype is None:
+            # df64 carries its precision in the pair-arithmetic matvec,
+            # the emulated-f64 A products and the float64 CG vectors; the
+            # stored arrays and traced fallback programs should stay
+            # float32 — float64 storage under jax_enable_x64 (mandatory
+            # for df64) would silently run every traced kernel-block
+            # matmul in TPU-emulated f64 (see LargeScaleGP)
+            dtype = jnp.float32 if solver == "df64" else default_float()
+        else:
+            dtype = jnp.dtype(dtype)
+            if dtype == jnp.float64 and not jax.config.read("jax_enable_x64"):
+                raise ValueError(
+                    "[ LargeScaleGpLinearInverter error ] dtype='float64' "
+                    "requires jax.config.update('jax_enable_x64', True) "
+                    "before any arrays are created."
+                )
         y = np.asarray(y, dtype=float).squeeze()
         y_err = np.asarray(y_err, dtype=float).squeeze()
         A = np.asarray(model_matrix, dtype=float)
@@ -239,7 +260,9 @@ class LargeScaleGpLinearInverter:
         n_blocks = n_pad // block
 
         def k_matvec(x, v):
-            """Prior-covariance matvec K @ v in row blocks (never dense K)."""
+            """Prior-covariance action ``K @ v`` in row blocks (never
+            dense K), for a vector (n_pad,) or a column block (n_pad, q)
+            — one blocked matmul serves every column at once."""
             x_blocks = x.reshape(n_blocks, block, -1)
 
             def one_block(xb):
@@ -247,7 +270,9 @@ class LargeScaleGpLinearInverter:
                     sqexp_covariance(xb, x, amp, ls), v, precision=_HI
                 )
 
-            return lax.map(one_block, x_blocks).reshape(n_pad)
+            return lax.map(one_block, x_blocks).reshape(
+                (n_pad,) + v.shape[1:]
+            )
 
         def data_matvec(A, x, sig, v):
             """(Sigma + A K A^T) @ v."""
@@ -322,18 +347,8 @@ class LargeScaleGpLinearInverter:
         mean_jit = jax.jit(mean_field)
         self._mean_field = lambda: mean_jit(self._A, self._x, self.z)
 
-        def k_matvec_multi(x, V):
-            """Prior-covariance action on a block of vectors (n_pad, q)."""
-            x_blocks = x.reshape(n_blocks, block, -1)
-
-            def one_block(xb):
-                return jnp.dot(
-                    sqexp_covariance(xb, x, amp, ls), V, precision=_HI
-                )
-
-            return lax.map(one_block, x_blocks).reshape(
-                (n_pad,) + V.shape[1:]
-            )
+        # column blocks ride through the same blocked contraction
+        k_matvec_multi = k_matvec
 
         def variances(A, x, sig, idx):
             """Posterior variances for selected parameter indices: one

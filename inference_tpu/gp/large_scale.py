@@ -462,7 +462,11 @@ class LargeScaleGP:
         has_precond = self._precond is not None
 
         def matvec(v):
-            """(K + diag(sig) + jitter I) @ v, in row blocks."""
+            """(K + diag(sig) + jitter I) applied to a vector (n_pad,) or
+            a column block (n_pad, q), in kernel row blocks — one blocked
+            matmul serves every column at once (``jnp.dot`` handles 1-D
+            and 2-D right operands uniformly), so the single-vector solve
+            and the batched variance solves share one decomposition."""
             x_blocks = x.reshape(n_blocks, block, -1)
 
             def one_block(xb):
@@ -470,8 +474,8 @@ class LargeScaleGP:
                     sqexp_covariance(xb, x, amp, ls), v, precision=_HI
                 )
 
-            Kv = lax.map(one_block, x_blocks).reshape(n_pad)
-            return Kv + (sig_diag + jitter) * v
+            Kv = lax.map(one_block, x_blocks).reshape((n_pad,) + v.shape[1:])
+            return Kv + ((sig_diag + jitter) * v.T).T
 
         use_mixed = self.solver == "mixed"
         use_df64 = self.solver == "df64"
@@ -559,19 +563,9 @@ class LargeScaleGP:
 
         self._predict_mean = jax.jit(predict_mean)
 
-        def matvec_multi(V):
-            """(K + diag(sig) + jitter I) @ V for a block of vectors: one
-            kernel-block MATMUL per row block serves every column, where a
-            per-column CG would sweep the O(N^2) kernel q times."""
-            x_blocks = x.reshape(n_blocks, block, -1)
-
-            def one_block(xb):
-                return jnp.dot(
-                    sqexp_covariance(xb, x, amp, ls), V, precision=_HI
-                )
-
-            KV = lax.map(one_block, x_blocks).reshape((n_pad,) + V.shape[1:])
-            return KV + ((sig_diag + jitter) * V.T).T
+        # the batched variance solves apply the same operator to an
+        # (n_pad, q) block — matvec handles both shapes
+        matvec_multi = matvec
 
         def predict_var(q, alpha, pc):
             from ..ops.solvers import pcg_multi
@@ -622,8 +616,16 @@ class LargeScaleGP:
         q_host = np.atleast_2d(np.asarray(points, dtype=float))
         if q_host.shape[1] != self.n_dimensions:
             q_host = q_host.reshape(-1, self.n_dimensions)
-        q = jnp.asarray(q_host, self._x.dtype)
-        mu = np.asarray(self._predict_mean(q, self.alpha))
+        if self.solver == "df64":
+            # mean at float64 too: alpha is K^{-1}(y - mean) and grows as
+            # 1/sigma^2 at small noise, so the f32 device dot's
+            # sqrt(n) * eps32 * |alpha| rounding is ~1e-2 ABSOLUTE error
+            # at sigma=0.01, N=16k (measured on-chip) — the host f64
+            # contraction with alpha64 is exact to the solve's accuracy
+            mu = self._predict_mean_df64(q_host)
+        else:
+            q = jnp.asarray(q_host, self._x.dtype)
+            mu = np.asarray(self._predict_mean(q, self.alpha))
         if not with_variance:
             return mu
         # the variance path receives the FLOAT64 host query points: the
@@ -631,6 +633,36 @@ class LargeScaleGP:
         # with them an eps32-scale floor on the quadratic form
         var = np.asarray(self._predict_var(q_host, self.alpha))
         return mu, np.sqrt(np.abs(var))
+
+    def _kqx_host64(self, q64):
+        """Float64 host cross-covariance rows ``K(q, x)`` (query block x
+        padded points, padded columns masked to zero). Callers chunk the
+        query axis — the ``(m, n_padded, d)`` broadcast temporary is the
+        memory hazard at scale, not the (m, n) result."""
+        ls = np.exp(np.asarray(self.hyperpars[1:], np.float64))
+        amp2 = float(np.exp(2.0 * self.hyperpars[0]))
+        x64 = np.asarray(self._x_host, np.float64)
+        d2 = (((q64[:, None, :] - x64[None, :, :]) / ls) ** 2).sum(axis=2)
+        return amp2 * np.exp(-0.5 * d2) * self._mask[None, :]
+
+    # query-block width for the host f64 mean contraction: bounds the
+    # (chunk, n_padded, d) displacement temporary at ~25 MB for N=50k, d=3
+    _DF64_MEAN_CHUNK = 256
+
+    def _predict_mean_df64(self, q_host):
+        """Posterior means for the df64 tier: host float64 cross-covariance
+        against the float64 solve iterate ``alpha64`` (the f32 device dot
+        floors at sqrt(n) * eps32 * |alpha| absolute — far above the
+        solve's accuracy at small noise)."""
+        q64 = np.atleast_2d(np.asarray(q_host, np.float64))
+        m = q64.shape[0]
+        mu = np.empty(m)
+        step = self._DF64_MEAN_CHUNK
+        for start in range(0, m, step):
+            stop = min(start + step, m)
+            Kqx = self._kqx_host64(q64[start:stop])
+            mu[start:stop] = Kqx @ self.alpha64
+        return mu + self.mean_value
 
     def _predict_var_df64(self, q_host, alpha):
         """Posterior-variance quadratic forms for the df64 tier, at
@@ -642,11 +674,7 @@ class LargeScaleGP:
         reach (reference computes this trivially in host f64:
         inference/gp/regression.py:204-216)."""
         q64 = np.atleast_2d(np.asarray(q_host, np.float64))
-        ls = np.exp(np.asarray(self.hyperpars[1:], np.float64))
         amp2 = float(np.exp(2.0 * self.hyperpars[0]))
-        x64 = np.asarray(self._x_host, np.float64)
-        d2 = (((q64[:, None, :] - x64[None, :, :]) / ls) ** 2).sum(axis=2)
-        Kqx = amp2 * np.exp(-0.5 * d2) * self._mask[None, :]
 
         m = q64.shape[0]
         qc = self._DF64_VAR_COLS
@@ -654,16 +682,19 @@ class LargeScaleGP:
         quad = np.empty(m)
         for start in range(0, m, qc):
             stop = min(start + qc, m)
+            # cross-covariance built per block: the full-query (m, n, d)
+            # displacement temporary is a host OOM hazard at scale
+            Kqx = self._kqx_host64(q64[start:stop])
             # fixed-width blocks (zero-padded columns converge instantly)
             # keep ONE compiled chunk program across all query counts
             B = np.zeros((self._n_padded, qc))
-            B[:, : stop - start] = Kqx[start:stop].T
+            B[:, : stop - start] = Kqx.T
             X, _ = solver.solve(
                 jnp.asarray(B), tol=self._cg_tol, maxiter=self._cg_maxiter
             )
             X = np.asarray(X, np.float64)
             quad[start:stop] = np.einsum(
-                "ij,ji->i", Kqx[start:stop], X[:, : stop - start]
+                "ij,ji->i", Kqx, X[:, : stop - start]
             )
         return amp2 - quad
 
@@ -858,11 +889,13 @@ class LargeScaleGP:
         the same iterate through different arithmetic."""
         if residual_backend != "auto":
             return residual_backend
+        from ..ops.df64 import _TJ  # the kernel's tile edge, single source
+
         x64 = jax.config.read("jax_enable_x64")
         if (
             x64
             and jax.default_backend() == "tpu"
-            and self._n_padded % 128 == 0
+            and self._n_padded % _TJ == 0
         ):
             return "df64"
         if x64 and self._n_padded <= 16384:

@@ -206,20 +206,24 @@ class GpOptimiser:
         pending = getattr(self, "_pending", None)
         if pending is None:
             return
-        self._pending = None
         import jax.numpy as jnp
 
         obj_old = float(
             self.acquisition._opt_func_jit(
-                jnp.asarray(pending["new_x"]), pending["old_state"]
+                jnp.asarray(pending["new_x"], self.gp._x_dev.dtype),
+                pending["old_state"],
             )
         )
-        self._append_history(pending, obj_old)
+        if not pending.get("history_done"):
+            self._append_history(pending, obj_old)
+            pending["history_done"] = True
         self.gp.set_hyperparameters(
             self.gp.fit(optimizer=self.optimizer, n_processes=self.n_processes)
         )
         self.mu_max = self.y.max()
         self.acquisition.update_gp(self.gp)
+        # cleared only after the refit succeeded (see _fused_propose)
+        self._pending = None
 
     def _append_history(self, pending, obj_old: float):
         acq_value = self.acquisition._value_from_objective(obj_old)
@@ -427,7 +431,6 @@ class GpOptimiser:
         import jax.numpy as jnp
 
         pending = self._pending
-        self._pending = None
         gp = self.gp
 
         fused = getattr(self, "_fused_step", None)
@@ -449,12 +452,17 @@ class GpOptimiser:
         upr = np.array([b[1] for b in self.bounds], dtype=float)
         span = upr - lwr
 
+        # operands cast to the GP working dtype: uncast float64 inputs
+        # under jax_enable_x64 would promote the whole fused program
+        # (Cholesky included) to TPU-emulated float64
+        wd = gp._x_dev.dtype
         out = fused(
-            jnp.asarray(z0_fit), jnp.asarray(lo_f), jnp.asarray(hi_f),
+            jnp.asarray(z0_fit, wd), jnp.asarray(lo_f, wd),
+            jnp.asarray(hi_f, wd),
             gp._x_dev, gp._y_dev, gp._sig_dev, gp._mask_dev,
-            jnp.asarray(self._candidate_clouds()),
-            jnp.asarray(lwr), jnp.asarray(span),
-            jnp.asarray(pending["new_x"]), pending["old_state"],
+            jnp.asarray(self._candidate_clouds(), wd),
+            jnp.asarray(lwr, wd), jnp.asarray(span, wd),
+            jnp.asarray(pending["new_x"], wd), pending["old_state"],
         )
         theta_dev, K_xx, mu, L, alpha, obj_old, z_prop, f_prop = out
         # one consolidated device->host transfer of the small results;
@@ -469,10 +477,17 @@ class GpOptimiser:
         gp.K_xx, gp.mu, gp.L, gp.alpha = K_xx, mu, L, alpha
         gp._cov_pars_dev = theta_dev[gp.cov_slice]
         gp._mean_pars_dev = theta_dev[gp.mean_slice]
+        gp._state_stale = False  # the fused program just rebuilt L/alpha
 
-        self._append_history(pending, float(obj_old_np))
+        if not pending.get("history_done"):
+            self._append_history(pending, float(obj_old_np))
+            pending["history_done"] = True
         self.mu_max = float(self.y.max())
         self.acquisition.update_gp(gp)
+        # only now is the deferred refit settled: clearing _pending before
+        # this point would mark stale GP state current if the fused
+        # program raised mid-way
+        self._pending = None
 
         x_best = lwr + span / (1.0 + np.exp(-np.asarray(z_np)))
         return np.clip(x_best, lwr, upr), float(f_np)

@@ -283,6 +283,21 @@ class GpRegressor:
             self._fit_ms_cache = {}
         if set_state and getattr(self, "hyperpars", None) is not None:
             self.set_hyperparameters(self.hyperpars)
+        else:
+            # L/alpha still reflect the old data (same padded shape, so
+            # nothing would fail loudly); block predictions until a
+            # refit/set_hyperparameters settles the state
+            self._state_stale = True
+
+    def _require_current_state(self):
+        if getattr(self, "_state_stale", False):
+            raise RuntimeError(
+                "[ GpRegressor error ] predictions requested while the "
+                "factorisation state (L, alpha) is stale: 'update_data' "
+                "was called with set_state=False and no "
+                "'set_hyperparameters' / refit has run since. Call "
+                "'set_hyperparameters' (or fit) before predicting."
+            )
 
     def fit(self, optimizer: str = "bfgs", n_starts: int = None,
             n_processes: int = 1):
@@ -485,6 +500,7 @@ class GpRegressor:
         self.alpha = alpha
         self._cov_pars_dev = theta[self.cov_slice]
         self._mean_pars_dev = theta[self.mean_slice]
+        self._state_stale = False
 
     def check_error_data(self, y_err, y_cov):
         self._sig_is_diag = y_cov is None
@@ -564,6 +580,7 @@ class GpRegressor:
         Predictive means and standard deviations at the given points,
         computed in a single batched device call.
         """
+        self._require_current_state()
         p = jnp.asarray(self.process_points(points), self._x_dev.dtype)
         mu, sig = self._predict(
             p,
@@ -583,6 +600,7 @@ class GpRegressor:
         covariance function, so this works for **all** kernels (the
         reference only supports SquaredExponential here).
         """
+        self._require_current_state()
         p = jnp.asarray(self.process_points(points), self._x_dev.dtype)
         mu_g, cov_g = jax.vmap(
             lambda q: self._grad_single(
@@ -602,6 +620,7 @@ class GpRegressor:
         Gradients of the predictive mean and variance at the given points,
         via autodiff of the predictors.
         """
+        self._require_current_state()
         p = jnp.asarray(self.process_points(points), self._x_dev.dtype)
         dmu, dvar = jax.vmap(
             lambda q: self._spatial_derivs_single(
@@ -621,6 +640,7 @@ class GpRegressor:
         Full posterior mean vector (and covariance matrix) at the given
         points.
         """
+        self._require_current_state()
         v = jnp.asarray(self.process_points(points), self._x_dev.dtype)
         K_qx = self.cov(v, self._x_dev, self._cov_pars_dev) * self._mask_dev[None, :]
         mu = K_qx @ self.alpha + jax.vmap(
@@ -638,6 +658,7 @@ class GpRegressor:
         Leave-one-out predictions for each data point
         (Rasmussen & Williams eq. 5.12).
         """
+        self._require_current_state()
         iK = cho_solve((self.L, True), identity_like(self.L))
         var = 1.0 / jnp.diagonal(iK)
         alpha = iK @ ((self._y_dev - self.mu) * self._mask_dev)

@@ -260,64 +260,27 @@ class Df64Solver:
         (M, N) model matrix) would bake it into the compiled program as a
         constant (the compile-payload trap documented in
         gp/large_scale.py)."""
-        if not jax.config.read("jax_enable_x64"):
-            raise ValueError(
-                "Df64Solver requires jax_enable_x64 (float64 iterate "
-                "vectors)"
-            )
-        self.matvec64 = matvec64
-        self.M = M if M is not None else (lambda v: v)
-        self.M_args = tuple(M_args)
-        self.matvec_args = tuple(matvec_args)
-        self.restart_every = int(restart_every)
-        self._chunk = jax.jit(self._build_chunk())
+        # a single right-hand side is exactly the q=1 column block of the
+        # multi-RHS solver (the per-column scalar recurrences reduce to
+        # scalars): delegate instead of maintaining two copies of the
+        # delicate chunked-PCG logic in lockstep
+        def matmat64(V, *args):
+            return matvec64(V[:, 0], *args)[:, None]
 
-    def _build_chunk(self):
-        matvec64_outer, M_outer = self.matvec64, self.M
-        f32, f64 = jnp.float32, jnp.float64
-        n_iter = self.restart_every
+        M_multi = None
+        if M is not None:
+            def M_multi(R, *args):
+                return jnp.asarray(M(R[:, 0], *args))[:, None]
 
-        def chunk(b64, x, r, z, p, rz, ok, M_args, mv_args):
-            def M(v):
-                return M_outer(v, *M_args)
-
-            def matvec64(v):
-                return matvec64_outer(v, *mv_args)
-
-            def body(_, s):
-                x, r, z, p, rz, ok = s
-                Ap = matvec64(p.astype(f32))
-                # the matvec consumed fl32(p): account for the truncation
-                # exactly by treating the applied direction as fl32(p)
-                p_applied = p.astype(f32).astype(f64)
-                pAp = jnp.sum(p_applied * Ap)
-                # breakdown latch: once pAp <= 0 every subsequent update
-                # in the chunk is frozen (alpha = beta = 0), not just the
-                # offending iteration — the host loop stops at chunk end
-                ok = ok & (pAp > 0.0)
-                alpha = jnp.where(ok, rz / jnp.where(pAp > 0.0, pAp, 1.0), 0.0)
-                x = x + alpha * p_applied
-                r = r - alpha * Ap
-                z = M(r).astype(f64)
-                rz_new = jnp.sum(r * z)
-                beta = jnp.where(ok & (rz != 0.0), rz_new / rz, 0.0)
-                p = z + beta * p
-                return (x, r, z, p, rz_new, ok)
-
-            x, r, z, p, rz, ok = lax.fori_loop(
-                0, n_iter, body, (x, r, z, p, rz, ok)
-            )
-            # end-of-chunk true-residual refresh (kills recurrence drift);
-            # direction and beta deliberately carry over
-            xh = x.astype(f32)
-            xl = (x - xh.astype(f64)).astype(f32)
-            r = b64 - matvec64(xh) - matvec64(xl)
-            z = M(r).astype(f64)
-            rz = jnp.sum(r * z)
-            rr = jnp.sum(r * r)
-            return x, r, z, p, rz, ok, rr
-
-        return chunk
+        self._multi = Df64MultiSolver(
+            matmat64,
+            M=M_multi,
+            M_args=M_args,
+            matmat_args=matvec_args,
+            restart_every=restart_every,
+            _label="Df64Solver",
+        )
+        self.restart_every = self._multi.restart_every
 
     def solve(self, b64, tol=1e-10, maxiter=2000, verbose=False):
         """Returns ``(x, info)`` with float64 ``x``; ``info = 0`` on
@@ -326,35 +289,10 @@ class Df64Solver:
         residual — long large-N solves run many minutes and are otherwise
         silent."""
         b64 = jnp.asarray(b64, jnp.float64)
-        bb = float(jnp.sum(b64 * b64))
-        atol2 = (float(tol) ** 2) * bb
-        x = jnp.zeros_like(b64)
-        r = b64
-        z = jnp.asarray(self.M(r, *self.M_args), jnp.float64)
-        p = z
-        rz = jnp.sum(r * z)
-        ok = jnp.asarray(True)
-        done = 0
-        rr_host = bb  # ||r0||^2: correct answer if maxiter <= 0
-        while done < maxiter:
-            x, r, z, p, rz, ok, rr = self._chunk(
-                b64, x, r, z, p, rz, ok, self.M_args, self.matvec_args
-            )
-            done += self.restart_every
-            rr_host = float(rr)
-            if verbose:
-                rel = (rr_host / bb) ** 0.5 if bb > 0 else 0.0
-                print(
-                    f"  [ Df64Solver: iteration {done}, relative residual "
-                    f"{rel:.3e} ]",
-                    flush=True,
-                )
-            if rr_host <= atol2 or not bool(ok):
-                break
-        # iteration granularity is restart_every, so cap the report at the
-        # caller's maxiter
-        info = 0 if rr_host <= atol2 else min(done, maxiter)
-        return x, info
+        X, info = self._multi.solve(
+            b64[:, None], tol=tol, maxiter=maxiter, verbose=verbose
+        )
+        return X[:, 0], info
 
 
 class Df64MultiSolver:
@@ -382,15 +320,17 @@ class Df64MultiSolver:
         M_args=(),
         matmat_args=(),
         restart_every: int = 50,
+        _label: str = "Df64MultiSolver",
     ):
         """``matmat64(V, *matmat_args)`` maps a float32 (n, q) block to
         the float64 (n, q) result of ``A V``; ``M(R, *M_args)`` applies
         the preconditioner to the float64 (n, q) residual block (in
         float64 — see ``Df64Solver``). Argument tuples travel as runtime
         operands (the compile-payload trap)."""
+        self._label = _label
         if not jax.config.read("jax_enable_x64"):
             raise ValueError(
-                "Df64MultiSolver requires jax_enable_x64 (float64 "
+                f"{_label} requires jax_enable_x64 (float64 "
                 "iterate vectors)"
             )
         self.matmat64 = matmat64
@@ -480,7 +420,7 @@ class Df64MultiSolver:
                     rr_host / np.where(atol2 > 0, np.asarray(bb), 1.0)
                 )
                 print(
-                    f"  [ Df64MultiSolver: iteration {done}, worst "
+                    f"  [ {self._label}: iteration {done}, worst "
                     f"relative residual {rel.max():.3e} ]",
                     flush=True,
                 )

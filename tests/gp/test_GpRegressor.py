@@ -316,6 +316,27 @@ def test_gpr_update_data_matches_fresh_fit():
                - fresh.marginal_likelihood(fresh.hyperpars)) < 1e-8
 
 
+def test_gpr_update_data_set_state_false_blocks_predictions():
+    """update_data(set_state=False) leaves L/alpha computed from the OLD
+    data (same padded shape, so nothing fails by shape) — predictions
+    must raise until a refit settles the state, not silently mix new
+    data with the old factorisation."""
+    import pytest
+
+    x, y, err = make_data(n=24)
+    gp = GpRegressor(x[:20], y[:20], y_err=err[:20], pad_to=16)
+    gp.update_data(x, y, y_err=err, set_state=False)
+    q = np.array([[2.5], [7.5]])
+    with pytest.raises(RuntimeError, match="stale"):
+        gp(q)
+    with pytest.raises(RuntimeError, match="stale"):
+        gp.loo_predictions()
+    # settling the state unblocks predictions
+    gp.set_hyperparameters(gp.hyperpars)
+    mu, sig = gp(q)
+    assert np.isfinite(mu).all() and np.isfinite(sig).all()
+
+
 def test_gpr_update_data_grows_bucket():
     x, y, err = make_data(n=40)
     gp = GpRegressor(x[:14], y[:14], y_err=err[:14], pad_to=16)

@@ -199,6 +199,20 @@ def test_df64_solver_small_noise():
     res_df = gp.residual_norm_f64(residual_backend="df64")
     assert abs(res_df - res) < 1e-8
 
+    # posterior means run through the host-f64 contraction with alpha64:
+    # the f32 device dot floors at sqrt(n)*eps32*|alpha| ABSOLUTE error
+    # (alpha ~ y/sigma^2 at small noise), measured 2.3e-2 on-chip at
+    # N=16k before the fix. 300 queries also exercise the 256-wide
+    # mean-chunk loop.
+    q = rng.uniform(1, 7, size=(300, 2))
+    mu = gp(q)
+    d2 = ((x[:, None, :] - x[None, :, :]) ** 2).sum(-1)
+    K = np.exp(-0.5 * d2) + np.diag(err**2 + 1e-12)
+    d2q = ((q[:, None, :] - x[None, :, :]) ** 2).sum(-1)
+    Kqx = np.exp(-0.5 * d2q)
+    mu_ref = Kqx @ np.linalg.solve(K, y - y.mean()) + y.mean()
+    assert np.abs(np.asarray(mu) - mu_ref).max() < 1e-6
+
 
 def test_host_pivoted_cholesky_quality():
     """The float64 host pivoted Cholesky (df64 preconditioner build) at
