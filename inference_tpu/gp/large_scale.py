@@ -34,7 +34,10 @@ from ..utils.dtypes import default_float
 class LargeScaleGP:
     """
     Squared-exponential GP regression with matrix-free training solves,
-    for datasets beyond the reach of dense factorisation.
+    for datasets beyond the reach of dense factorisation. Hyperparameters
+    can be selected at this scale too: ``fit()`` maximises the marginal
+    likelihood with Hutchinson-trace stochastic gradients through batched
+    multi-RHS CG — no dense K at any point.
 
     :param x: data positions, shape (n_points, n_dims).
     :param y: data values, shape (n_points,).
@@ -602,6 +605,132 @@ class LargeScaleGP:
             self._predict_var = lambda q, alpha: predict_var_jit(
                 jnp.asarray(q, self._x.dtype), alpha, self._precond
             )
+
+    def fit(
+        self,
+        n_steps: int = 40,
+        learning_rate: float = 0.05,
+        n_probes: int = 8,
+        fit_tol: float = 1e-3,
+        fit_maxiter: int = 150,
+        seed: int = 0,
+        verbose: bool = False,
+    ):
+        """
+        Select hyperparameters by maximising the log-marginal likelihood
+        **without ever forming K** — the capability the dense
+        ``GpRegressor.fit`` cannot offer past ~10^4 points (the reference
+        library has no large-N fitting at all: its ``GpRegressor``
+        factorises dense K per objective evaluation,
+        reference: inference/gp/regression.py:528-567).
+
+        Matrix-free stochastic gradients: per Adam step, ONE batched
+        multi-right-hand-side CG solve (``ops.solvers.pcg_multi``) computes
+        ``alpha = K^-1 r`` and ``u_i = K^-1 z_i`` for Rademacher probes
+        ``z_i`` together — every CG iteration is one blocked kernel matmul
+        on the MXU shared by all systems. The LML gradient follows from
+
+            dL/dtheta = 0.5 alpha^T (dK) alpha - 0.5 tr(K^-1 dK),
+            tr(K^-1 dK) ~ mean_i  u_i^T (dK) z_i      (Hutchinson),
+
+        assembled by autodiff of the **blocked matvec** ``K(theta) w``
+        with ``alpha, u`` held fixed — no dK matrix, no dense pass. The
+        probes are drawn once and reused across steps (common random
+        numbers), so the stochastic objective is a fixed smooth function
+        and Adam converges on it cleanly.
+
+        Returns the optimised ``[ln A, ln l_1, ..., ln l_D]`` (does not
+        mutate this instance — construct a new ``LargeScaleGP`` with the
+        returned vector, matching ``GpRegressor.fit``'s contract).
+
+        ``fit_tol``/``fit_maxiter`` bound the inner CG: stochastic
+        gradients tolerate loose solves (1e-3 is ample), and each Adam
+        step is a single bounded device dispatch (keep
+        ``fit_maxiter * N^2`` under a few 10^12 flops per step on remote
+        backends with dispatch watchdogs).
+        """
+        import optax
+
+        x, sig_diag, mask = self._x, self._sig_diag, self._mask_dev
+        n_pad, block = self._n_padded, self.block_size
+        n_blocks = n_pad // block
+        wd = x.dtype
+
+        rng = np.random.default_rng(seed)
+        probes = jnp.asarray(
+            rng.choice([-1.0, 1.0], size=(n_pad, n_probes))
+            * self._mask[:, None],
+            wd,
+        )
+        rhs0 = jnp.asarray(
+            (self._y_host - self.mean_value) * self._mask, wd
+        )
+
+        def k_sys_matmat(theta, V):
+            """(K(theta) + diag(sig) + jitter I) @ V, blocked — the same
+            MXU decomposition as the solve path, with live theta."""
+            a = jnp.exp(theta[0])
+            l = jnp.exp(theta[1:])
+            x_blocks = x.reshape(n_blocks, block, -1)
+
+            def one_block(xb):
+                return jnp.dot(
+                    sqexp_covariance(xb, x, a, l), V, precision=_HI
+                )
+
+            KV = lax.map(one_block, x_blocks).reshape(
+                (n_pad,) + V.shape[1:]
+            )
+            return KV + ((sig_diag + a**2 * 1e-12) * V.T).T
+
+        optimizer = optax.adam(learning_rate)
+
+        @jax.jit
+        def fit_step(theta, opt_state, rhs, Z):
+            from ..ops.solvers import pcg_multi
+
+            th0 = lax.stop_gradient(theta)
+            B = jnp.concatenate([rhs[:, None], Z], axis=1)
+            Sol, _ = pcg_multi(
+                lambda V: k_sys_matmat(th0, V),
+                B,
+                tol=fit_tol,
+                maxiter=fit_maxiter,
+            )
+            Sol = lax.stop_gradient(Sol)
+            alpha, U = Sol[:, :1], Sol[:, 1:]
+
+            def surrogate(th):
+                # S(th) = -0.5 a^T K a + 0.5 mean_i u_i^T K z_i has
+                # dS = -dL with alpha/U fixed: minimising S maximises LML
+                KW = k_sys_matmat(th, jnp.concatenate([alpha, Z], axis=1))
+                s_data = -0.5 * jnp.sum(alpha[:, 0] * KW[:, 0])
+                s_trace = 0.5 * jnp.mean(jnp.sum(U * KW[:, 1:], axis=0))
+                return s_data + s_trace
+
+            g = jax.grad(surrogate)(theta)
+            updates, opt_state = optimizer.update(g, opt_state, theta)
+            theta = optax.apply_updates(theta, updates)
+            # exact data-fit term for monitoring (trace term is the
+            # stochastic part); alpha solved at th0
+            data_fit = -0.5 * jnp.sum(alpha[:, 0] * rhs)
+            return theta, opt_state, g, data_fit
+
+        theta = jnp.asarray(self.hyperpars, wd)
+        opt_state = optimizer.init(theta)
+        for step in range(int(n_steps)):
+            theta, opt_state, g, data_fit = fit_step(
+                theta, opt_state, rhs0, probes
+            )
+            if verbose:
+                print(
+                    f"  [ LargeScaleGP.fit step {step + 1}/{n_steps}: "
+                    f"|grad| {float(jnp.linalg.norm(g)):.3e}, data-fit "
+                    f"{float(data_fit):.4f}, theta "
+                    f"{np.asarray(theta).round(3)} ]",
+                    flush=True,
+                )
+        return np.asarray(theta, float)
 
     def __call__(self, points, with_variance: bool = False):
         """

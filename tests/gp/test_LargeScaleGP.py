@@ -320,3 +320,76 @@ def test_df64_small_noise_variances_match_dense_truth():
     # truth is ~1e-5..1e-4 here; the df64 route must resolve it to far
     # better than its own scale (the f32 route misses by 1e-3+)
     assert err.max() < 1e-7
+
+
+@pytest.mark.slow
+def test_fit_improves_marginal_likelihood():
+    """Matrix-free stochastic-gradient hyperparameter fitting: Adam on
+    Hutchinson-trace LML gradients (one batched multi-RHS CG per step)
+    must improve the EXACT dense log-marginal likelihood decisively from
+    a deliberately bad initialisation — and beat even the
+    data-generating hyperparameters (the LML optimum co-adapts the
+    amplitude with larger lengthscales; measured here: fitted 599.6 vs
+    508.2 at the generating scale vs -185.6 at the init)."""
+    rng = np.random.default_rng(5)
+    n = 400
+    x = rng.uniform(0, 10, size=(n, 2))
+    y = np.sin(x[:, 0]) * np.cos(x[:, 1]) + rng.normal(0, 0.1, n)
+    err = np.full(n, 0.1)
+    mean_val = float(y.mean())
+
+    def exact_lml(theta):
+        amp2 = np.exp(2.0 * theta[0])
+        ls = np.exp(theta[1:])
+        d2 = (((x[:, None, :] - x[None, :, :]) / ls) ** 2).sum(-1)
+        K = amp2 * np.exp(-0.5 * d2) + np.diag(err**2 + amp2 * 1e-12)
+        r = y - mean_val
+        sign, logdet = np.linalg.slogdet(K)
+        return -0.5 * r @ np.linalg.solve(K, r) - 0.5 * logdet
+
+    theta0 = np.array([0.5, 1.2, 1.2])  # amp and lengthscales far off
+    gp = LargeScaleGP(
+        x, y, err, hyperpars=theta0, mean_value=mean_val, block_size=128,
+        preconditioner_rank=0,
+    )
+    theta_fit = gp.fit(n_steps=100, learning_rate=0.1, n_probes=8, seed=0)
+
+    l0, l1 = exact_lml(theta0), exact_lml(theta_fit)
+    assert l1 > l0 + 100.0  # decisive improvement, not noise
+    # better than the data-generating hyperparameters, not merely moved
+    assert l1 > exact_lml(np.array([0.0, 0.0, 0.0]))
+    # refit at the selected hyperparameters predicts well
+    gp2 = LargeScaleGP(
+        x, y, err, hyperpars=theta_fit, mean_value=mean_val,
+        block_size=128, preconditioner_rank=128,
+    )
+    q = rng.uniform(1, 9, size=(40, 2))
+    rms = np.sqrt(np.mean((gp2(q) - np.sin(q[:, 0]) * np.cos(q[:, 1])) ** 2))
+    assert rms < 0.1
+
+
+def test_fit_smoke_improves_data_fit():
+    """Fast-tier smoke: a few stochastic-LML Adam steps run end to end
+    and improve the exact LML from a bad init (the full convergence
+    behaviour is the slow-tier test above)."""
+    rng = np.random.default_rng(9)
+    n = 200
+    x = rng.uniform(0, 10, size=(n, 2))
+    y = np.sin(x[:, 0]) * np.cos(x[:, 1]) + rng.normal(0, 0.1, n)
+    err = np.full(n, 0.1)
+    theta0 = np.array([0.6, 1.0, 1.0])
+    gp = LargeScaleGP(
+        x, y, err, hyperpars=theta0, block_size=100, preconditioner_rank=0
+    )
+    theta_fit = gp.fit(n_steps=8, learning_rate=0.1, n_probes=4, seed=1)
+
+    def exact_lml(theta):
+        amp2 = np.exp(2.0 * theta[0])
+        ls = np.exp(theta[1:])
+        d2 = (((x[:, None, :] - x[None, :, :]) / ls) ** 2).sum(-1)
+        K = amp2 * np.exp(-0.5 * d2) + np.diag(err**2 + amp2 * 1e-12)
+        r = y - gp.mean_value
+        _, logdet = np.linalg.slogdet(K)
+        return -0.5 * r @ np.linalg.solve(K, r) - 0.5 * logdet
+
+    assert exact_lml(theta_fit) > exact_lml(theta0)
