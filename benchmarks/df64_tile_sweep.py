@@ -35,10 +35,15 @@ def main():
     uh, ul = split_f64(x)
     v = rng.normal(size=n).astype(np.float32)
 
-    # float64 truth on host
+    # float64 truth on host, row-chunked: the (N, N, D) broadcast form is
+    # ~4 GB at N=16k and OOMs at 32k+
     u64 = uh.astype(np.float64) + ul.astype(np.float64)
-    d2 = ((u64[:, None, :] - u64[None, :, :]) ** 2).sum(-1)
-    truth = np.exp(-0.5 * d2) @ v.astype(np.float64)
+    v64 = v.astype(np.float64)
+    truth = np.empty(n)
+    for lo in range(0, n, 2048):
+        hi = min(lo + 2048, n)
+        d2 = ((u64[lo:hi, None, :] - u64[None, :, :]) ** 2).sum(-1)
+        truth[lo:hi] = np.exp(-0.5 * d2) @ v64
     tnorm = np.abs(truth).max()
 
     uh_d, ul_d, v_d = jnp.asarray(uh), jnp.asarray(ul), jnp.asarray(v)

@@ -6,7 +6,7 @@ MXU kernel matmul). The reference's `GpRegressor.fit` factorises dense K
 per objective evaluation (inference/gp/regression.py:528-567) and is
 out of memory long before this scale.
 
-Usage: python benchmarks/large_gp_fit_bench.py [N] [n_steps]
+Usage: python benchmarks/large_gp_fit_bench.py [N] [n_steps] [precond_rank]
 """
 
 import os
@@ -21,6 +21,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def main():
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 16_384
     n_steps = int(sys.argv[2]) if len(sys.argv) > 2 else 30
+    rank = int(sys.argv[3]) if len(sys.argv) > 3 else 512
 
     import jax
     import jax.numpy as jnp
@@ -38,7 +39,7 @@ def main():
 
     gp = LargeScaleGP(
         x, y, err, hyperpars=theta0, block_size=4096,
-        preconditioner_rank=0, cg_tol=1e-4, cg_maxiter=400,
+        preconditioner_rank=rank, cg_tol=1e-4, cg_maxiter=400,
     )
 
     t0 = time.perf_counter()

@@ -213,20 +213,35 @@ class LargeScaleGP:
             self.alpha = jnp.asarray(self.alpha64, dtype)
         self.cg_iterations_estimate = None  # jax cg does not report count
 
-    def _pivoted_cholesky(self, rank: int):
+    def _pivoted_cholesky(self, rank: int, amp=None, ls=None):
         """Partial pivoted Cholesky of the kernel matrix, entirely on
         device: ``rank`` greedy steps, each picking the point with the
         largest residual diagonal, evaluating one kernel column against all
         data, and subtracting the projection onto the factors found so far.
         Returns U with K ~ U U^T. O(N m^2) flops, never forms K. This is
         the adaptive low-rank approximation (optimal pivots track the
-        kernel spectrum), where Nystrom uses blind random rows."""
-        x, amp, ls, mask = self._x, self._amp, self._ls, self._mask_dev
+        kernel spectrum), where Nystrom uses blind random rows.
+
+        ``amp``/``ls`` default to the instance hyperparameters; passing
+        them explicitly (as runtime operands of a build program cached per
+        rank) serves ``fit()``'s periodic live-theta preconditioner
+        refresh without retracing."""
+        x, mask = self._x, self._mask_dev
         n, D = x.shape
         dtype = x.dtype
 
+        cache = getattr(self, "_pivchol_cache", None)
+        if cache is None:
+            cache = self._pivchol_cache = {}
+        if rank in cache:
+            build = cache[rank]
+            return build(
+                self._amp if amp is None else amp,
+                self._ls if ls is None else ls,
+            )
+
         @jax.jit
-        def build():
+        def build(amp, ls):
             diag = amp**2 * mask  # padded rows have zero diagonal: never pivoted
             U = jnp.zeros((n, rank), dtype)
             tiny = jnp.asarray(jnp.finfo(dtype).tiny, dtype)
@@ -249,7 +264,11 @@ class LargeScaleGP:
             _, U = lax.fori_loop(0, rank, body, (diag, U))
             return U
 
-        return build()
+        cache[rank] = build
+        return build(
+            self._amp if amp is None else amp,
+            self._ls if ls is None else ls,
+        )
 
     def _pivoted_cholesky_host(self, rank: int) -> np.ndarray:
         """Greedy pivoted Cholesky in HOST float64. The on-device float32
@@ -322,14 +341,7 @@ class LargeScaleGP:
                 )
                 return
             U = self._pivoted_cholesky(rank)
-
-            @jax.jit
-            def gram(U):
-                d = self._sig_diag + self._amp**2 * 1e-12
-                G = jnp.dot((U / d[:, None]).T, U, precision=_HI)
-                return d, G
-
-            d, G = gram(U)
+            d, G = self._precond_gram(U, self._amp)
             self._precond = (U, d, self._factor_woodbury_core(G))
             return
 
@@ -367,6 +379,22 @@ class LargeScaleGP:
         # N, breaking remote compilation)
         U, d, G = build()
         self._precond = (U, d, self._factor_woodbury_core(G))
+
+    def _precond_gram(self, U, amp):
+        """Jitter-shifted diagonal and Woodbury-core Gram ``G = U^T D^-1 U``
+        for a low-rank factor, shared by the construction-time build and
+        ``fit()``'s live-theta refresh (one program, cached)."""
+        fn = getattr(self, "_precond_gram_fn", None)
+        if fn is None:
+
+            @jax.jit
+            def fn(U, amp):
+                d = self._sig_diag + amp**2 * 1e-12
+                G = jnp.dot((U / d[:, None]).T, U, precision=_HI)
+                return d, G
+
+            self._precond_gram_fn = fn
+        return fn(U, amp)
 
     @staticmethod
     def _factor_core_host(G) -> np.ndarray:
@@ -456,29 +484,30 @@ class LargeScaleGP:
 
         return df64_chunk_iters(self._n_padded, matvecs_per_iter=1)
 
-    def _build_compiled(self, cg_tol, cg_maxiter):
-        x, sig_diag = self._x, self._sig_diag
-        amp, ls = self._amp, self._ls
+    def _system_matmat(self, a, l, V):
+        """(K(a, l) + diag(sig) + jitter I) applied to a vector (n_pad,)
+        or a column block (n_pad, q), in kernel row blocks — one blocked
+        matmul serves every column at once (``jnp.dot`` handles 1-D and
+        2-D right operands uniformly). This is the single solve-critical
+        system decomposition: the fixed-theta solve paths and ``fit()``'s
+        live-theta autodiff both call it, so jitter policy / precision /
+        padding handling cannot drift between them."""
+        x = self._x
         n_pad, block = self._n_padded, self.block_size
-        n_blocks = n_pad // block
-        jitter = amp**2 * 1e-12
+        x_blocks = x.reshape(n_pad // block, block, -1)
+
+        def one_block(xb):
+            return jnp.dot(sqexp_covariance(xb, x, a, l), V, precision=_HI)
+
+        KV = lax.map(one_block, x_blocks).reshape((n_pad,) + V.shape[1:])
+        return KV + ((self._sig_diag + a**2 * 1e-12) * V.T).T
+
+    def _build_compiled(self, cg_tol, cg_maxiter):
+        x, amp, ls = self._x, self._amp, self._ls
         has_precond = self._precond is not None
 
         def matvec(v):
-            """(K + diag(sig) + jitter I) applied to a vector (n_pad,) or
-            a column block (n_pad, q), in kernel row blocks — one blocked
-            matmul serves every column at once (``jnp.dot`` handles 1-D
-            and 2-D right operands uniformly), so the single-vector solve
-            and the batched variance solves share one decomposition."""
-            x_blocks = x.reshape(n_blocks, block, -1)
-
-            def one_block(xb):
-                return jnp.dot(
-                    sqexp_covariance(xb, x, amp, ls), v, precision=_HI
-                )
-
-            Kv = lax.map(one_block, x_blocks).reshape((n_pad,) + v.shape[1:])
-            return Kv + ((sig_diag + jitter) * v.T).T
+            return self._system_matmat(amp, ls, v)
 
         use_mixed = self.solver == "mixed"
         use_df64 = self.solver == "df64"
@@ -613,6 +642,7 @@ class LargeScaleGP:
         n_probes: int = 8,
         fit_tol: float = 1e-3,
         fit_maxiter: int = 150,
+        precond_every: int = 10,
         seed: int = 0,
         verbose: bool = False,
     ):
@@ -647,14 +677,27 @@ class LargeScaleGP:
         gradients tolerate loose solves (1e-3 is ample), and each Adam
         step is a single bounded device dispatch (keep
         ``fit_maxiter * N^2`` under a few 10^12 flops per step on remote
-        backends with dispatch watchdogs).
-        """
-        import optax
+        backends with dispatch watchdogs). A step whose CG stops above
+        ``10 * fit_tol`` relative residual triggers a warning — the
+        gradient is biased there, so raise ``fit_maxiter`` or start the
+        fit from a better-conditioned initialisation.
 
-        x, sig_diag, mask = self._x, self._sig_diag, self._mask_dev
-        n_pad, block = self._n_padded, self.block_size
-        n_blocks = n_pad // block
-        wd = x.dtype
+        The inner CG runs under the instance's low-rank preconditioner,
+        REBUILT at the live hyperparameters every ``precond_every`` steps
+        (on-device pivoted Cholesky + one m x m host-f64 core
+        factorisation). A stale preconditioner stays symmetric positive
+        definite, so intermediate steps remain exact-CG-correct — only
+        the convergence rate decays as theta wanders, which the periodic
+        refresh bounds. Set ``precond_every=0`` to pin the
+        construction-time preconditioner for the whole fit.
+        """
+        if n_probes < 1:
+            raise ValueError(
+                "LargeScaleGP.fit requires n_probes >= 1 — the Hutchinson "
+                "trace term has no estimate from zero probes"
+            )
+        n_pad = self._n_padded
+        wd = self._x.dtype
 
         rng = np.random.default_rng(seed)
         probes = jnp.asarray(
@@ -666,71 +709,134 @@ class LargeScaleGP:
             (self._y_host - self.mean_value) * self._mask, wd
         )
 
-        def k_sys_matmat(theta, V):
-            """(K(theta) + diag(sig) + jitter I) @ V, blocked — the same
-            MXU decomposition as the solve path, with live theta."""
-            a = jnp.exp(theta[0])
-            l = jnp.exp(theta[1:])
-            x_blocks = x.reshape(n_blocks, block, -1)
+        use_precond = self._precond is not None
+        fit_step = self._get_fit_step(
+            float(fit_tol), int(fit_maxiter), use_precond
+        )
 
-            def one_block(xb):
-                return jnp.dot(
-                    sqexp_covariance(xb, x, a, l), V, precision=_HI
-                )
-
-            KV = lax.map(one_block, x_blocks).reshape(
-                (n_pad,) + V.shape[1:]
+        theta = jnp.asarray(self.hyperpars, wd)
+        adam = (jnp.zeros_like(theta), jnp.zeros_like(theta))
+        pc = self._precond  # built at self.hyperpars = the starting theta
+        warned = False
+        for step in range(int(n_steps)):
+            if use_precond and precond_every and step and step % precond_every == 0:
+                pc = self._fit_precond(theta)
+            pc_args = (pc,) if use_precond else ()
+            theta, adam, g, data_fit, rel_resid = fit_step(
+                theta, adam, jnp.asarray(step + 1, wd),
+                jnp.asarray(learning_rate, wd), rhs0, probes, *pc_args,
             )
-            return KV + ((sig_diag + a**2 * 1e-12) * V.T).T
+            if not warned and float(rel_resid) > 10.0 * fit_tol:
+                import warnings
 
-        optimizer = optax.adam(learning_rate)
+                warnings.warn(
+                    f"LargeScaleGP.fit: inner CG stopped at relative "
+                    f"residual {float(rel_resid):.2e} (> 10 * fit_tol) on "
+                    f"step {step + 1} — the stochastic gradient is biased; "
+                    f"increase fit_maxiter or reduce the step size"
+                )
+                warned = True
+            if verbose:
+                print(
+                    f"  [ LargeScaleGP.fit step {step + 1}/{n_steps}: "
+                    f"|grad| {float(jnp.linalg.norm(g)):.3e}, data-fit "
+                    f"{float(data_fit):.4f}, CG resid "
+                    f"{float(rel_resid):.1e}, theta "
+                    f"{np.asarray(theta).round(3)} ]",
+                    flush=True,
+                )
+        return np.asarray(theta, float)
+
+    def _fit_precond(self, theta):
+        """Rebuild the low-rank preconditioner triple (U, d, L_core) at
+        live hyperparameters for ``fit()``: on-device pivoted Cholesky
+        (program cached per rank — no retrace across refreshes) plus the
+        host-f64 Woodbury-core factorisation (an m x m transfer; the f32
+        device Cholesky of the core goes indefinite at small noise)."""
+        th = np.asarray(theta, np.float64)
+        a = jnp.asarray(np.exp(th[0]), self._x.dtype)
+        l = jnp.asarray(np.exp(th[1:]), self._x.dtype)
+        rank = self._precond[0].shape[1]
+        U = self._pivoted_cholesky(rank, amp=a, ls=l)
+        d, G = self._precond_gram(U, a)
+        return U, d, self._factor_woodbury_core(G)
+
+    def _get_fit_step(self, fit_tol, fit_maxiter, use_precond):
+        """One jitted Adam step of the stochastic-LML fit, cached per
+        (tol, maxiter) so repeated ``fit()`` calls (restarts from several
+        initialisations, warm-up runs) reuse the compiled program instead
+        of retracing. Probe-count changes re-specialise via jit's shape
+        cache; the learning rate, step index and preconditioner factors
+        are runtime operands."""
+        cache = getattr(self, "_fit_step_cache", None)
+        if cache is None:
+            cache = self._fit_step_cache = {}
+        key = (fit_tol, fit_maxiter, use_precond)
+        if key in cache:
+            return cache[key]
+
+        from ..ops.solvers import pcg_multi
 
         @jax.jit
-        def fit_step(theta, opt_state, rhs, Z):
-            from ..ops.solvers import pcg_multi
-
+        def fit_step(theta, adam, t, lr, rhs, Z, *pc):
             th0 = lax.stop_gradient(theta)
+            a0, l0 = jnp.exp(th0[0]), jnp.exp(th0[1:])
             B = jnp.concatenate([rhs[:, None], Z], axis=1)
+            if use_precond:
+                Up, dp, L_c = pc[0]
+
+                def M_multi(V):
+                    W = V / dp[:, None]
+                    s = jnp.dot(Up.T, W, precision=_HI)
+                    s = jax.scipy.linalg.cho_solve((L_c, True), s)
+                    return W - jnp.dot(Up, s, precision=_HI) / dp[:, None]
+
+            else:
+                M_multi = None
             Sol, _ = pcg_multi(
-                lambda V: k_sys_matmat(th0, V),
+                lambda V: self._system_matmat(a0, l0, V),
                 B,
+                M=M_multi,
                 tol=fit_tol,
                 maxiter=fit_maxiter,
             )
             Sol = lax.stop_gradient(Sol)
             alpha, U = Sol[:, :1], Sol[:, 1:]
+            # true relative residual, worst column — pcg_multi can stop
+            # at maxiter with unconverged columns, and a silently-loose
+            # solve biases the gradient (costs one extra matmat ~ one CG
+            # iteration per step)
+            R = B - self._system_matmat(a0, l0, Sol)
+            rel_resid = jnp.sqrt(
+                jnp.max(jnp.sum(R * R, axis=0) / jnp.sum(B * B, axis=0))
+            )
 
             def surrogate(th):
                 # S(th) = -0.5 a^T K a + 0.5 mean_i u_i^T K z_i has
                 # dS = -dL with alpha/U fixed: minimising S maximises LML
-                KW = k_sys_matmat(th, jnp.concatenate([alpha, Z], axis=1))
+                a, l = jnp.exp(th[0]), jnp.exp(th[1:])
+                KW = self._system_matmat(
+                    a, l, jnp.concatenate([alpha, Z], axis=1)
+                )
                 s_data = -0.5 * jnp.sum(alpha[:, 0] * KW[:, 0])
                 s_trace = 0.5 * jnp.mean(jnp.sum(U * KW[:, 1:], axis=0))
                 return s_data + s_trace
 
             g = jax.grad(surrogate)(theta)
-            updates, opt_state = optimizer.update(g, opt_state, theta)
-            theta = optax.apply_updates(theta, updates)
+            m, v = adam
+            b1, b2, eps = 0.9, 0.999, 1e-8
+            m = b1 * m + (1.0 - b1) * g
+            v = b2 * v + (1.0 - b2) * g * g
+            m_hat = m / (1.0 - b1**t)
+            v_hat = v / (1.0 - b2**t)
+            theta = theta - lr * m_hat / (jnp.sqrt(v_hat) + eps)
             # exact data-fit term for monitoring (trace term is the
             # stochastic part); alpha solved at th0
             data_fit = -0.5 * jnp.sum(alpha[:, 0] * rhs)
-            return theta, opt_state, g, data_fit
+            return theta, (m, v), g, data_fit, rel_resid
 
-        theta = jnp.asarray(self.hyperpars, wd)
-        opt_state = optimizer.init(theta)
-        for step in range(int(n_steps)):
-            theta, opt_state, g, data_fit = fit_step(
-                theta, opt_state, rhs0, probes
-            )
-            if verbose:
-                print(
-                    f"  [ LargeScaleGP.fit step {step + 1}/{n_steps}: "
-                    f"|grad| {float(jnp.linalg.norm(g)):.3e}, data-fit "
-                    f"{float(data_fit):.4f}, theta "
-                    f"{np.asarray(theta).round(3)} ]",
-                    flush=True,
-                )
-        return np.asarray(theta, float)
+        cache[key] = fit_step
+        return fit_step
 
     def __call__(self, points, with_variance: bool = False):
         """

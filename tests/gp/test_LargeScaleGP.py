@@ -393,3 +393,76 @@ def test_fit_smoke_improves_data_fit():
         return -0.5 * r @ np.linalg.solve(K, r) - 0.5 * logdet
 
     assert exact_lml(theta_fit) > exact_lml(theta0)
+
+
+def test_fit_precond_refresh_inverts_live_theta_system():
+    """The live-theta preconditioner refresh used by fit(): at near-full
+    rank the pivoted-Cholesky factor is essentially exact, so applying
+    the Woodbury preconditioner built at a NEW theta to the system
+    matvec at that same theta must approximate the identity — while the
+    stale construction-time preconditioner must not."""
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(3)
+    n = 150
+    x = rng.uniform(0, 10, size=(n, 2))
+    y = np.sin(x[:, 0]) + rng.normal(0, 0.05, n)
+    err = np.full(n, 0.05)
+    gp = LargeScaleGP(
+        x, y, err, hyperpars=np.array([0.0, 0.3, 0.3]), block_size=64,
+        preconditioner_rank=140,
+    )
+    theta_new = jnp.asarray(np.array([0.4, 0.9, 0.7]), gp._x.dtype)
+    U, d, L_c = gp._fit_precond(theta_new)
+
+    import jax
+
+    def apply_M(pc, V):
+        Up, dp, Lc = pc
+        W = V / dp[:, None]
+        s = jnp.dot(Up.T, W)
+        s = jax.scipy.linalg.cho_solve((Lc, True), s)
+        return W - jnp.dot(Up, s) / dp[:, None]
+
+    a_new = jnp.exp(theta_new[0])
+    l_new = jnp.exp(theta_new[1:])
+    v = jnp.asarray(
+        rng.normal(size=(gp._n_padded, 1)) * gp._mask[:, None], gp._x.dtype
+    )
+    Av = gp._system_matmat(a_new, l_new, v)
+    rel_fresh = float(
+        jnp.linalg.norm(apply_M((U, d, L_c), Av) - v) / jnp.linalg.norm(v)
+    )
+    rel_stale = float(
+        jnp.linalg.norm(apply_M(gp._precond, Av) - v) / jnp.linalg.norm(v)
+    )
+    assert rel_fresh < 1e-2
+    assert rel_stale > 10 * rel_fresh
+
+
+def test_fit_preconditioned_with_refresh():
+    """fit() under the low-rank preconditioner, with live-theta refreshes
+    every 3 steps, runs end to end and improves the exact LML."""
+    rng = np.random.default_rng(11)
+    n = 200
+    x = rng.uniform(0, 10, size=(n, 2))
+    y = np.sin(x[:, 0]) * np.cos(x[:, 1]) + rng.normal(0, 0.1, n)
+    err = np.full(n, 0.1)
+    theta0 = np.array([0.6, 1.0, 1.0])
+    gp = LargeScaleGP(
+        x, y, err, hyperpars=theta0, block_size=100, preconditioner_rank=64
+    )
+    theta_fit = gp.fit(
+        n_steps=8, learning_rate=0.1, n_probes=4, precond_every=3, seed=1
+    )
+
+    def exact_lml(theta):
+        amp2 = np.exp(2.0 * theta[0])
+        ls = np.exp(theta[1:])
+        d2 = (((x[:, None, :] - x[None, :, :]) / ls) ** 2).sum(-1)
+        K = amp2 * np.exp(-0.5 * d2) + np.diag(err**2 + amp2 * 1e-12)
+        r = y - gp.mean_value
+        _, logdet = np.linalg.slogdet(K)
+        return -0.5 * r @ np.linalg.solve(K, r) - 0.5 * logdet
+
+    assert exact_lml(theta_fit) > exact_lml(theta0)
