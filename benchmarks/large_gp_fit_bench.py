@@ -24,6 +24,10 @@ def main():
     rank = int(sys.argv[3]) if len(sys.argv) > 3 else 512
 
     import jax
+
+    # x64 ON: fit()'s preconditioner core application needs float64 —
+    # the f32-applied core diverges at this scale (see BENCH_NOTES)
+    jax.config.update("jax_enable_x64", True)
     import jax.numpy as jnp
 
     assert float(jnp.ones(8).sum()) == 8.0
@@ -40,6 +44,7 @@ def main():
     gp = LargeScaleGP(
         x, y, err, hyperpars=theta0, block_size=4096,
         preconditioner_rank=rank, cg_tol=1e-4, cg_maxiter=400,
+        dtype="float32",  # x64 is on for the f64 preconditioner core only
     )
 
     t0 = time.perf_counter()
@@ -61,7 +66,7 @@ def main():
     # prediction error vs the generating function
     gp2 = LargeScaleGP(
         x, y, err, hyperpars=theta_fit, block_size=4096,
-        preconditioner_rank=512, cg_tol=1e-6,
+        preconditioner_rank=512, cg_tol=1e-6, dtype="float32",
     )
     q = rng.uniform(1, 9, size=(256, 2))
     mu = gp2(q)

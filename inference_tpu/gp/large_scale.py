@@ -31,6 +31,36 @@ from ..ops.pairwise import sqexp_covariance
 from ..utils.dtypes import default_float
 
 
+def woodbury_apply(V, U, dinv, core, *, core_chol, out_dtype=None):
+    """``(D + U U^T)^{-1} V`` for a vector or (n, q) block ``V``, via the
+    Woodbury identity — THE single application of the low-rank
+    preconditioner; every solve/variance/fit path in this module routes
+    through it so the delicate parts (application dtype, core handling,
+    the cancelling subtraction) cannot drift between copies.
+
+    ``U``: (n, m) low-rank factor; ``dinv``: elementwise ``1/diag(D)``
+    in the APPLICATION dtype (float64 under x64 for the small-noise
+    regimes — the core's condition reaches ``amp^2 N / sigma^2`` and the
+    subtraction cancels ~log10(kappa) digits, so an f32 application is
+    garbage beyond kappa ~ 1e7); ``core``: the lower Cholesky factor of
+    ``C = I + U^T D^{-1} U`` (``core_chol=True``, applied by cho_solve)
+    or its explicit inverse (``core_chol=False``, applied by matmul —
+    the all-matmul form the f64 paths use, emulated-f64 triangular
+    solves being slow on TPU)."""
+    vec = V.ndim == 1
+    W = (V[:, None] if vec else V).astype(dinv.dtype) * dinv[:, None]
+    U_ = U.astype(dinv.dtype)
+    t = jnp.dot(U_.T, W, precision=_HI)
+    if core_chol:
+        t = jax.scipy.linalg.cho_solve((core, True), t)
+    else:
+        t = jnp.dot(core, t, precision=_HI)
+    out = W - dinv[:, None] * jnp.dot(U_, t, precision=_HI)
+    if out_dtype is not None:
+        out = out.astype(out_dtype)
+    return out[:, 0] if vec else out
+
+
 class LargeScaleGP:
     """
     Squared-exponential GP regression with matrix-free training solves,
@@ -163,6 +193,18 @@ class LargeScaleGP:
         self._n_padded = n_pad
         self._mask = np.zeros(n_pad)
         self._mask[: self.n_points] = 1.0
+
+        if solver == "df64":
+            # fail fast on tile misalignment — BEFORE the O(N m^2) host
+            # preconditioner build, which takes minutes at large N
+            from ..ops.df64 import _TJ
+
+            if n_pad % _TJ != 0:
+                raise ValueError(
+                    f"[ LargeScaleGP error ] solver='df64' needs the "
+                    f"padded row count to be a multiple of {_TJ}; use a "
+                    f"block_size that is a multiple of {_TJ}."
+                )
 
         self.mean_value = (
             float(np.mean(y[: self.n_points])) if mean_value is None else mean_value
@@ -328,7 +370,7 @@ class LargeScaleGP:
                 # kappa*eps64 ~ 1e-7 relative error is irrelevant
                 Cinv = self._core_inverse_host(G)
                 self._precond64 = (
-                    jnp.asarray(V64, jnp.float64),
+                    jnp.asarray(U64, jnp.float64),
                     jnp.asarray(Cinv, jnp.float64),
                     jnp.asarray(1.0 / d64, jnp.float64),
                 )
@@ -518,15 +560,9 @@ class LargeScaleGP:
             if not has_precond:
                 return None
             U, d, L_c = pc
-
-            def M(v):
-                # (D + U U^T)^{-1} v by the Woodbury identity
-                w = v / d
-                t = jnp.dot(U.T, w, precision=_HI)
-                t = jax.scipy.linalg.cho_solve((L_c, True), t)
-                return w - jnp.dot(U, t, precision=_HI) / d
-
-            return M
+            return lambda v: woodbury_apply(
+                v, U, 1.0 / d, L_c, core_chol=True
+            )
 
         def solve(rhs, pc):
             """Traced float32 solve — for the df64 solver this is the
@@ -556,13 +592,11 @@ class LargeScaleGP:
             from ..ops.solvers import Df64Solver
 
             if has_precond:
-                def M_df64(v64, V, Cinv, dinv):
-                    # (D + U U^T)^{-1} v64 by Woodbury, ENTIRELY in f64
-                    # (V = U/d): the core's ~1e8 condition and the ~8-digit
-                    # cancellation in the subtraction are far beyond f32
-                    t = jnp.dot(Cinv, jnp.dot(V.T, v64, precision=_HI),
-                                precision=_HI)
-                    return dinv * v64 - jnp.dot(V, t, precision=_HI)
+                def M_df64(v64, U64, Cinv, dinv):
+                    # ENTIRELY in f64 — see woodbury_apply on why
+                    return woodbury_apply(
+                        v64, U64, dinv, Cinv, core_chol=False
+                    )
 
                 # the (N, m) factor travels as a runtime operand, never a
                 # baked-in program constant
@@ -605,13 +639,9 @@ class LargeScaleGP:
             K_qx = sqexp_covariance(q, x, amp, ls)  # (M, n_pad)
             if has_precond:
                 U, d, L_c = pc
-
-                def M_multi(V):
-                    W = V / d[:, None]
-                    t = jnp.dot(U.T, W, precision=_HI)
-                    t = jax.scipy.linalg.cho_solve((L_c, True), t)
-                    return W - jnp.dot(U, t, precision=_HI) / d[:, None]
-
+                M_multi = lambda V: woodbury_apply(
+                    V, U, 1.0 / d, L_c, core_chol=True
+                )
             else:
                 M_multi = None
             sols, _ = pcg_multi(
@@ -678,9 +708,10 @@ class LargeScaleGP:
         step is a single bounded device dispatch (keep
         ``fit_maxiter * N^2`` under a few 10^12 flops per step on remote
         backends with dispatch watchdogs). A step whose CG stops above
-        ``10 * fit_tol`` relative residual triggers a warning — the
-        gradient is biased there, so raise ``fit_maxiter`` or start the
-        fit from a better-conditioned initialisation.
+        ``max(10 * fit_tol, 0.05)`` relative residual triggers a warning
+        — the gradient is substantially biased there, so raise
+        ``fit_maxiter`` or start the fit from a better-conditioned
+        initialisation.
 
         The inner CG runs under the instance's low-rank preconditioner,
         REBUILT at the live hyperparameters every ``precond_every`` steps
@@ -716,7 +747,7 @@ class LargeScaleGP:
 
         theta = jnp.asarray(self.hyperpars, wd)
         adam = (jnp.zeros_like(theta), jnp.zeros_like(theta))
-        pc = self._precond  # built at self.hyperpars = the starting theta
+        pc = self._fit_precond(theta) if use_precond else None
         warned = False
         for step in range(int(n_steps)):
             if use_precond and precond_every and step and step % precond_every == 0:
@@ -726,13 +757,13 @@ class LargeScaleGP:
                 theta, adam, jnp.asarray(step + 1, wd),
                 jnp.asarray(learning_rate, wd), rhs0, probes, *pc_args,
             )
-            if not warned and float(rel_resid) > 10.0 * fit_tol:
+            if not warned and float(rel_resid) > max(10.0 * fit_tol, 0.05):
                 import warnings
 
                 warnings.warn(
                     f"LargeScaleGP.fit: inner CG stopped at relative "
-                    f"residual {float(rel_resid):.2e} (> 10 * fit_tol) on "
-                    f"step {step + 1} — the stochastic gradient is biased; "
+                    f"residual {float(rel_resid):.2e} on step {step + 1} — "
+                    f"the stochastic gradient is substantially biased; "
                     f"increase fit_maxiter or reduce the step size"
                 )
                 warned = True
@@ -748,18 +779,31 @@ class LargeScaleGP:
         return np.asarray(theta, float)
 
     def _fit_precond(self, theta):
-        """Rebuild the low-rank preconditioner triple (U, d, L_core) at
-        live hyperparameters for ``fit()``: on-device pivoted Cholesky
+        """Rebuild the low-rank preconditioner triple (U, d_inv, C_inv)
+        at live hyperparameters for ``fit()``: on-device pivoted Cholesky
         (program cached per rank — no retrace across refreshes) plus the
-        host-f64 Woodbury-core factorisation (an m x m transfer; the f32
-        device Cholesky of the core goes indefinite at small noise)."""
+        host-f64 explicit Woodbury-core inverse (an m x m transfer; the
+        f32 device Cholesky of the core goes indefinite at small noise).
+        Under ``jax_enable_x64`` the inverse diagonal and core stay
+        float64 so the fit step can apply the core in f64 — the core's
+        condition reaches ~amp^2 N / sigma^2 (1e7+ on realistic
+        problems), where an all-f32 application returns garbage and PCG
+        diverges (measured: worst-column residuals 3-9 at N=16k even
+        with a freshly rebuilt rank-1024 factor)."""
         th = np.asarray(theta, np.float64)
         a = jnp.asarray(np.exp(th[0]), self._x.dtype)
         l = jnp.asarray(np.exp(th[1:]), self._x.dtype)
         rank = self._precond[0].shape[1]
         U = self._pivoted_cholesky(rank, amp=a, ls=l)
-        d, G = self._precond_gram(U, a)
-        return U, d, self._factor_woodbury_core(G)
+        _, G = self._precond_gram(U, a)
+        cdtype = (
+            jnp.float64
+            if jax.config.read("jax_enable_x64")
+            else self._x.dtype
+        )
+        dinv = 1.0 / (self._sig_host + float(np.exp(2.0 * th[0])) * 1e-12)
+        Cinv = self._core_inverse_host(np.asarray(G))
+        return U, jnp.asarray(dinv, cdtype), jnp.asarray(Cinv, cdtype)
 
     def _get_fit_step(self, fit_tol, fit_maxiter, use_precond):
         """One jitted Adam step of the stochastic-LML fit, cached per
@@ -783,14 +827,13 @@ class LargeScaleGP:
             a0, l0 = jnp.exp(th0[0]), jnp.exp(th0[1:])
             B = jnp.concatenate([rhs[:, None], Z], axis=1)
             if use_precond:
-                Up, dp, L_c = pc[0]
-
-                def M_multi(V):
-                    W = V / dp[:, None]
-                    s = jnp.dot(Up.T, W, precision=_HI)
-                    s = jax.scipy.linalg.cho_solve((L_c, True), s)
-                    return W - jnp.dot(Up, s, precision=_HI) / dp[:, None]
-
+                Up, dinv, Cinv = pc[0]
+                # core applied in dinv's dtype — float64 under x64; the
+                # f64 cost is two (n, m) emulated matmuls per CG
+                # iteration, noise next to the (n, n) system matmat
+                M_multi = lambda V: woodbury_apply(
+                    V, Up, dinv, Cinv, core_chol=False, out_dtype=V.dtype
+                )
             else:
                 M_multi = None
             Sol, _ = pcg_multi(
@@ -871,17 +914,27 @@ class LargeScaleGP:
 
     def _kqx_host64(self, q64):
         """Float64 host cross-covariance rows ``K(q, x)`` (query block x
-        padded points, padded columns masked to zero). Callers chunk the
-        query axis — the ``(m, n_padded, d)`` broadcast temporary is the
-        memory hazard at scale, not the (m, n) result."""
+        padded points, padded columns masked to zero), via the sq-norm +
+        matmul distance form — no ``(m, n, d)`` displacement broadcast,
+        so the peak temporary is the (m, n) result itself. The matmul
+        form's cancellation is harmless HERE because this path is host
+        float64: the d2 error is ~|q/ls|^2 eps64 ~ 1e-14 on realistic
+        scaled domains (on the f32 DEVICE the same trick loses ~2e-1 and
+        is exactly what ops/df64.py exists to avoid)."""
         ls = np.exp(np.asarray(self.hyperpars[1:], np.float64))
         amp2 = float(np.exp(2.0 * self.hyperpars[0]))
-        x64 = np.asarray(self._x_host, np.float64)
-        d2 = (((q64[:, None, :] - x64[None, :, :]) / ls) ** 2).sum(axis=2)
+        qs = q64 / ls[None, :]
+        xs = np.asarray(self._x_host, np.float64) / ls[None, :]
+        d2 = (
+            (qs**2).sum(axis=1)[:, None]
+            + (xs**2).sum(axis=1)[None, :]
+            - 2.0 * (qs @ xs.T)
+        )
+        np.maximum(d2, 0.0, out=d2)
         return amp2 * np.exp(-0.5 * d2) * self._mask[None, :]
 
     # query-block width for the host f64 mean contraction: bounds the
-    # (chunk, n_padded, d) displacement temporary at ~25 MB for N=50k, d=3
+    # (chunk, n_padded) cross-covariance block at ~100 MB for N=50k
     _DF64_MEAN_CHUNK = 256
 
     def _predict_mean_df64(self, q_host):
@@ -953,11 +1006,8 @@ class LargeScaleGP:
         cost = (190.0 + 40.0 * qc) / 230.0
         chunk = df64_chunk_iters(self._n_padded, matvecs_per_iter=cost)
         if self._precond64 is not None:
-            def M_multi64(R, V, Cinv, dinv):
-                T = jnp.dot(
-                    Cinv, jnp.dot(V.T, R, precision=_HI), precision=_HI
-                )
-                return dinv[:, None] * R - jnp.dot(V, T, precision=_HI)
+            def M_multi64(R, U64, Cinv, dinv):
+                return woodbury_apply(R, U64, dinv, Cinv, core_chol=False)
 
             solver = Df64MultiSolver(
                 self._matmat64_pair, M=M_multi64, M_args=self._precond64,
@@ -1127,14 +1177,19 @@ class LargeScaleGP:
         from ..ops.df64 import _TJ  # the kernel's tile edge, single source
 
         x64 = jax.config.read("jax_enable_x64")
+        # the EXACT emulated-f64 evaluator wins wherever it is safe
+        # (moderate N; N x N f64 programs crash the remote TPU worker
+        # beyond ~20k) — the df64 pair-arithmetic matvec is ~1e-8-level
+        # and would put a measurement floor under residual_norm_f64 /
+        # refine for solves that genuinely reach below it
+        if x64 and self._n_padded <= 16384:
+            return "device"
         if (
             x64
             and jax.default_backend() == "tpu"
             and self._n_padded % _TJ == 0
         ):
             return "df64"
-        if x64 and self._n_padded <= 16384:
-            return "device"
         return "host"
 
     def residual_norm_f64(self, residual_backend: str = "auto") -> float:

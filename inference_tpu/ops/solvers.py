@@ -204,7 +204,14 @@ def df64_chunk_iters(n_padded: int, matvecs_per_iter: float = 1.0) -> int:
     the per-entry cost constant — callers must not inline copies."""
 
     per_iter = matvecs_per_iter * 1.7e-9 * float(n_padded) ** 2
-    return int(np.clip(30.0 / max(per_iter, 1e-9), 8, 50))
+    # the lower clip must shrink with N too: at N ~ 1e5 one iteration is
+    # ~17 s (x matvecs_per_iter), so even an 8-iteration chunk plus its
+    # 2-matvec true-residual refresh would run for minutes and trip the
+    # watchdog — floor at whatever keeps one chunk near the budget, but
+    # never below 2 (a 1-iteration chunk spends more time on the
+    # refresh matvecs than on progress)
+    lo = 2 if per_iter > 15.0 else 8
+    return int(np.clip(30.0 / max(per_iter, 1e-9), lo, 50))
 
 
 class Df64Solver:
@@ -408,6 +415,11 @@ class Df64MultiSolver:
         ok = jnp.ones(q, bool)
         done = 0
         rr_host = np.asarray(bb)
+        # already-converged right-hand sides (zero columns, a refine
+        # round whose predecessor finished the job) must not pay a full
+        # compiled chunk of pair-arithmetic matvecs
+        if np.all(rr_host <= atol2):
+            return X, 0
         while done < maxiter:
             X, R, Z, P, rz, ok, rr = self._chunk(
                 B64, X, R, Z, P, rz, ok, self.M_args, self.matmat_args

@@ -257,8 +257,8 @@ def test_df64_preconditioner_f64_application():
         preconditioner_rank=96, solver="df64", cg_tol=1e-9,
         cg_maxiter=500, dtype="float32",
     )
-    V, Cinv, dinv = gp._precond64
-    assert V.dtype == jnp.float64
+    U64, Cinv, dinv = gp._precond64
+    assert U64.dtype == jnp.float64
     assert Cinv.dtype == jnp.float64
     assert dinv.dtype == jnp.float64
 
@@ -269,8 +269,12 @@ def test_df64_preconditioner_f64_application():
     v = rng.normal(size=n)
     truth = np.linalg.solve(A, v)
 
-    t = np.asarray(Cinv) @ (np.asarray(V).T @ v)
-    z = np.asarray(dinv) * v - np.asarray(V) @ t
+    # through the production application path itself
+    from inference_tpu.gp.large_scale import woodbury_apply
+
+    z = np.asarray(
+        woodbury_apply(jnp.asarray(v), U64, dinv, Cinv, core_chol=False)
+    )
     # the f32 cancellation noise on this quantity is ~eps32/sigma^2 ~ 1e-3
     # absolute; the f64 application must sit orders of magnitude below it
     assert np.abs(z - truth).max() < 1e-9 * np.abs(truth).max()
@@ -413,17 +417,16 @@ def test_fit_precond_refresh_inverts_live_theta_system():
         preconditioner_rank=140,
     )
     theta_new = jnp.asarray(np.array([0.4, 0.9, 0.7]), gp._x.dtype)
-    U, d, L_c = gp._fit_precond(theta_new)
-
-    import jax
 
     def apply_M(pc, V):
-        Up, dp, Lc = pc
-        W = V / dp[:, None]
-        s = jnp.dot(Up.T, W)
-        s = jax.scipy.linalg.cho_solve((Lc, True), s)
-        return W - jnp.dot(Up, s) / dp[:, None]
+        Up, dinv, Cinv = pc
+        U_ = Up.astype(dinv.dtype)
+        W = V.astype(dinv.dtype) * dinv[:, None]
+        s = jnp.dot(Cinv, jnp.dot(U_.T, W))
+        return W - dinv[:, None] * jnp.dot(U_, s)
 
+    pc_fresh = gp._fit_precond(theta_new)
+    pc_stale = gp._fit_precond(jnp.asarray(gp.hyperpars, gp._x.dtype))
     a_new = jnp.exp(theta_new[0])
     l_new = jnp.exp(theta_new[1:])
     v = jnp.asarray(
@@ -431,10 +434,10 @@ def test_fit_precond_refresh_inverts_live_theta_system():
     )
     Av = gp._system_matmat(a_new, l_new, v)
     rel_fresh = float(
-        jnp.linalg.norm(apply_M((U, d, L_c), Av) - v) / jnp.linalg.norm(v)
+        jnp.linalg.norm(apply_M(pc_fresh, Av) - v) / jnp.linalg.norm(v)
     )
     rel_stale = float(
-        jnp.linalg.norm(apply_M(gp._precond, Av) - v) / jnp.linalg.norm(v)
+        jnp.linalg.norm(apply_M(pc_stale, Av) - v) / jnp.linalg.norm(v)
     )
     assert rel_fresh < 1e-2
     assert rel_stale > 10 * rel_fresh
