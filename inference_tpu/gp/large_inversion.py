@@ -81,6 +81,7 @@ class LargeScaleGpLinearInverter:
         cg_tol: float = 1e-6,
         cg_maxiter: int = 1000,
         solver: str = "cg",
+        store_entries="auto",
         dtype=None,
         mesh=None,
     ):
@@ -89,6 +90,13 @@ class LargeScaleGpLinearInverter:
                 f"[ LargeScaleGpLinearInverter error ] 'solver' must be "
                 f"'cg', 'mixed' or 'df64', but '{solver}' was given."
             )
+        if store_entries not in ("auto", True, False):
+            raise ValueError(
+                f"[ LargeScaleGpLinearInverter error ] 'store_entries' "
+                f"must be 'auto', True or False, but {store_entries!r} "
+                f"was given."
+            )
+        self.store_entries = store_entries
         if solver == "df64":
             if not jax.config.read("jax_enable_x64"):
                 raise ValueError(
@@ -200,6 +208,14 @@ class LargeScaleGpLinearInverter:
         self._us_lo = jnp.asarray(ul)
         self._sig64 = jnp.asarray(self._sig_host, jnp.float64)
         self._A64 = None  # set in _build_compiled (needs the padded A)
+        self._entries = None
+        store = self.store_entries
+        if store == "auto":
+            store = self._n_padded <= 20480  # 2 x (n, n) f32 <= ~3.4 GB
+        if store:
+            from ..ops.df64 import sqexp_entries_df64
+
+            self._entries = sqexp_entries_df64(self._us_hi, self._us_lo)
 
     def _data_matvec64(self, v32, A64):
         """Double-float data-space matvec ``(Sigma + A K A^T) v``: the
@@ -211,18 +227,28 @@ class LargeScaleGpLinearInverter:
         cannot hold (float32 A products were measured to floor the
         data-space residual at ~2e-5: their rounding is operator-internal
         noise that the solver cannot correct)."""
-        from ..ops.df64 import sqexp_matvec_df64
-
         f32, f64 = jnp.float32, jnp.float64
         v64 = v32.astype(f64)
         p64 = jnp.dot(A64.T, v64, precision=_HI)
         ph = p64.astype(f32)
         pl = (p64 - ph.astype(f64)).astype(f32)
         amp2 = np.exp(2.0 * float(self.hyperpars[0]))
-        Kp = amp2 * (
-            sqexp_matvec_df64(self._us_hi, self._us_lo, ph)
-            + sqexp_matvec_df64(self._us_hi, self._us_lo, pl)
-        )
+        if self._entries is not None:
+            # one stored-entries contraction covers both hi/lo columns:
+            # no entry evaluation AND the hi/lo pair amortised
+            from ..ops.df64 import sqexp_stored_matmat_df64
+
+            KP = sqexp_stored_matmat_df64(
+                *self._entries, jnp.stack([ph, pl], axis=1)
+            )
+            Kp = amp2 * (KP[:, 0] + KP[:, 1])
+        else:
+            from ..ops.df64 import sqexp_matvec_df64
+
+            Kp = amp2 * (
+                sqexp_matvec_df64(self._us_hi, self._us_lo, ph)
+                + sqexp_matvec_df64(self._us_hi, self._us_lo, pl)
+            )
         AKp = jnp.dot(A64, Kp, precision=_HI)
         return self._sig64 * v64 + AKp
 

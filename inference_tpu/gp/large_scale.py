@@ -115,6 +115,13 @@ class LargeScaleGP:
         iterate/residual are float64 (``ops.solvers.df64_pcg``). Both
         require ``jax_enable_x64``; neither builds an N x N float64
         program.
+    :param store_entries: df64 tier only. ``True`` materialises the
+        kernel entries once as a float32 pair (two (n, n) device arrays,
+        8 bytes/entry of HBM), after which every solve iteration skips
+        the dominant pair-arithmetic d^2 + exp evaluation; ``False``
+        re-evaluates entries each matvec (no N x N storage, any N);
+        "auto" (default) stores when the pair fits comfortably
+        (n_padded <= 20480, ~3.4 GB).
     :param mesh: optional 1D mesh; data rows and solves shard over its
         first axis.
     """
@@ -132,6 +139,7 @@ class LargeScaleGP:
         preconditioner_rank: int = 512,
         preconditioner: str = "pivchol",
         solver: str = "cg",
+        store_entries="auto",
         dtype=None,
         mesh=None,
     ):
@@ -155,6 +163,12 @@ class LargeScaleGP:
                 "ever formed)."
             )
         self.solver = solver
+        if store_entries not in ("auto", True, False):
+            raise ValueError(
+                f"[ LargeScaleGP error ] 'store_entries' must be 'auto', "
+                f"True or False, but {store_entries!r} was given."
+            )
+        self.store_entries = store_entries
         if dtype is None:
             # df64 carries its precision in the pair-arithmetic matvec and
             # the float64 CG vectors; the stored arrays (preconditioner,
@@ -481,11 +495,10 @@ class LargeScaleGP:
     def _matvec64_pair(self, v32):
         """Double-float system matvec: float32 vector in, float64
         ``(K + diag(sig) + jitter I) v`` out, ~1e-8 relative — the fused
-        Pallas pair-arithmetic kernel for the covariance part, exact
-        float64 elementwise for the diagonal (``ops/df64.py``)."""
-        from ..ops.df64 import sqexp_matvec_df64
-
-        Ev = sqexp_matvec_df64(self._us_hi, self._us_lo, v32)
+        Pallas pair-arithmetic kernel for the covariance part (or the
+        stored-entries contraction when the entry pair is materialised),
+        exact float64 elementwise for the diagonal (``ops/df64.py``)."""
+        Ev = self._entries_apply(v32.reshape(-1, 1))[:, 0]
         amp2 = np.exp(2.0 * float(self.hyperpars[0]))
         diag = self._sig64 + amp2 * 1e-12
         return amp2 * Ev + diag * v32.astype(jnp.float64)
@@ -495,16 +508,29 @@ class LargeScaleGP:
         float64 ``(K + diag(sig) + jitter I) V`` out — the column-batched
         pair-arithmetic kernel amortises the entry evaluation across
         right-hand sides (``ops/df64.py::sqexp_matmat_df64``)."""
-        from ..ops.df64 import sqexp_matmat_df64
-
-        EV = sqexp_matmat_df64(self._us_hi, self._us_lo, V32)
+        EV = self._entries_apply(V32)
         amp2 = np.exp(2.0 * float(self.hyperpars[0]))
         diag = self._sig64 + amp2 * 1e-12
         return amp2 * EV + diag[:, None] * V32.astype(jnp.float64)
 
+    def _entries_apply(self, V32):
+        """``E V`` through the stored entry pair when materialised, else
+        the fused evaluate-per-matvec kernel."""
+        if self._entries is not None:
+            from ..ops.df64 import sqexp_stored_matmat_df64
+
+            return sqexp_stored_matmat_df64(*self._entries, V32)
+        from ..ops.df64 import sqexp_matmat_df64
+
+        return sqexp_matmat_df64(self._us_hi, self._us_lo, V32)
+
     def _prepare_df64(self):
         """Pre-split the scaled coordinates into a float32 pair (computed
-        in host float64 — hyperparameters are fixed for the solve)."""
+        in host float64 — hyperparameters are fixed for the solve). When
+        the stored-entries policy applies, materialise the pair entries
+        ``(E_hi, E_lo)`` once (8 bytes/entry of HBM): every later solve
+        iteration then skips the ~190-flop d^2 + exp evaluation — the
+        dominant cost of df64 CG (see BENCH_NOTES)."""
         from ..ops.df64 import split_f64, _TJ
 
         if self._n_padded % _TJ != 0:
@@ -518,6 +544,15 @@ class LargeScaleGP:
         self._us_hi = jnp.asarray(uh)
         self._us_lo = jnp.asarray(ul)
         self._sig64 = jnp.asarray(self._sig_host, jnp.float64)
+        self._entries = None
+        store = self.store_entries
+        if store == "auto":
+            # 2 x (n, n) float32 <= ~3.4 GB of HBM
+            store = self._n_padded <= 20480
+        if store:
+            from ..ops.df64 import sqexp_entries_df64
+
+            self._entries = sqexp_entries_df64(self._us_hi, self._us_lo)
 
     def _df64_chunk(self) -> int:
         """Watchdog-safe CG iterations per compiled Df64Solver chunk

@@ -494,3 +494,200 @@ def sqexp_matvec_df64(us_hi, us_lo, v, interpret: bool = None):
             f"{_TJ}; pad the data rows (zero-padded v entries are inert)."
         )
     return _sqexp_matvec_df64_pallas(uh, ul, v, interpret=interpret)
+
+
+# --------------------------------------------------------------------- #
+# stored-entries df64 matvec: precompute the pair entries once, then
+# every matvec skips the ~190-flop d^2 + exp evaluation (~38 flops/entry
+# remain: one pair product + one compensated accumulate)
+# --------------------------------------------------------------------- #
+def _entries_kernel(d: int, tj: int, ti: int):
+    """Materialise the (tj, ti) tile of pair ENTRIES ``E = exp(-0.5 d2)``
+    — the same evaluation as ``_matvec_kernel``, written out instead of
+    contracted. The reconstruction ``E = scale + scale*q`` uses only
+    runtime operands (``scale * qh`` is exact: scale is a power of two),
+    so no literal constant enters an error-free transform."""
+
+    def kernel(uj_hi_ref, uj_lo_ref, ui_hi_ref, ui_lo_ref, eh_ref, el_ref):
+        d2h = jnp.zeros((tj, ti), jnp.float32)
+        d2l = jnp.zeros((tj, ti), jnp.float32)
+        for k in range(d):
+            ah = uj_hi_ref[:, k][:, None]
+            al = uj_lo_ref[:, k][:, None]
+            bh = ui_hi_ref[:, k][None, :]
+            bl = ui_lo_ref[:, k][None, :]
+            dh, dl = df_add(ah, al, -bh, -bl)
+            sh, sl = df_mul(dh, dl, dh, dl)
+            d2h, d2l = df_add(d2h, d2l, sh, sl)
+
+        scale, qh, ql = df_exp_neg_parts(-0.5 * d2h, -0.5 * d2l)
+        s, se = two_sum(scale, scale * qh)
+        eh, el = two_sum(s, se + scale * ql)
+        eh_ref[:] = eh
+        el_ref[:] = el
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "tj", "ti"))
+def _sqexp_entries_df64_pallas(uh, ul, interpret=False, tj=_TJ, ti=_TI):
+    n, d = uh.shape
+    kernel = _entries_kernel(d, tj, ti)
+    with _x64_off_ctx():
+        eh, el = pl.pallas_call(
+            kernel,
+            out_shape=(
+                jax.ShapeDtypeStruct((n, n), jnp.float32),
+                jax.ShapeDtypeStruct((n, n), jnp.float32),
+            ),
+            grid=(n // tj, n // ti),
+            in_specs=[
+                pl.BlockSpec((tj, d), lambda j, i: (j, 0)),
+                pl.BlockSpec((tj, d), lambda j, i: (j, 0)),
+                pl.BlockSpec((ti, d), lambda j, i: (i, 0)),
+                pl.BlockSpec((ti, d), lambda j, i: (i, 0)),
+            ],
+            out_specs=(
+                pl.BlockSpec((tj, ti), lambda j, i: (j, i)),
+                pl.BlockSpec((tj, ti), lambda j, i: (j, i)),
+            ),
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024,
+                dimension_semantics=("parallel", "parallel"),
+            ),
+            interpret=interpret,
+        )(uh, ul, uh, ul)
+    return eh, el
+
+
+def sqexp_entries_df64(us_hi, us_lo, interpret: bool = None):
+    """
+    Materialise ``E_ij = exp(-0.5 ||us_i - us_j||^2)`` as a float32 PAIR
+    ``(E_hi, E_lo)`` of (n, n) device arrays — 8 bytes/entry of HBM, so
+    this tier is for moderate N (~3.4 GB at n = 20480). Amortisation:
+    one precompute at the cost of ~one fused matvec buys every later
+    ``sqexp_stored_matvec_df64`` call the entry evaluation (~190 of the
+    ~230 flops/entry), which dominates df64 CG solves.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    uh = jnp.asarray(us_hi, jnp.float32)
+    ul = jnp.asarray(us_lo, jnp.float32)
+    n, d = uh.shape
+    if n % _TJ != 0:
+        raise ValueError(
+            f"[ sqexp_entries_df64 error ] n ({n}) must be a multiple of "
+            f"{_TJ}; pad the data rows."
+        )
+    return _sqexp_entries_df64_pallas(uh, ul, interpret=interpret)
+
+
+def _stored_matmat_kernel(q: int, tj: int, ti: int):
+    """Contraction over stored pair entries: per tile, q pair products +
+    compensated accumulates — no entry evaluation."""
+
+    def kernel(eh_ref, el_ref, v_ref, out_hi_ref, out_lo_ref, acc_hi, acc_lo):
+        j = pl.program_id(1)
+        n_j = pl.num_programs(1)
+
+        @pl.when(j == 0)
+        def _():
+            acc_hi[:] = jnp.zeros_like(acc_hi)
+            acc_lo[:] = jnp.zeros_like(acc_lo)
+
+        eh = eh_ref[:]
+        el = el_ref[:]
+        for k in range(q):
+            v = v_ref[:, k][:, None]  # (TJ, 1)
+            tvh, tvl = df_mul_f32(eh, el, v)
+            a_h, a_l = df_add(acc_hi[k], acc_lo[k], tvh, tvl)
+            acc_hi[k] = a_h
+            acc_lo[k] = a_l
+
+        @pl.when(j == n_j - 1)
+        def _():
+            for k in range(q):
+                rh, rl = _tree_pair_reduce(acc_hi[k], acc_lo[k])
+                out_hi_ref[k] = rh
+                out_lo_ref[k] = rl
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "tj", "ti"))
+def _sqexp_stored_matmat_pallas(eh, el, V, interpret=False, tj=_TJ, ti=_TI):
+    n = eh.shape[0]
+    q = V.shape[1]
+    n_j = n // tj
+    n_i = n // ti
+
+    kernel = _stored_matmat_kernel(q, tj, ti)
+    with _x64_off_ctx():
+        out_hi, out_lo = pl.pallas_call(
+            kernel,
+            out_shape=(
+                jax.ShapeDtypeStruct((q, n_i * 8, ti), jnp.float32),
+                jax.ShapeDtypeStruct((q, n_i * 8, ti), jnp.float32),
+            ),
+            grid=(n_i, n_j),
+            in_specs=[
+                pl.BlockSpec((tj, ti), lambda i, j: (j, i)),
+                pl.BlockSpec((tj, ti), lambda i, j: (j, i)),
+                pl.BlockSpec((tj, q), lambda i, j: (j, 0)),
+            ],
+            out_specs=(
+                pl.BlockSpec((q, 8, ti), lambda i, j: (0, i, 0)),
+                pl.BlockSpec((q, 8, ti), lambda i, j: (0, i, 0)),
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((q, tj, ti), jnp.float32),
+                pltpu.VMEM((q, tj, ti), jnp.float32),
+            ],
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024,
+                dimension_semantics=("parallel", "arbitrary"),
+            ),
+            interpret=interpret,
+        )(eh, el, V)
+    ph = out_hi.reshape(q, n_i, 8, ti).astype(jnp.float64)
+    plo = out_lo.reshape(q, n_i, 8, ti).astype(jnp.float64)
+    Y64 = (ph + plo).sum(axis=2).reshape(q, n)
+    return Y64.T  # (n, q)
+
+
+def sqexp_stored_matmat_df64(E_hi, E_lo, V, interpret: bool = None):
+    """
+    ``Y = E V`` from STORED pair entries (``sqexp_entries_df64``):
+    float32 (n, q) in, float64 (n, q) out, same accuracy contract as
+    ``sqexp_matmat_df64`` (the entries are identical bits) at ~1/6 the
+    per-iteration flops. Accepts q = 1 columns for the matvec case.
+    """
+    if not jax.config.read("jax_enable_x64"):
+        raise ValueError(
+            "sqexp_stored_matmat_df64 requires jax_enable_x64 (the "
+            "partial-pair combine and the returned matrix are float64)"
+        )
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    E_hi = jnp.asarray(E_hi, jnp.float32)
+    E_lo = jnp.asarray(E_lo, jnp.float32)
+    V = jnp.asarray(V, jnp.float32)
+    if V.ndim != 2:
+        raise ValueError(
+            "[ sqexp_stored_matmat_df64 error ] V must be 2D (n, q); "
+            "reshape single vectors to (n, 1)."
+        )
+    n = E_hi.shape[0]
+    if n % _TJ != 0:
+        raise ValueError(
+            f"[ sqexp_stored_matmat_df64 error ] n ({n}) must be a "
+            f"multiple of {_TJ}."
+        )
+    return _sqexp_stored_matmat_pallas(E_hi, E_lo, V, interpret=interpret)
+
+
+def sqexp_stored_matvec_df64(E_hi, E_lo, v, interpret: bool = None):
+    """Single-vector convenience over ``sqexp_stored_matmat_df64``."""
+    return sqexp_stored_matmat_df64(
+        E_hi, E_lo, jnp.asarray(v).reshape(-1, 1), interpret=interpret
+    )[:, 0]

@@ -281,3 +281,59 @@ def test_df64_multi_solver_matches_dense():
     # BENCH_NOTES) — assert well below the f32 floor (~1e-3 here)
     assert rel.max() < 1e-6
     assert int(info) == 0
+
+
+def test_sqexp_entries_df64_accuracy():
+    """Stored pair entries match host float64 exp(-0.5 d^2) to the pair
+    exponential's ~1e-8 contract (relative, down to 1e-25-magnitude
+    entries; below the low word's underflow scale only absolute accuracy
+    is meaningful)."""
+    if not jax.config.read("jax_enable_x64"):
+        pytest.skip("requires x64")
+    from inference_tpu.ops.df64 import sqexp_entries_df64
+
+    rng = np.random.default_rng(3)
+    n, d = 256, 2
+    x = rng.uniform(0, 10, size=(n, d)) / 0.7
+    uh, ul = split_f64(x)
+    u64 = _pair64(uh, ul)
+    E64 = np.exp(-0.5 * ((u64[:, None, :] - u64[None, :, :]) ** 2).sum(-1))
+    Eh, El = sqexp_entries_df64(uh, ul, interpret=True)
+    E = _pair64(Eh, El)
+    mask = E64 > 1e-25
+    rel = np.abs(E - E64)[mask] / E64[mask]
+    assert rel.max() < 5e-8
+    assert np.abs(E - E64).max() < 1e-8
+
+
+def test_sqexp_stored_matmat_matches_fused():
+    """The stored-entries contraction reproduces the fused kernel (same
+    entry bits, same pair accumulation) and the float64 truth."""
+    if not jax.config.read("jax_enable_x64"):
+        pytest.skip("requires x64")
+    from inference_tpu.ops.df64 import (
+        sqexp_entries_df64,
+        sqexp_stored_matmat_df64,
+        sqexp_stored_matvec_df64,
+    )
+
+    rng = np.random.default_rng(4)
+    n, d = 256, 3
+    x = rng.uniform(0, 6, size=(n, d))
+    uh, ul = split_f64(x)
+    u64 = _pair64(uh, ul)
+    E64 = np.exp(-0.5 * ((u64[:, None, :] - u64[None, :, :]) ** 2).sum(-1))
+    Eh, El = sqexp_entries_df64(uh, ul, interpret=True)
+
+    V = rng.normal(size=(n, 4)).astype(np.float32)
+    Y = np.asarray(sqexp_stored_matmat_df64(Eh, El, V, interpret=True))
+    Y_true = E64 @ V.astype(np.float64)
+    assert np.abs(Y - Y_true).max() / np.abs(Y_true).max() < 3e-8
+
+    y = np.asarray(
+        sqexp_stored_matvec_df64(Eh, El, V[:, 0], interpret=True)
+    )
+    y_fused = np.asarray(
+        sqexp_matvec_df64(uh, ul, V[:, 0], interpret=True)
+    )
+    assert np.abs(y - y_fused).max() / np.abs(y_fused).max() < 1e-12
