@@ -14,7 +14,14 @@ from .solvers import (
     Df64MultiSolver,
     df64_chunk_iters,
 )
-from .df64 import sqexp_matvec_df64, sqexp_matmat_df64, split_f64
+from .df64 import (
+    sqexp_matvec_df64,
+    sqexp_matmat_df64,
+    sqexp_entries_df64,
+    sqexp_stored_matvec_df64,
+    sqexp_stored_matmat_df64,
+    split_f64,
+)
 
 __all__ = [
     "scaled_sq_distances",
@@ -29,5 +36,8 @@ __all__ = [
     "df64_chunk_iters",
     "sqexp_matvec_df64",
     "sqexp_matmat_df64",
+    "sqexp_entries_df64",
+    "sqexp_stored_matvec_df64",
+    "sqexp_stored_matmat_df64",
     "split_f64",
 ]
