@@ -96,6 +96,12 @@ class LargeScaleGpLinearInverter:
                 f"must be 'auto', True or False, but {store_entries!r} "
                 f"was given."
             )
+        if store_entries is True and solver != "df64":
+            raise ValueError(
+                "[ LargeScaleGpLinearInverter error ] store_entries=True "
+                "is a df64-tier option; use solver='df64' or drop the "
+                "flag."
+            )
         self.store_entries = store_entries
         if solver == "df64":
             if not jax.config.read("jax_enable_x64"):
@@ -209,10 +215,9 @@ class LargeScaleGpLinearInverter:
         self._sig64 = jnp.asarray(self._sig_host, jnp.float64)
         self._A64 = None  # set in _build_compiled (needs the padded A)
         self._entries = None
-        store = self.store_entries
-        if store == "auto":
-            store = self._n_padded <= 20480  # 2 x (n, n) f32 <= ~3.4 GB
-        if store:
+        from ..ops.df64 import should_store_entries
+
+        if should_store_entries(self._n_padded, self.store_entries):
             from ..ops.df64 import sqexp_entries_df64
 
             self._entries = sqexp_entries_df64(self._us_hi, self._us_lo)

@@ -168,6 +168,12 @@ class LargeScaleGP:
                 f"[ LargeScaleGP error ] 'store_entries' must be 'auto', "
                 f"True or False, but {store_entries!r} was given."
             )
+        if store_entries is True and solver != "df64":
+            raise ValueError(
+                "[ LargeScaleGP error ] store_entries=True is a df64-tier "
+                "option (the stored pair serves the double-float matvec); "
+                "use solver='df64' or drop the flag."
+            )
         self.store_entries = store_entries
         if dtype is None:
             # df64 carries its precision in the pair-arithmetic matvec and
@@ -545,11 +551,9 @@ class LargeScaleGP:
         self._us_lo = jnp.asarray(ul)
         self._sig64 = jnp.asarray(self._sig_host, jnp.float64)
         self._entries = None
-        store = self.store_entries
-        if store == "auto":
-            # 2 x (n, n) float32 <= ~3.4 GB of HBM
-            store = self._n_padded <= 20480
-        if store:
+        from ..ops.df64 import should_store_entries
+
+        if should_store_entries(self._n_padded, self.store_entries):
             from ..ops.df64 import sqexp_entries_df64
 
             self._entries = sqexp_entries_df64(self._us_hi, self._us_lo)
@@ -782,7 +786,7 @@ class LargeScaleGP:
 
         theta = jnp.asarray(self.hyperpars, wd)
         adam = (jnp.zeros_like(theta), jnp.zeros_like(theta))
-        pc = self._fit_precond(theta) if use_precond else None
+        pc = self._fit_precond_initial() if use_precond else None
         warned = False
         for step in range(int(n_steps)):
             if use_precond and precond_every and step and step % precond_every == 0:
@@ -830,15 +834,44 @@ class LargeScaleGP:
         l = jnp.asarray(np.exp(th[1:]), self._x.dtype)
         rank = self._precond[0].shape[1]
         U = self._pivoted_cholesky(rank, amp=a, ls=l)
+        return self._fit_pc_from_U(U, float(np.exp(th[0])))
+
+    def _fit_pc_from_U(self, U, amp64: float):
+        """Fit-format triple (U, d_inv, C_inv) from a low-rank factor:
+        device Gram, host-f64 core inverse, x64-gated core dtype."""
+        a = jnp.asarray(amp64, self._x.dtype)
         _, G = self._precond_gram(U, a)
         cdtype = (
             jnp.float64
             if jax.config.read("jax_enable_x64")
             else self._x.dtype
         )
-        dinv = 1.0 / (self._sig_host + float(np.exp(2.0 * th[0])) * 1e-12)
+        dinv = 1.0 / (self._sig_host + amp64**2 * 1e-12)
         Cinv = self._core_inverse_host(np.asarray(G))
         return U, jnp.asarray(dinv, cdtype), jnp.asarray(Cinv, cdtype)
+
+    def _fit_precond_initial(self):
+        """The fit-format preconditioner at the CONSTRUCTION
+        hyperparameters, derived from factors already built — ``fit()``
+        must not pay a duplicate O(N m^2) pivoted-Cholesky build for the
+        theta the constructor already factored. df64 tier: ``_precond64``
+        already holds the host-f64 (U, C_inv, 1/d); other tiers reuse the
+        stored U and recompute only the m x m core inverse."""
+        cdtype = (
+            jnp.float64
+            if jax.config.read("jax_enable_x64")
+            else self._x.dtype
+        )
+        if getattr(self, "_precond64", None) is not None:
+            U64, Cinv, dinv = self._precond64
+            return (
+                jnp.asarray(U64, self._x.dtype),
+                jnp.asarray(dinv, cdtype),
+                jnp.asarray(Cinv, cdtype),
+            )
+        return self._fit_pc_from_U(
+            self._precond[0], float(np.exp(self.hyperpars[0]))
+        )
 
     def _get_fit_step(self, fit_tol, fit_maxiter, use_precond):
         """One jitted Adam step of the stochastic-LML fit, cached per
@@ -1201,12 +1234,15 @@ class LargeScaleGP:
         return self
 
     def _resolve_residual_backend(self, residual_backend: str) -> str:
-        """'auto' -> the best available f64-residual evaluator: the df64
-        Pallas matvec on a TPU backend (any N, tile-aligned padding), a
-        compiled emulated-f64 matvec at moderate N elsewhere, blocked host
-        numpy as the universal fallback. ``refine()`` and
-        ``residual_norm_f64`` must resolve identically or they would score
-        the same iterate through different arithmetic."""
+        """'auto' -> the best available f64-residual evaluator, by
+        accuracy first: the EXACT compiled emulated-f64 matvec wherever
+        it is safe (x64 on, n_padded <= 16384 — larger N x N f64
+        programs crash the remote TPU worker), then the ~1e-8-level df64
+        Pallas matvec on a TPU backend beyond that (tile-aligned
+        padding), blocked host numpy as the universal fallback.
+        ``refine()`` and ``residual_norm_f64`` must resolve identically
+        or they would score the same iterate through different
+        arithmetic."""
         if residual_backend != "auto":
             return residual_backend
         from ..ops.df64 import _TJ  # the kernel's tile edge, single source

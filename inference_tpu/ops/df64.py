@@ -214,6 +214,25 @@ def _tree_pair_reduce(hi, lo, stop: int = 8):
     return hi, lo
 
 
+def _tile_sq_distance(uj_hi_ref, uj_lo_ref, ui_hi_ref, ui_lo_ref, d, tj, ti):
+    """Pair-arithmetic squared distances for one (tj, ti) tile — THE
+    single d^2 evaluation all three pallas kernels (fused matvec, fused
+    matmat, entries precompute) share, so the delicate error-free
+    transform sequence cannot drift between copies. ``d`` is a static
+    python int (small); the loop unrolls."""
+    d2h = jnp.zeros((tj, ti), jnp.float32)
+    d2l = jnp.zeros((tj, ti), jnp.float32)
+    for k in range(d):
+        ah = uj_hi_ref[:, k][:, None]
+        al = uj_lo_ref[:, k][:, None]
+        bh = ui_hi_ref[:, k][None, :]
+        bl = ui_lo_ref[:, k][None, :]
+        dh, dl = df_add(ah, al, -bh, -bl)
+        sh, sl = df_mul(dh, dl, dh, dl)
+        d2h, d2l = df_add(d2h, d2l, sh, sl)
+    return d2h, d2l
+
+
 def _matvec_kernel(d: int, tj: int, ti: int):
     """Pallas kernel body for grid (n_i, n_j): accumulate
     sum_j exp(-0.5 * d2_ij) * v_j into a pair accumulator, elementwise
@@ -231,17 +250,9 @@ def _matvec_kernel(d: int, tj: int, ti: int):
             acc_hi[:] = jnp.zeros_like(acc_hi)
             acc_lo[:] = jnp.zeros_like(acc_lo)
 
-        # squared distance in pair arithmetic, one dimension at a time
-        d2h = jnp.zeros((tj, ti), jnp.float32)
-        d2l = jnp.zeros((tj, ti), jnp.float32)
-        for k in range(d):  # d is a static python int (small)
-            ah = uj_hi_ref[:, k][:, None]
-            al = uj_lo_ref[:, k][:, None]
-            bh = ui_hi_ref[:, k][None, :]
-            bl = ui_lo_ref[:, k][None, :]
-            dh, dl = df_add(ah, al, -bh, -bl)
-            sh, sl = df_mul(dh, dl, dh, dl)
-            d2h, d2l = df_add(d2h, d2l, sh, sl)
+        d2h, d2l = _tile_sq_distance(
+            uj_hi_ref, uj_lo_ref, ui_hi_ref, ui_lo_ref, d, tj, ti
+        )
 
         # exp of the pair argument, itself in pair arithmetic — the TPU
         # float32 exp intrinsic (~4e-6 relative) would dominate the budget.
@@ -350,16 +361,9 @@ def _matmat_kernel(d: int, q: int, tj: int, ti: int):
             acc_hi[:] = jnp.zeros_like(acc_hi)
             acc_lo[:] = jnp.zeros_like(acc_lo)
 
-        d2h = jnp.zeros((tj, ti), jnp.float32)
-        d2l = jnp.zeros((tj, ti), jnp.float32)
-        for k in range(d):
-            ah = uj_hi_ref[:, k][:, None]
-            al = uj_lo_ref[:, k][:, None]
-            bh = ui_hi_ref[:, k][None, :]
-            bl = ui_lo_ref[:, k][None, :]
-            dh, dl = df_add(ah, al, -bh, -bl)
-            sh, sl = df_mul(dh, dl, dh, dl)
-            d2h, d2l = df_add(d2h, d2l, sh, sl)
+        d2h, d2l = _tile_sq_distance(
+            uj_hi_ref, uj_lo_ref, ui_hi_ref, ui_lo_ref, d, tj, ti
+        )
 
         scale, qh, ql = df_exp_neg_parts(-0.5 * d2h, -0.5 * d2l)
 
@@ -509,16 +513,9 @@ def _entries_kernel(d: int, tj: int, ti: int):
     so no literal constant enters an error-free transform."""
 
     def kernel(uj_hi_ref, uj_lo_ref, ui_hi_ref, ui_lo_ref, eh_ref, el_ref):
-        d2h = jnp.zeros((tj, ti), jnp.float32)
-        d2l = jnp.zeros((tj, ti), jnp.float32)
-        for k in range(d):
-            ah = uj_hi_ref[:, k][:, None]
-            al = uj_lo_ref[:, k][:, None]
-            bh = ui_hi_ref[:, k][None, :]
-            bl = ui_lo_ref[:, k][None, :]
-            dh, dl = df_add(ah, al, -bh, -bl)
-            sh, sl = df_mul(dh, dl, dh, dl)
-            d2h, d2l = df_add(d2h, d2l, sh, sl)
+        d2h, d2l = _tile_sq_distance(
+            uj_hi_ref, uj_lo_ref, ui_hi_ref, ui_lo_ref, d, tj, ti
+        )
 
         scale, qh, ql = df_exp_neg_parts(-0.5 * d2h, -0.5 * d2l)
         s, se = two_sum(scale, scale * qh)
@@ -558,6 +555,16 @@ def _sqexp_entries_df64_pallas(uh, ul, interpret=False, tj=_TJ, ti=_TI):
             interpret=interpret,
         )(uh, ul, uh, ul)
     return eh, el
+
+
+def should_store_entries(n_padded: int, store) -> bool:
+    """The SINGLE storage policy for the df64 tiers ('auto' | True |
+    False): 'auto' stores when the two (n, n) float32 entry arrays stay
+    within ~3.4 GB of HBM (n_padded <= 20480) — one threshold for every
+    consumer, so retuning it for a different chip is one edit."""
+    if store == "auto":
+        return n_padded <= 20480
+    return bool(store)
 
 
 def sqexp_entries_df64(us_hi, us_lo, interpret: bool = None):

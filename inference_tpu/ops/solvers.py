@@ -207,10 +207,11 @@ def df64_chunk_iters(n_padded: int, matvecs_per_iter: float = 1.0) -> int:
     # the lower clip must shrink with N too: at N ~ 1e5 one iteration is
     # ~17 s (x matvecs_per_iter), so even an 8-iteration chunk plus its
     # 2-matvec true-residual refresh would run for minutes and trip the
-    # watchdog — floor at whatever keeps one chunk near the budget, but
-    # never below 2 (a 1-iteration chunk spends more time on the
-    # refresh matvecs than on progress)
-    lo = 2 if per_iter > 15.0 else 8
+    # watchdog. The floor follows the budget continuously (a step
+    # function would still allow ~150 s chunks just under its knee),
+    # bottoming at 2 — a 1-iteration chunk spends more time on the
+    # refresh matvecs than on progress.
+    lo = max(2, min(8, int(30.0 / max(per_iter, 1e-9))))
     return int(np.clip(30.0 / max(per_iter, 1e-9), lo, 50))
 
 

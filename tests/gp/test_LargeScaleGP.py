@@ -469,3 +469,37 @@ def test_fit_preconditioned_with_refresh():
         return -0.5 * r @ np.linalg.solve(K, r) - 0.5 * logdet
 
     assert exact_lml(theta_fit) > exact_lml(theta0)
+
+
+def test_store_entries_validation():
+    """store_entries=True off the df64 tier raises (the flag would be
+    silently ignored otherwise); bad values raise."""
+    x, y, err = make_problem(n=200)
+    theta = np.array([0.0, 0.5, 0.5])
+    with pytest.raises(ValueError):
+        LargeScaleGP(x, y, err, hyperpars=theta, block_size=100,
+                     solver="cg", store_entries=True)
+    with pytest.raises(ValueError):
+        LargeScaleGP(x, y, err, hyperpars=theta, block_size=100,
+                     store_entries="yes")
+
+
+def test_df64_chunk_floor_shrinks_with_n():
+    """The watchdog chunk budget must not step-function into ~150 s
+    chunks just under the old floor's knee: the floor follows the 30 s
+    budget continuously down to 2 iterations."""
+    from inference_tpu.ops.solvers import df64_chunk_iters
+
+    prev = None
+    # up to the tier's advertised single-chip reach (~1e5 points)
+    for n in (16_384, 50_000, 80_000, 100_000):
+        it = df64_chunk_iters(n)
+        per_iter = 1.7e-9 * n * n
+        # one chunk (it iterations + 2 refresh matvecs) stays well under
+        # the ~2-4 min watchdog kill threshold; the attainable floor is
+        # 4 matvecs (2 iterations + the refresh), ~68 s at N=1e5
+        assert (it + 2) * per_iter < 90.0, (n, it)
+        assert it >= 2
+        if prev is not None:
+            assert it <= prev
+        prev = it
