@@ -171,3 +171,52 @@ def test_large_inverter_df64_solver():
         LargeScaleGpLinearInverter(
             y, err, A, xp, theta, solver="bogus"
         )
+
+
+def test_large_inverter_fit_improves_data_space_lml():
+    """Matrix-free stochastic data-space LML fitting: Adam on
+    Hutchinson-trace gradients through the blocked live-theta operator
+    must improve the EXACT dense data-space marginal likelihood from a
+    deliberately bad initialisation."""
+    from inference_tpu.gp import LargeScaleGpLinearInverter
+
+    rng = np.random.default_rng(5)
+    m, n = 120, 200
+    xp = rng.uniform(0, 10, size=(n, 2))
+    truth = np.sin(xp[:, 0]) * np.cos(0.5 * xp[:, 1])
+    # smooth local-averaging forward model
+    centres = rng.uniform(0, 10, size=(m, 2))
+    d2 = ((centres[:, None, :] - xp[None, :, :]) ** 2).sum(-1)
+    A = np.exp(-0.5 * d2 / 0.5)
+    A /= A.sum(axis=1, keepdims=True)
+    err = np.full(m, 0.02)
+    y = A @ truth + rng.normal(0, 0.02, m)
+
+    def exact_lml(theta):
+        amp2 = np.exp(2.0 * theta[0])
+        ls = np.exp(theta[1:])
+        dd = (((xp[:, None, :] - xp[None, :, :]) / ls) ** 2).sum(-1)
+        K = amp2 * np.exp(-0.5 * dd)
+        S = np.diag(err**2) + A @ K @ A.T
+        _, logdet = np.linalg.slogdet(S)
+        return -0.5 * y @ np.linalg.solve(S, y) - 0.5 * logdet
+
+    theta0 = np.array([1.5, 1.5, 1.5])  # far from anything sensible
+    inv = LargeScaleGpLinearInverter(
+        y, err, A, xp, hyperpars=theta0, block_size=100,
+    )
+    theta_fit = inv.fit(
+        n_steps=30, learning_rate=0.1, n_probes=8, seed=0
+    )
+    assert exact_lml(theta_fit) > exact_lml(theta0) + 10.0
+
+    # a refit inverter at the fitted hyperparameters reconstructs well
+    inv2 = LargeScaleGpLinearInverter(
+        y, err, A, xp, hyperpars=theta_fit, block_size=100,
+    )
+    mean = inv2.calculate_posterior_mean()
+    rms = np.sqrt(np.mean((mean - truth) ** 2))
+    assert rms < 0.25
+
+    with pytest.raises(ValueError):
+        inv.fit(n_probes=0)
