@@ -503,3 +503,20 @@ def test_df64_chunk_floor_shrinks_with_n():
         if prev is not None:
             assert it <= prev
         prev = it
+
+
+def test_fit_matches_on_sharded_mesh():
+    """fit() through mesh-sharded blocked matvecs follows the same
+    optimisation trajectory as the unsharded instance (same probes,
+    same steps — only the reduction order differs)."""
+    from inference_tpu.parallel import chain_mesh
+
+    x, y, err = make_problem(n=512, seed=4)
+    theta0 = np.array([0.5, 1.0, 1.0])
+    kw = dict(hyperpars=theta0, block_size=128, preconditioner_rank=64)
+    plain = LargeScaleGP(x, y, err, **kw)
+    sharded = LargeScaleGP(x, y, err, mesh=chain_mesh(), **kw)
+    fit_kw = dict(n_steps=5, learning_rate=0.1, n_probes=4, seed=2)
+    th_plain = plain.fit(**fit_kw)
+    th_sharded = sharded.fit(**fit_kw)
+    assert np.allclose(th_plain, th_sharded, atol=1e-3)
