@@ -520,3 +520,25 @@ def test_fit_matches_on_sharded_mesh():
     th_plain = plain.fit(**fit_kw)
     th_sharded = sharded.fit(**fit_kw)
     assert np.allclose(th_plain, th_sharded, atol=1e-3)
+
+
+def test_fit_on_df64_instance():
+    """fit() on a df64-tier instance: the initial preconditioner derives
+    from the host-f64 _precond64 triple (no duplicate build) and the f32
+    fit machinery runs unchanged."""
+    import jax
+
+    if not jax.config.read("jax_enable_x64"):
+        pytest.skip("requires x64")
+    rng = np.random.default_rng(6)
+    n = 256
+    x = rng.uniform(0, 8, size=(n, 2))
+    y = np.sin(x[:, 0]) + rng.normal(0, 0.05, n)
+    err = np.full(n, 0.05)
+    gp = LargeScaleGP(
+        x, y, err, hyperpars=np.array([0.5, 0.8, 0.8]), block_size=128,
+        preconditioner_rank=64, solver="df64", dtype="float32",
+    )
+    th = gp.fit(n_steps=4, learning_rate=0.1, n_probes=4, seed=0)
+    assert np.all(np.isfinite(th))
+    assert not np.allclose(th, gp.hyperpars)  # it moved
