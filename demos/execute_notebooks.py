@@ -24,6 +24,10 @@ from nbclient import NotebookClient
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 _SITECUSTOMIZE = """\
+import os
+# silence XLA slow-constant-folding alarms (stderr would otherwise land
+# in the committed cell outputs)
+os.environ.setdefault("TF_CPP_MIN_LOG_LEVEL", "3")
 import jax
 jax.config.update("jax_platforms", "cpu")
 """
@@ -59,7 +63,47 @@ def execute(path: str, timeout: int = 1200) -> None:
         finally:
             os.environ.clear()
             os.environ.update(os_environ_backup)
+    _strip_compiler_noise(nb)
     nbformat.write(nb, path)
+
+
+_NOISE_MARKERS = (
+    "slow_operation_alarm",
+    "Constant folding an instruction is taking",
+    "If you'd like to file a bug",
+    "This isn't necessarily a bug",
+)
+
+
+def _strip_compiler_noise(nb) -> None:
+    """Drop XLA compiler-alarm chatter (slow constant-folding warnings on
+    stderr) from stream outputs — compile-time diagnostics, not results;
+    committed documents should show the computation's actual output."""
+    for cell in nb.cells:
+        if cell.cell_type != "code":
+            continue
+        kept = []
+        for out in cell.get("outputs", []):
+            if out.get("output_type") == "stream" and any(
+                m in out.get("text", "") for m in _NOISE_MARKERS
+            ):
+                import re
+
+                drop = re.compile(
+                    r"^(E\d{4}|  %)|operand_precision|The operation took"
+                )
+                lines = [
+                    ln
+                    for ln in out["text"].splitlines(keepends=True)
+                    if not any(m in ln for m in _NOISE_MARKERS)
+                    and not drop.search(ln)
+                ]
+                text = "".join(lines).strip("\n")
+                if not text.strip():
+                    continue
+                out["text"] = text + "\n"
+            kept.append(out)
+        cell["outputs"] = kept
 
 
 def main():
