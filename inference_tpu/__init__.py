@@ -16,6 +16,7 @@ from .mcmc import (
     PcaChain,
     EnsembleSampler,
     HamiltonianChain,
+    NutsChain,
     ParallelTempering,
     ChainPool,
     Bounds,
@@ -43,6 +44,7 @@ __all__ = [
     "PcaChain",
     "EnsembleSampler",
     "HamiltonianChain",
+    "NutsChain",
     "ParallelTempering",
     "ChainPool",
     "Bounds",

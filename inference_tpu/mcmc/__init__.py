@@ -2,6 +2,7 @@ from .gibbs import MetropolisChain, GibbsChain
 from .pca import PcaChain
 from .ensemble import EnsembleSampler
 from .hmc import HamiltonianChain
+from .nuts import NutsChain
 from .parallel import ParallelTempering, ChainPool
 from .utilities import Bounds, effective_sample_size, ChainProgressPrinter
 
@@ -11,6 +12,7 @@ __all__ = [
     "PcaChain",
     "EnsembleSampler",
     "HamiltonianChain",
+    "NutsChain",
     "ParallelTempering",
     "ChainPool",
     "Bounds",

@@ -18,8 +18,9 @@ from jax.scipy.linalg import solve_triangular
 from ..mcmc._kernels import hmc as hmc_kernel
 from ..mcmc._kernels import metropolis as met_kernel
 from ..mcmc._kernels import ensemble as ens_kernel
+from ..mcmc._kernels import nuts as nuts_kernel
 
-KINDS = ("hmc", "gibbs", "metropolis", "pca", "ensemble")
+KINDS = ("hmc", "nuts", "gibbs", "metropolis", "pca", "ensemble")
 
 
 def build_proposal_modes(
@@ -118,6 +119,7 @@ def build_kind(
     alpha: float = 2.0,
     n_walkers: int = None,
     retry: bool = False,
+    max_depth: int = 10,
 ):
     """
     Build ``(init, step)`` for one sampler family:
@@ -149,6 +151,29 @@ def build_kind(
         def init(theta0, logp0, key, inv_temp=1.0):
             return hmc_kernel.init_hmc_state(
                 theta0, logp0, epsilon, key, inv_temp=inv_temp, steps=steps
+            )
+
+        return init, step
+
+    if kind == "nuts":
+        if bounds is not None:
+            raise ValueError(
+                "the nuts kind does not support reflecting bounds — "
+                "reparameterise the posterior or use the hmc kind"
+            )
+        mass_velocity, mass_sample = build_mass_maps(
+            n_parameters, dtype, inverse_mass
+        )
+        step = nuts_kernel.make_nuts_step(
+            logp_fn,
+            max_depth=max_depth,
+            mass_velocity=mass_velocity,
+            mass_sample=mass_sample,
+        )
+
+        def init(theta0, logp0, key, inv_temp=1.0):
+            return nuts_kernel.init_nuts_state(
+                theta0, logp0, epsilon, key, inv_temp=inv_temp
             )
 
         return init, step

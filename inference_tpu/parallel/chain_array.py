@@ -25,7 +25,8 @@ class ChainArray:
     A batch of ``n_chains`` independent sampler chains advanced as one
     compiled program.
 
-    :param kind: sampler family — "hmc", "gibbs", "metropolis", "pca"
+    :param kind: sampler family — "hmc", "nuts" (No-U-Turn trajectories,
+        beyond the reference), "gibbs", "metropolis", "pca"
         (PCA-directed Gibbs sweeps; call ``update_directions()`` between
         advances to re-estimate each chain's principal directions from its
         own history — a batched host eigendecomposition) or "ensemble"
@@ -37,6 +38,7 @@ class ChainArray:
     :param widths: initial proposal widths (gibbs/metropolis families).
     :param epsilon: initial leapfrog step size (hmc).
     :param steps: nominal leapfrog steps per proposal (hmc).
+    :param max_depth: maximum trajectory doublings per transition (nuts).
     :param inverse_mass: scalar, (P,) diagonal, or full (P, P) matrix
         inverse mass (hmc; reference: hmc/mass.py:9-117).
     :param non_negative: bool or (P,) bools — parameters whose proposals
@@ -72,6 +74,7 @@ class ChainArray:
         boundaries=None,
         bounds=None,
         alpha: float = 2.0,
+        max_depth: int = 10,
         retry: bool = True,
         mesh=None,
         axis_name: str = "chains",
@@ -119,6 +122,7 @@ class ChainArray:
             alpha=alpha,
             n_walkers=self.n_walkers,
             retry=retry,
+            max_depth=max_depth,
         )
 
         if kind == "ensemble":

@@ -68,12 +68,14 @@ class ShardedTempering:
         independent sub-ensemble of ``n_walkers`` walkers.
     :param mesh: a ('rungs', 'chains') mesh (see
         ``inference_tpu.parallel.tempering_mesh``).
-    :param kind: sampler family per rung — "hmc" (default), "gibbs",
+    :param kind: sampler family per rung — "hmc" (default), "nuts"
+        (No-U-Turn trajectories, beyond the reference), "gibbs",
         "metropolis", "pca" or "ensemble".
     :param widths: initial proposal widths (Metropolis family), or the
         walker-spread scale around ``start`` (ensemble).
     :param epsilon: initial leapfrog step size (hmc).
     :param steps: leapfrog steps per proposal (hmc).
+    :param max_depth: maximum trajectory doublings per transition (nuts).
     :param inverse_mass: scalar, (P,) diagonal, or (P, P) matrix inverse
         mass (hmc).
     :param non_negative: per-parameter non-negative proposal folding
@@ -110,6 +112,7 @@ class ShardedTempering:
         bounds=None,
         n_walkers: int = None,
         alpha: float = 2.0,
+        max_depth: int = 10,
         retry: bool = False,
         seed=None,
         display_progress: bool = True,
@@ -163,6 +166,7 @@ class ShardedTempering:
             alpha=alpha,
             n_walkers=n_walkers,
             retry=retry,
+            max_depth=max_depth,
         )
 
         if kind == "ensemble":

@@ -1,0 +1,148 @@
+"""NutsChain tests (beyond-reference sampler: the reference has no NUTS).
+
+Statistical correctness is checked the same way the HMC tests do it —
+moments of a known target — plus NUTS-specific behaviour: adaptive
+trajectory lengths, divergence accounting, and checkpoint round-trips.
+"""
+
+import numpy as np
+import pytest
+
+from inference_tpu.mcmc import NutsChain
+from mcmc_utils import ToroidalGaussian, sliced_length
+
+COV = np.array([[2.0, 1.2], [1.2, 1.0]])
+ICOV = np.linalg.inv(COV)
+
+
+def gaussian_logp(t):
+    return -0.5 * t @ ICOV @ t
+
+
+def make_chain(n=300, seed=4, **kwargs):
+    chain = NutsChain(
+        posterior=ToroidalGaussian(),
+        start=np.array([1.0, 0.1, 0.1]),
+        display_progress=False,
+        seed=seed,
+        **kwargs,
+    )
+    chain.advance(n)
+    return chain
+
+
+def test_nuts_advance_and_slicing():
+    chain = make_chain(n=150)
+    assert chain.chain_length == 151
+    for burn, thin in [(0, 1), (1, 1), (10, 3), (50, 7)]:
+        expected = sliced_length(chain.chain_length, burn, thin)
+        assert chain.get_sample(burn=burn, thin=thin).shape == (expected, 3)
+        assert chain.get_probabilities(burn=burn, thin=thin).size == expected
+    # trajectory bookkeeping is per-step and self-consistent
+    depths = chain.tree_depths
+    leaps = np.array(chain.leapfrog_steps)
+    assert depths.shape == (151,)
+    assert (depths[1:] >= 1).all() and (depths <= 10).all()
+    # doublings before the last complete fully (2^(d-1) - 1 leaves), and
+    # the final one adds at least one leaf before any early stop
+    assert (leaps[1:] >= 2 ** (depths[1:] - 1)).all()
+
+
+def test_nuts_gaussian_covariance():
+    """Sampled covariance matches a correlated Gaussian target."""
+    chain = NutsChain(
+        posterior=gaussian_logp,
+        start=np.array([0.1, 0.1]),
+        display_progress=False,
+        seed=11,
+    )
+    chain.advance(2500)
+    s = chain.get_sample(burn=500)
+    assert np.abs(np.cov(s.T) - COV).max() < 0.25
+    assert np.abs(s.mean(axis=0)).max() < 0.15
+    # trajectory lengths adapt to sensible values on an easy target
+    assert 1.0 < chain.tree_depths[500:].mean() < 6.0
+    assert chain.n_divergences == 0
+
+
+@pytest.mark.slow
+def test_nuts_statistics():
+    """Sampled radius distribution matches the toroidal target."""
+    chain = make_chain(n=3000, seed=1)
+    s = chain.get_sample(burn=500)
+    radius = np.sqrt(s[:, 0] ** 2 + s[:, 1] ** 2)
+    assert abs(radius.mean() - 1.0) < 0.05
+    assert abs(s[:, 2].mean()) < 0.05
+    assert abs(s[:, 2].std() - 0.05) < 0.02
+
+
+@pytest.mark.slow
+def test_nuts_user_gradient():
+    posterior = ToroidalGaussian()
+    chain = NutsChain(
+        posterior=posterior,
+        grad=posterior.gradient,
+        start=np.array([1.0, 0.1, 0.1]),
+        display_progress=False,
+        seed=2,
+    )
+    chain.advance(500)
+    s = chain.get_sample(burn=100)
+    radius = np.sqrt(s[:, 0] ** 2 + s[:, 1] ** 2)
+    assert abs(radius.mean() - 1.0) < 0.1
+
+
+@pytest.mark.parametrize(
+    "inverse_mass",
+    [2.0, np.array([1.0, 2.0, 0.5]), np.diag([1.0, 2.0, 0.5]) + 0.1],
+)
+def test_nuts_mass_options(inverse_mass):
+    chain = make_chain(n=100, inverse_mass=inverse_mass)
+    assert chain.chain_length == 101
+    assert np.isfinite(chain.get_probabilities()).all()
+
+
+def test_nuts_divergence_counting():
+    """A hopeless step size on a narrow target produces divergences, which
+    are counted without breaking the chain."""
+    chain = NutsChain(
+        posterior=lambda t: -0.5e6 * (t @ t),
+        start=np.array([0.5, 0.5]),
+        epsilon=50.0,
+        display_progress=False,
+        seed=5,
+    )
+    chain.advance(50)
+    assert chain.n_divergences > 0
+    assert chain.n_divergences == int(chain.divergent_steps.sum())
+    assert np.isfinite(chain.get_sample()).all()
+
+
+def test_nuts_save_load(tmp_path):
+    chain = make_chain(n=120, seed=9)
+    f = tmp_path / "nuts.npz"
+    chain.save(str(f))
+    loaded = NutsChain.load(str(f), posterior=ToroidalGaussian())
+    assert np.allclose(loaded.get_sample(), chain.get_sample())
+    assert np.allclose(loaded.get_probabilities(), chain.get_probabilities())
+    assert loaded.n_divergences == chain.n_divergences
+    assert loaded.max_depth == chain.max_depth
+    loaded.advance(30)
+    assert loaded.chain_length == chain.chain_length + 30
+
+
+def test_nuts_plot_diagnostics():
+    import matplotlib
+
+    matplotlib.use("Agg")
+    chain = make_chain(n=200)
+    chain.plot_diagnostics(show=False)
+
+
+def test_nuts_mode_and_estimate_mass():
+    chain = make_chain(n=400, seed=3)
+    mode = chain.mode()
+    assert np.isfinite(mode).all()
+    chain.estimate_mass(burn=100, diagonal=False)
+    chain.advance(50)
+    assert chain.chain_length == 451

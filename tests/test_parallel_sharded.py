@@ -49,6 +49,29 @@ def test_chain_array_sharded_over_mesh():
     assert np.isfinite(ca.theta).all()
 
 
+def test_chain_array_nuts_statistics():
+    """kind='nuts' (beyond the reference): batched No-U-Turn chains sample
+    the target through one vmapped compiled program."""
+    logp, cov = correlated_gaussian()
+    starts = np.random.default_rng(5).normal(0, 1, size=(64, 2))
+    ca = ChainArray("nuts", logp, starts, seed=6, max_depth=8)
+    ca.advance(300)
+    s = ca.get_sample(burn=100)
+    assert np.allclose(s.mean(0), 0.0, atol=0.1)
+    assert np.allclose(np.cov(s.reshape(-1, 2).T), cov, atol=0.3)
+
+
+def test_chain_array_nuts_sharded_over_mesh():
+    logp, cov = correlated_gaussian()
+    mesh = chain_mesh()
+    starts = np.random.default_rng(1).normal(0, 1, size=(16, 2))
+    ca = ChainArray("nuts", logp, starts, mesh=mesh, seed=4, max_depth=6)
+    ca.advance(60)
+    shards = ca._state.theta.sharding.device_set
+    assert len(shards) == len(jax.devices())
+    assert np.isfinite(ca.theta).all()
+
+
 def test_chain_array_gibbs():
     logp, cov = correlated_gaussian()
     starts = np.random.default_rng(3).normal(0, 1, size=(32, 2))
@@ -273,6 +296,7 @@ def test_sharded_tempering_exact_step_accounting():
     ("gibbs", dict(widths=0.5)),
     ("metropolis", dict(widths=0.5)),
     ("ensemble", dict(n_walkers=8, widths=1.0)),
+    ("nuts", dict(max_depth=6)),
 ])
 def test_sharded_tempering_kinds(kind, kwargs):
     """Every sampler family runs as tempering rungs with mode hopping."""
