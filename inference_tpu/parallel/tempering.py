@@ -7,7 +7,7 @@ the reference's pipe-synchronised process swaps
 (reference: inference/mcmc/parallel.py:190-231) with no host round-trip.
 
 Every sampler family of the single-chain facades is available per rung
-("hmc", "gibbs", "metropolis", "pca", "ensemble" — one kind for all rungs,
+("hmc", "nuts", "gibbs", "metropolis", "pca", "ensemble" — one kind for all rungs,
 since the rungs execute a single SPMD program; mixed-kind ladders run on
 the host facade ``mcmc.ParallelTempering`` instead). Each (rung, lane)
 pair holds an independent chain (for "ensemble", an independent
