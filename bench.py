@@ -143,22 +143,38 @@ def probe_backend(timeout=None):
     if timeout is None:
         timeout = float(os.environ.get("BENCH_INIT_TIMEOUT", 900.0))
     ok = []
+    err = []
 
     def _probe():
-        import jax
-        import jax.numpy as jnp
+        try:
+            import jax
+            import jax.numpy as jnp
 
-        ok.append(len(jax.devices()) > 0 and float(jnp.ones(8).sum()) == 8.0)
+            ok.append(
+                len(jax.devices()) > 0 and float(jnp.ones(8).sum()) == 8.0
+            )
+        except Exception as e:  # report, don't masquerade as a timeout
+            err.append(f"{type(e).__name__}: {e}")
 
     t = threading.Thread(target=_probe, daemon=True)
     t.start()
     t.join(timeout)
-    return bool(ok and ok[0])
+    if err:
+        return False, f"TPU backend probe raised {err[0]}"
+    if not ok:
+        return False, (
+            f"TPU backend init did not complete within {timeout:.0f} s "
+            "(axon worker hang)"
+        )
+    if not ok[0]:
+        return False, "TPU backend sanity op returned a wrong value"
+    return True, None
 
 
 def main():
     init_timeout = float(os.environ.get("BENCH_INIT_TIMEOUT", 900.0))
-    if not probe_backend(init_timeout):
+    healthy, reason = probe_backend(init_timeout)
+    if not healthy:
         print(
             json.dumps(
                 {
@@ -167,9 +183,7 @@ def main():
                     "unit": "samples/s (batched HMC at saturating chain "
                     "count, 10-dim correlated Gaussian)",
                     "vs_baseline": None,
-                    "error": "TPU backend init did not complete within "
-                    f"{init_timeout:.0f} s (axon worker hang); no "
-                    "measurement possible",
+                    "error": f"{reason}; no measurement possible",
                 }
             )
         )

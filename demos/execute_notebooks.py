@@ -84,13 +84,20 @@ def _strip_compiler_noise(nb) -> None:
             continue
         kept = []
         for out in cell.get("outputs", []):
-            if out.get("output_type") == "stream" and any(
-                m in out.get("text", "") for m in _NOISE_MARKERS
+            # only stderr streams: compiler alarms never land on stdout, and
+            # restricting keeps genuine printed results in mixed cells safe
+            if (
+                out.get("output_type") == "stream"
+                and out.get("name") == "stderr"
+                and any(m in out.get("text", "") for m in _NOISE_MARKERS)
             ):
                 import re
 
+                # glog-stamped lines (E0817 12:34:56...), dumped HLO
+                # instructions, and the alarm's own timing/precision chatter
                 drop = re.compile(
-                    r"^(E\d{4}|  %)|operand_precision|The operation took"
+                    r"^(E\d{4} \d{2}:\d{2}:\d{2}|\s*%|\s*ROOT )"
+                    r"|operand_precision=|The operation took"
                 )
                 lines = [
                     ln

@@ -40,21 +40,26 @@ import jax.numpy as jnp
 from jax import lax
 
 from .common import AdaptiveScale, init_adaptive_scale, submit_accept_prob
+from .hmc import (
+    EPS_CHK_INT,
+    EPS_GROWTH,
+    EPS_VAR_FLOOR,
+    EPS_POWER,
+    EPS_MIN_ADJ,
+    EPS_MAX_ADJ,
+)
 
-# step-size adaptation: NUTS targets the canonical 0.8 acceptance statistic
-# (the remaining constants are shared with the HMC kernel's adaptation)
+# step-size adaptation: NUTS targets the canonical 0.8 acceptance statistic;
+# the remaining constants are imported from (shared with) the HMC kernel
 NUTS_EPS_TARGET = 0.8
-EPS_CHK_INT = 15
-EPS_GROWTH = 1.4
-EPS_VAR_FLOOR = 0.03
-EPS_POWER = 0.15
-EPS_MIN_ADJ = 0.5
-EPS_MAX_ADJ = 2.0
 
 
 class NutsState(NamedTuple):
     theta: jnp.ndarray        # (P,) current position
     logp: jnp.ndarray         # () tempered log-probability at theta
+    grad: jnp.ndarray         # (P,) tempered gradient at theta (cached so a
+                              # transition starts without re-evaluating it;
+                              # tempering swaps re-scale it like ``logp``)
     eps: AdaptiveScale        # step-size adaptation state
     key: jnp.ndarray          # PRNG key
     divergences: jnp.ndarray  # () int32 cumulative divergent transitions
@@ -71,11 +76,22 @@ class NutsOutput(NamedTuple):
     divergent: jnp.ndarray       # () bool — transition hit a divergence
 
 
-def init_nuts_state(theta0, logp0, epsilon, key, inv_temp=1.0) -> NutsState:
+def init_nuts_state(
+    theta0, logp0, epsilon, key, inv_temp=1.0, grad0=None
+) -> NutsState:
+    """``grad0`` is the *tempered* gradient ``inv_temp * d(logp)/d(theta)``
+    at ``theta0`` — required, since the step starts integrating from the
+    cached value rather than re-evaluating it every transition."""
+    if grad0 is None:
+        raise ValueError(
+            "init_nuts_state requires grad0 (the tempered gradient of the "
+            "log-posterior at theta0)"
+        )
     theta0 = jnp.asarray(theta0)
     return NutsState(
         theta=theta0,
         logp=jnp.asarray(logp0, theta0.dtype),
+        grad=jnp.asarray(grad0, theta0.dtype).reshape(theta0.shape),
         eps=init_adaptive_scale(
             jnp.asarray(epsilon, theta0.dtype), EPS_CHK_INT
         ),
@@ -116,13 +132,6 @@ def make_nuts_step(
     levels = jnp.arange(max_depth + 1, dtype=jnp.int32)
     level_size = jnp.left_shift(jnp.asarray(1, jnp.int32), levels)
 
-    def kinetic_energy(r):
-        return 0.5 * (r @ mass_velocity(r))
-
-    # velocity applied row-wise over the checkpoint buffer (vmap keeps
-    # full-matrix inverse-mass maps correct; diagonal maps fuse anyway)
-    v_rows = jax.vmap(mass_velocity)
-
     def step(state: NutsState):
         key, k_mom, k_step = jax.random.split(state.key, 3)
         dtype = state.theta.dtype
@@ -144,22 +153,22 @@ def make_nuts_step(
             r0 = jax.random.normal(k_mom, state.theta.shape, dtype)
         else:
             r0 = mass_sample(k_mom, dtype)
-        h0 = kinetic_energy(r0) - state.logp
-        if grad_fn is None:
-            g0 = jax.grad(tempered)(state.theta)
-        else:
-            g0 = inv_temp * grad_fn(state.theta)
+        v0 = mass_velocity(r0)
+        h0 = 0.5 * (r0 @ v0) - state.logp
+        g0 = state.grad  # tempered gradient at theta, cached across steps
 
         class Inner(NamedTuple):
             key: jnp.ndarray
             i: jnp.ndarray             # leaf index within the subtree
             t: jnp.ndarray             # (P,) integration endpoint
             r: jnp.ndarray             # (P,) momentum at endpoint
+            v: jnp.ndarray             # (P,) velocity at endpoint
             g: jnp.ndarray             # (P,) cached tempered gradient
             ckpt_t: jnp.ndarray        # (max_depth+1, P) subtree starts
-            ckpt_r: jnp.ndarray        # (max_depth+1, P)
+            ckpt_v: jnp.ndarray        # (max_depth+1, P) start velocities
             cand_t: jnp.ndarray        # (P,) subtree multinomial candidate
             cand_logp: jnp.ndarray     # () tempered logp of the candidate
+            cand_g: jnp.ndarray        # (P,) tempered gradient there
             lse_new: jnp.ndarray       # () log sum of subtree leaf weights
             turning: jnp.ndarray       # () bool
             diverging: jnp.ndarray     # () bool
@@ -183,8 +192,12 @@ def make_nuts_step(
                 t_new = c.t + eps_signed * mass_velocity(r_half)
                 logp_new, g_new = value_and_grad(t_new)
                 r_new = r_half + (0.5 * eps_signed) * g_new
+                # the endpoint velocity is reused by every U-turn check
+                # this leaf participates in (computed once per leaf rather
+                # than re-applying the inverse mass per checkpoint row)
+                v_new = mass_velocity(r_new)
 
-                lw = h0 - (kinetic_energy(r_new) - logp_new)
+                lw = h0 - (0.5 * (r_new @ v_new) - logp_new)
                 lw = jnp.where(jnp.isfinite(lw), lw, -jnp.inf)
                 diverging = lw < -delta_max
 
@@ -195,22 +208,20 @@ def make_nuts_step(
                 )
                 cand_t = jnp.where(take, t_new, c.cand_t)
                 cand_logp = jnp.where(take, logp_new, c.cand_logp)
+                cand_g = jnp.where(take, g_new, c.cand_g)
 
                 # write leaf i into every level with i % 2^j == 0
                 write = (c.i & (level_size - 1)) == 0
                 ckpt_t = jnp.where(write[:, None], t_new[None, :], c.ckpt_t)
-                ckpt_r = jnp.where(write[:, None], r_new[None, :], c.ckpt_r)
+                ckpt_v = jnp.where(write[:, None], v_new[None, :], c.ckpt_v)
 
                 # levels whose dyadic subtree completes at leaf i compare
                 # their checkpoint (the subtree start) against this leaf;
                 # level 0 (the leaf itself) is never checked
                 check = (((c.i + 1) & (level_size - 1)) == 0) & (levels > 0)
                 dtheta = direction * (t_new[None, :] - ckpt_t)
-                turn_lvl = (
-                    jnp.sum(dtheta * v_rows(ckpt_r), axis=-1) < 0.0
-                ) | (
-                    jnp.sum(dtheta * mass_velocity(r_new)[None, :], axis=-1)
-                    < 0.0
+                turn_lvl = (jnp.sum(dtheta * ckpt_v, axis=-1) < 0.0) | (
+                    jnp.sum(dtheta * v_new[None, :], axis=-1) < 0.0
                 )
                 turning = jnp.any(check & turn_lvl)
 
@@ -219,11 +230,13 @@ def make_nuts_step(
                     i=c.i + 1,
                     t=t_new,
                     r=r_new,
+                    v=v_new,
                     g=g_new,
                     ckpt_t=ckpt_t,
-                    ckpt_r=ckpt_r,
+                    ckpt_v=ckpt_v,
                     cand_t=cand_t,
                     cand_logp=cand_logp,
+                    cand_g=cand_g,
                     lse_new=lse,
                     turning=turning,
                     diverging=diverging,
@@ -237,11 +250,13 @@ def make_nuts_step(
                 i=jnp.asarray(0, jnp.int32),
                 t=t,
                 r=r,
+                v=jnp.zeros_like(t),
                 g=g,
                 ckpt_t=jnp.zeros((max_depth + 1, n_parameters), dtype),
-                ckpt_r=jnp.zeros((max_depth + 1, n_parameters), dtype),
+                ckpt_v=jnp.zeros((max_depth + 1, n_parameters), dtype),
                 cand_t=t,
                 cand_logp=jnp.asarray(-jnp.inf, dtype),
+                cand_g=g,
                 lse_new=jnp.asarray(-jnp.inf, dtype),
                 turning=jnp.asarray(False),
                 diverging=jnp.asarray(False),
@@ -255,12 +270,15 @@ def make_nuts_step(
             depth: jnp.ndarray
             t_minus: jnp.ndarray
             r_minus: jnp.ndarray
+            v_minus: jnp.ndarray
             g_minus: jnp.ndarray
             t_plus: jnp.ndarray
             r_plus: jnp.ndarray
+            v_plus: jnp.ndarray
             g_plus: jnp.ndarray
             prop_t: jnp.ndarray
             prop_logp: jnp.ndarray
+            prop_g: jnp.ndarray
             lse_traj: jnp.ndarray
             stopped: jnp.ndarray     # () bool — U-turn or divergence seen
             divergent: jnp.ndarray   # () bool
@@ -294,6 +312,7 @@ def make_nuts_step(
             )
             prop_t = jnp.where(take_new, sub.cand_t, c.prop_t)
             prop_logp = jnp.where(take_new, sub.cand_logp, c.prop_logp)
+            prop_g = jnp.where(take_new, sub.cand_g, c.prop_g)
             lse_traj = jnp.where(
                 ok, jnp.logaddexp(c.lse_traj, sub.lse_new), c.lse_traj
             )
@@ -303,28 +322,31 @@ def make_nuts_step(
             grow_plus = ok & ~backward
             t_minus = jnp.where(grow_minus, sub.t, c.t_minus)
             r_minus = jnp.where(grow_minus, sub.r, c.r_minus)
+            v_minus = jnp.where(grow_minus, sub.v, c.v_minus)
             g_minus = jnp.where(grow_minus, sub.g, c.g_minus)
             t_plus = jnp.where(grow_plus, sub.t, c.t_plus)
             r_plus = jnp.where(grow_plus, sub.r, c.r_plus)
+            v_plus = jnp.where(grow_plus, sub.v, c.v_plus)
             g_plus = jnp.where(grow_plus, sub.g, c.g_plus)
 
             # whole-trajectory U-turn check on the merged endpoints
             dtheta = t_plus - t_minus
-            turn_traj = (dtheta @ mass_velocity(r_minus) < 0.0) | (
-                dtheta @ mass_velocity(r_plus) < 0.0
-            )
+            turn_traj = (dtheta @ v_minus < 0.0) | (dtheta @ v_plus < 0.0)
 
             return Outer(
                 key=key,
                 depth=c.depth + 1,
                 t_minus=t_minus,
                 r_minus=r_minus,
+                v_minus=v_minus,
                 g_minus=g_minus,
                 t_plus=t_plus,
                 r_plus=r_plus,
+                v_plus=v_plus,
                 g_plus=g_plus,
                 prop_t=prop_t,
                 prop_logp=prop_logp,
+                prop_g=prop_g,
                 lse_traj=lse_traj,
                 stopped=~ok | turn_traj,
                 divergent=c.divergent | sub.diverging,
@@ -337,12 +359,15 @@ def make_nuts_step(
             depth=jnp.asarray(0, jnp.int32),
             t_minus=state.theta,
             r_minus=r0,
+            v_minus=v0,
             g_minus=g0,
             t_plus=state.theta,
             r_plus=r0,
+            v_plus=v0,
             g_plus=g0,
             prop_t=state.theta,
             prop_logp=state.logp,
+            prop_g=g0,
             lse_traj=jnp.asarray(0.0, dtype),
             stopped=jnp.asarray(False),
             divergent=jnp.asarray(False),
@@ -368,6 +393,7 @@ def make_nuts_step(
         new_state = NutsState(
             theta=final.prop_t,
             logp=final.prop_logp,
+            grad=final.prop_g,
             eps=eps,
             key=key,
             divergences=state.divergences + final.divergent.astype(jnp.int32),

@@ -102,10 +102,35 @@ class NutsChain(HamiltonianChain):
             # swap the HMC state built by the parent for a NUTS state
             hs = self._state
             self._state = init_nuts_state(
-                hs.theta, hs.logp, epsilon, self._key, inv_temp=self.inv_temp
+                hs.theta,
+                hs.logp,
+                epsilon,
+                self._key,
+                inv_temp=self.inv_temp,
+                grad0=self._tempered_state_grad(hs.theta),
             )
             self._depth_chunks = [np.array([0], dtype=int)]
             self._div_chunks = [np.array([False])]
+
+    def _tempered_state_grad(self, theta):
+        """The tempered log-posterior gradient at ``theta`` (the cached
+        integration start the kernel carries in its state)."""
+        start = np.asarray(theta)
+        if self.user_grad is None and is_traceable(self.posterior, start):
+            return self.inv_temp * jax.grad(self._logp)(
+                jnp.asarray(theta, default_float())
+            )
+        grad_fn = self._gradient_fn(start)
+        return self.inv_temp * jnp.asarray(grad_fn(start), default_float())
+
+    def _refresh_state_grad(self):
+        """Recompute the state's cached gradient after the position was
+        rewritten externally (host tempering swaps between heterogeneous
+        rungs, where the partner chain carries no gradient to exchange)."""
+        if self._state is not None:
+            self._state = self._state._replace(
+                grad=self._tempered_state_grad(self._state.theta)
+            )
 
     # ------------------------------------------------------------------ #
     # device execution
@@ -210,7 +235,9 @@ class NutsChain(HamiltonianChain):
             "tree_depths": np.concatenate(self._depth_chunks),
             "divergent": np.concatenate(self._div_chunks),
             "divergences": (
-                int(self._state.divergences) if self._state is not None else 0
+                int(self._state.divergences)
+                if self._state is not None
+                else int(np.concatenate(self._div_chunks).sum())
             ),
             "n_parameters": self.n_parameters,
             "chain_length": self.chain_length,
@@ -278,6 +305,9 @@ class NutsChain(HamiltonianChain):
             chain._state = NutsState(
                 theta=jnp.asarray(start, dtype),
                 logp=jnp.asarray(chain._prob_chunks[0][-1], dtype),
+                grad=jnp.asarray(
+                    chain._tempered_state_grad(start), dtype
+                ),
                 eps=eps_state,
                 key=chain._key,
                 divergences=jnp.asarray(int(D["divergences"]), jnp.int32),

@@ -127,7 +127,14 @@ class ParallelTempering:
         only the state (positions, widths, inv_temp) may differ."""
         if a.posterior is not b.posterior:
             return False
-        for attr in ("steps", "max_attempts", "max_tries", "alpha", "retry"):
+        for attr in (
+            "steps",
+            "max_attempts",
+            "max_tries",
+            "alpha",
+            "retry",
+            "max_depth",
+        ):
             if getattr(a, attr, None) != getattr(b, attr, None):
                 return False
         ba, bb = getattr(a, "bounds", None), getattr(b, "bounds", None)
@@ -188,10 +195,14 @@ class ParallelTempering:
             new_theta = theta[perm]
             # probabilities are re-tempered at the receiving rung
             new_logp = (logp[perm] / inv_t[perm]) * inv_t
-            return (
-                state._replace(theta=new_theta, logp=new_logp),
-                accept,
-            )
+            new_state = state._replace(theta=new_theta, logp=new_logp)
+            if hasattr(state, "grad"):
+                # a cached tempered gradient rides with the position and
+                # re-tempers exactly like logp (grad = inv_temp * raw grad)
+                new_state = new_state._replace(
+                    grad=(state.grad[perm] / inv_t[perm, None]) * inv_t[:, None]
+                )
+            return new_state, accept
 
         def fused(state, pairs, keys, swap_interval: int):
             def cycle(carry, inputs):
@@ -354,6 +365,7 @@ class ParallelTempering:
             self.attempted_swaps[pair] += 1
 
         changed = False
+        perm = np.arange(len(self.chains))
         for i, j in proposed_swaps:
             dt = self.inv_temps[i] - self.inv_temps[j]
             pi = probabilities[i] / self.inv_temps[i]
@@ -366,6 +378,7 @@ class ParallelTempering:
                 positions[j] = pos_i
                 probabilities[i] = pj * self.inv_temps[i]
                 probabilities[j] = pi * self.inv_temps[j]
+                perm[[i, j]] = perm[[j, i]]
                 self.successful_swaps[i, j] += 1
                 changed = True
 
@@ -377,12 +390,23 @@ class ParallelTempering:
                         theta=jnp.asarray(positions[k], dtype),
                         logp=jnp.asarray(probabilities[k], dtype),
                     )
+                    if hasattr(chain._state, "grad"):
+                        # the partner rung may carry no gradient to hand
+                        # over — recompute the cache at the new position
+                        chain._refresh_state_grad()
             else:
                 dtype = self._batched_state.theta.dtype
                 self._batched_state = self._batched_state._replace(
                     theta=jnp.asarray(positions, dtype),
                     logp=jnp.asarray(probabilities, dtype),
                 )
+                if hasattr(self._batched_state, "grad"):
+                    g = np.asarray(self._batched_state.grad)
+                    inv_t = np.asarray(self.inv_temps, dtype=float)
+                    new_g = (g[perm] / inv_t[perm, None]) * inv_t[:, None]
+                    self._batched_state = self._batched_state._replace(
+                        grad=jnp.asarray(new_g, dtype)
+                    )
             for k, chain in enumerate(self.chains):
                 chain._consolidated_theta()[-1, :] = positions[k]
                 chain._consolidated_probs()[-1] = probabilities[k]

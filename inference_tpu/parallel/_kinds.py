@@ -173,7 +173,12 @@ def build_kind(
 
         def init(theta0, logp0, key, inv_temp=1.0):
             return nuts_kernel.init_nuts_state(
-                theta0, logp0, epsilon, key, inv_temp=inv_temp
+                theta0,
+                logp0,
+                epsilon,
+                key,
+                inv_temp=inv_temp,
+                grad0=inv_temp * jax.grad(logp_fn)(jnp.asarray(theta0)),
             )
 
         return init, step

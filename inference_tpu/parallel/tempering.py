@@ -268,7 +268,19 @@ class ShardedTempering:
 
             new_pos = jnp.where(accept[..., None], pos_o, pos)
             new_logp = jnp.where(accept, (logp_o / it_o) * it, logp)
-            return with_positions(state, new_pos, new_logp), accept
+            new_state = with_positions(state, new_pos, new_logp)
+            if hasattr(state, "grad"):
+                # cached tempered gradients ride with the positions and
+                # re-temper exactly like logp (grad = inv_temp * raw grad)
+                grad_o = lax.ppermute(state.grad, "rungs", perm)
+                new_state = new_state._replace(
+                    grad=jnp.where(
+                        accept[..., None],
+                        (grad_o / it_o[..., None]) * it[..., None],
+                        state.grad,
+                    )
+                )
+            return new_state, accept
 
         accept_ndim = 3 if self.kind == "ensemble" else 2
         return shard_map(

@@ -146,3 +146,47 @@ def test_nuts_mode_and_estimate_mass():
     chain.estimate_mass(burn=100, diagonal=False)
     chain.advance(50)
     assert chain.chain_length == 451
+
+
+def test_nuts_resave_preserves_divergences(tmp_path):
+    """Re-saving a chain that was loaded WITHOUT a posterior (so no live
+    kernel state exists) must keep the cumulative divergence count
+    (regression: the count was written as 0 whenever _state was None)."""
+    chain = NutsChain(
+        posterior=lambda t: -0.5e6 * (t @ t),
+        start=np.array([0.5, 0.5]),
+        epsilon=50.0,
+        display_progress=False,
+        seed=5,
+    )
+    chain.advance(50)
+    n_div = chain.n_divergences
+    assert n_div > 0
+    f1, f2 = tmp_path / "a.npz", tmp_path / "b.npz"
+    chain.save(str(f1))
+    analysis_only = NutsChain.load(str(f1))  # no posterior
+    analysis_only.save(str(f2))
+    resumed = NutsChain.load(str(f2), posterior=lambda t: -0.5e6 * (t @ t))
+    assert resumed.n_divergences == n_div
+    assert int(resumed.divergent_steps.sum()) == n_div
+
+
+def test_nuts_grad_cache_matches_position():
+    """The state's cached tempered gradient always belongs to the state's
+    current position (the transition starts integrating from it)."""
+    import jax
+    import jax.numpy as jnp
+
+    chain = NutsChain(
+        posterior=gaussian_logp,
+        start=np.array([1.0, 0.5]),
+        temperature=2.5,
+        display_progress=False,
+        seed=11,
+    )
+    chain.advance(40)
+    st = chain._state
+    expected = chain.inv_temp * np.asarray(
+        jax.grad(gaussian_logp)(jnp.asarray(st.theta))
+    )
+    assert np.allclose(np.asarray(st.grad), expected, rtol=1e-5, atol=1e-6)

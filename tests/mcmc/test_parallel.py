@@ -207,3 +207,92 @@ def test_pt_mismatched_configs_use_per_chain_path():
                           display_progress=False, seed=6)
     pt2 = ParallelTempering([c2, c3])
     assert not pt2._heterogeneous
+
+
+def test_pt_nuts_grad_cache_swaps():
+    """NUTS rungs cache the tempered gradient in their kernel state; the
+    fused on-device swap must permute and re-temper that cache in lockstep
+    with the positions (regression: a stale gradient after an accepted swap
+    corrupts the next trajectory's first half-step)."""
+    import jax
+    from inference_tpu.mcmc import NutsChain
+
+    chains = [
+        NutsChain(
+            bimodal,
+            start=np.array([4.0]),
+            temperature=T,
+            max_depth=5,
+            display_progress=False,
+            seed=3 + i,
+        )
+        for i, T in enumerate([1.0, 3.0, 10.0])
+    ]
+    pt = ParallelTempering(chains)
+    pt.advance(120, swap_interval=5)
+    assert not pt._heterogeneous
+    assert pt.successful_swaps.sum() - np.trace(pt.successful_swaps) > 0
+    st = pt._batched_state
+    g_fn = jax.grad(bimodal)
+    for k, it in enumerate(pt.inv_temps):
+        expected = it * np.asarray(g_fn(jnp.asarray(np.asarray(st.theta[k]))))
+        assert np.allclose(np.asarray(st.grad[k]), expected, rtol=1e-5, atol=1e-6)
+
+    # the host swap() entry point applies the same permutation algebra
+    for _ in range(10):
+        pt.swap()
+    st = pt._batched_state
+    for k, it in enumerate(pt.inv_temps):
+        expected = it * np.asarray(g_fn(jnp.asarray(np.asarray(st.theta[k]))))
+        assert np.allclose(np.asarray(st.grad[k]), expected, rtol=1e-5, atol=1e-6)
+
+
+def test_pt_nuts_heterogeneous_grad_refresh():
+    """In a mixed-family ladder the swap partner carries no gradient, so a
+    NUTS rung recomputes its cache after receiving a new position."""
+    import jax
+    from inference_tpu.mcmc import NutsChain
+
+    nuts = NutsChain(
+        bimodal,
+        start=np.array([4.0]),
+        temperature=1.0,
+        display_progress=False,
+        seed=0,
+    )
+    gibbs = GibbsChain(
+        bimodal,
+        start=np.array([-4.0]),
+        widths=np.array([0.3]),
+        temperature=5.0,
+        display_progress=False,
+        seed=1,
+    )
+    pt = ParallelTempering([nuts, gibbs])
+    assert pt._heterogeneous
+    pt.advance(60, swap_interval=5)
+    st = nuts._state
+    expected = nuts.inv_temp * np.asarray(
+        jax.grad(bimodal)(jnp.asarray(np.asarray(st.theta)))
+    )
+    assert np.allclose(np.asarray(st.grad), expected, rtol=1e-5, atol=1e-6)
+
+
+def test_pt_mixed_max_depth_routes_heterogeneous():
+    """NutsChain rungs that differ only in max_depth cannot share one
+    compiled step (regression: the batch silently used rung 0's depth)."""
+    from inference_tpu.mcmc import NutsChain
+
+    chains = [
+        NutsChain(
+            bimodal,
+            start=np.array([4.0]),
+            temperature=T,
+            max_depth=d,
+            display_progress=False,
+            seed=i,
+        )
+        for i, (T, d) in enumerate([(1.0, 8), (5.0, 4)])
+    ]
+    pt = ParallelTempering(chains)
+    assert pt._heterogeneous

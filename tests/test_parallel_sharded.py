@@ -539,3 +539,31 @@ def test_sharded_tempering_store_false_no_history():
     empty = st2.advance(3, swap_interval=10)
     full = st2.advance(20, swap_interval=10)
     assert empty.shape[1:] == full.shape[1:]
+
+
+def test_sharded_tempering_nuts_grad_cache_after_swaps():
+    """The ppermute swap must exchange and re-temper the NUTS kernel's
+    cached gradient alongside the positions (regression: a stale cache
+    corrupts the first half-step of every post-swap trajectory)."""
+    from inference_tpu.parallel import ShardedTempering, tempering_mesh
+
+    mesh = tempering_mesh(n_rungs=4)
+    st = ShardedTempering(
+        bimodal_1d,
+        start=np.array([4.0]),
+        temperatures=[1.0, 3.0, 10.0, 30.0],
+        n_chains=4,
+        mesh=mesh,
+        kind="nuts",
+        max_depth=5,
+        seed=7,
+    )
+    acc = st.advance(60, swap_interval=5)
+    assert acc.mean() > 0.05  # swaps actually happened
+    state = st._state
+    theta = np.asarray(state.theta)          # (rungs, chains, P)
+    grad = np.asarray(state.grad)            # (rungs, chains, P)
+    inv_t = np.asarray(state.inv_temp)       # (rungs, chains)
+    g_fn = jax.vmap(jax.vmap(jax.grad(bimodal_1d)))
+    expected = inv_t[..., None] * np.asarray(g_fn(jnp.asarray(theta)))
+    assert np.allclose(grad, expected, rtol=1e-5, atol=1e-6)
