@@ -131,6 +131,7 @@ def test_fused_device_iteration_state_consistency():
     assert np.allclose(alpha_fused, np.asarray(bo.gp.alpha), atol=1e-5)
 
 
+@pytest.mark.slow
 def test_deferred_history_flushes_on_plain_read():
     """The histories are reference-parity attributes users poll in
     stopping criteria: a plain read must settle the deferred device

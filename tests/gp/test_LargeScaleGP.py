@@ -292,6 +292,7 @@ def test_df64_rejects_nystrom_preconditioner():
         )
 
 
+@pytest.mark.slow
 def test_df64_small_noise_variances_match_dense_truth():
     """At sigma = 0.01 posterior variances are sigma^2-scale (~1e-5)
     while the f32 batched CG's floor is orders of magnitude above them
@@ -505,6 +506,7 @@ def test_df64_chunk_floor_shrinks_with_n():
         prev = it
 
 
+@pytest.mark.slow
 def test_fit_matches_on_sharded_mesh():
     """fit() through mesh-sharded blocked matvecs follows the same
     optimisation trajectory as the unsharded instance (same probes,

@@ -32,8 +32,8 @@ def make_chain(n=300, seed=4, **kwargs):
 
 
 def test_nuts_advance_and_slicing():
-    chain = make_chain(n=150)
-    assert chain.chain_length == 151
+    chain = make_chain(n=80)
+    assert chain.chain_length == 81
     for burn, thin in [(0, 1), (1, 1), (10, 3), (50, 7)]:
         expected = sliced_length(chain.chain_length, burn, thin)
         assert chain.get_sample(burn=burn, thin=thin).shape == (expected, 3)
@@ -41,13 +41,14 @@ def test_nuts_advance_and_slicing():
     # trajectory bookkeeping is per-step and self-consistent
     depths = chain.tree_depths
     leaps = np.array(chain.leapfrog_steps)
-    assert depths.shape == (151,)
+    assert depths.shape == (81,)
     assert (depths[1:] >= 1).all() and (depths <= 10).all()
     # doublings before the last complete fully (2^(d-1) - 1 leaves), and
     # the final one adds at least one leaf before any early stop
     assert (leaps[1:] >= 2 ** (depths[1:] - 1)).all()
 
 
+@pytest.mark.slow
 def test_nuts_gaussian_covariance():
     """Sampled covariance matches a correlated Gaussian target."""
     chain = NutsChain(
@@ -94,7 +95,11 @@ def test_nuts_user_gradient():
 
 @pytest.mark.parametrize(
     "inverse_mass",
-    [2.0, np.array([1.0, 2.0, 0.5]), np.diag([1.0, 2.0, 0.5]) + 0.1],
+    [
+        pytest.param(2.0, marks=pytest.mark.slow),
+        pytest.param(np.array([1.0, 2.0, 0.5]), marks=pytest.mark.slow),
+        np.diag([1.0, 2.0, 0.5]) + 0.1,  # full-matrix mass: the rich path
+    ],
 )
 def test_nuts_mass_options(inverse_mass):
     chain = make_chain(n=100, inverse_mass=inverse_mass)
@@ -119,7 +124,7 @@ def test_nuts_divergence_counting():
 
 
 def test_nuts_save_load(tmp_path):
-    chain = make_chain(n=120, seed=9)
+    chain = make_chain(n=60, seed=9)
     f = tmp_path / "nuts.npz"
     chain.save(str(f))
     loaded = NutsChain.load(str(f), posterior=ToroidalGaussian())
@@ -127,8 +132,8 @@ def test_nuts_save_load(tmp_path):
     assert np.allclose(loaded.get_probabilities(), chain.get_probabilities())
     assert loaded.n_divergences == chain.n_divergences
     assert loaded.max_depth == chain.max_depth
-    loaded.advance(30)
-    assert loaded.chain_length == chain.chain_length + 30
+    loaded.advance(20)
+    assert loaded.chain_length == chain.chain_length + 20
 
 
 def test_nuts_plot_diagnostics():
@@ -139,6 +144,7 @@ def test_nuts_plot_diagnostics():
     chain.plot_diagnostics(show=False)
 
 
+@pytest.mark.slow
 def test_nuts_mode_and_estimate_mass():
     chain = make_chain(n=400, seed=3)
     mode = chain.mode()

@@ -249,6 +249,7 @@ def test_sqexp_matmat_df64_matches_matvec_columns():
         assert np.array_equal(Y[:, k], yk)
 
 
+@pytest.mark.slow
 def test_df64_multi_solver_matches_dense():
     """Df64MultiSolver solves a block of systems to df64 accuracy with
     per-column convergence, against a dense float64 solve."""
