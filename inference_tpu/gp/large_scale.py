@@ -123,7 +123,12 @@ class LargeScaleGP:
         "auto" (default) stores when the pair fits comfortably
         (n_padded <= 20480, ~3.4 GB).
     :param mesh: optional 1D mesh; data rows and solves shard over its
-        first axis.
+        first axis. With ``solver="df64"`` the double-float matvec runs
+        the row-sharded rectangular Pallas kernel on every device
+        (``ops.df64.sqexp_matmat_df64_sharded``) — each chip evaluates its
+        block of kernel rows against the replicated data, so the
+        per-iteration entry evaluation scales with the device count (the
+        stored-entries fast path is single-chip and is skipped on a mesh).
     """
 
     def __init__(
@@ -155,14 +160,15 @@ class LargeScaleGP:
                 f"[ LargeScaleGP error ] solver='{solver}' requires "
                 "jax.config.update('jax_enable_x64', True)."
             )
-        if solver == "df64" and mesh is not None:
+        if solver == "df64" and mesh is not None and store_entries is True:
             raise ValueError(
-                "[ LargeScaleGP error ] solver='df64' runs the fused "
-                "double-float Pallas matvec on a single chip; drop the "
-                "mesh (N up to ~10^5 fits one chip: no N x N matrix is "
-                "ever formed)."
+                "[ LargeScaleGP error ] store_entries=True is single-chip "
+                "(the stored pair is one device's HBM); with a mesh the "
+                "df64 tier runs the row-sharded fused kernel instead — "
+                "drop the flag."
             )
         self.solver = solver
+        self._mesh = mesh
         if store_entries not in ("auto", True, False):
             raise ValueError(
                 f"[ LargeScaleGP error ] 'store_entries' must be 'auto', "
@@ -217,7 +223,7 @@ class LargeScaleGP:
         if solver == "df64":
             # fail fast on tile misalignment — BEFORE the O(N m^2) host
             # preconditioner build, which takes minutes at large N
-            from ..ops.df64 import _TJ
+            from ..ops.df64 import _TJ, _TI
 
             if n_pad % _TJ != 0:
                 raise ValueError(
@@ -225,6 +231,15 @@ class LargeScaleGP:
                     f"padded row count to be a multiple of {_TJ}; use a "
                     f"block_size that is a multiple of {_TJ}."
                 )
+            if mesh is not None:
+                n_dev = mesh.shape[mesh.axis_names[0]]
+                if n_pad % (n_dev * _TI) != 0:
+                    raise ValueError(
+                        f"[ LargeScaleGP error ] solver='df64' on a "
+                        f"{n_dev}-device mesh needs the padded row count "
+                        f"({n_pad}) to split into per-device blocks that "
+                        f"are multiples of {_TI}; adjust block_size."
+                    )
 
         self.mean_value = (
             float(np.mean(y[: self.n_points])) if mean_value is None else mean_value
@@ -520,12 +535,19 @@ class LargeScaleGP:
         return amp2 * EV + diag[:, None] * V32.astype(jnp.float64)
 
     def _entries_apply(self, V32):
-        """``E V`` through the stored entry pair when materialised, else
-        the fused evaluate-per-matvec kernel."""
+        """``E V`` through the stored entry pair when materialised, the
+        row-sharded fused kernel on a mesh, else the single-device fused
+        evaluate-per-matvec kernel."""
         if self._entries is not None:
             from ..ops.df64 import sqexp_stored_matmat_df64
 
             return sqexp_stored_matmat_df64(*self._entries, V32)
+        if self._mesh is not None:
+            from ..ops.df64 import sqexp_matmat_df64_sharded
+
+            return sqexp_matmat_df64_sharded(
+                self._us_hi, self._us_lo, V32, self._mesh
+            )
         from ..ops.df64 import sqexp_matmat_df64
 
         return sqexp_matmat_df64(self._us_hi, self._us_lo, V32)
@@ -551,6 +573,10 @@ class LargeScaleGP:
         self._us_lo = jnp.asarray(ul)
         self._sig64 = jnp.asarray(self._sig_host, jnp.float64)
         self._entries = None
+        if self._mesh is not None:
+            # the mesh path runs the row-sharded fused kernel; a stored
+            # (n, n) entry pair is one device's HBM and stays single-chip
+            return
         from ..ops.df64 import should_store_entries
 
         if should_store_entries(self._n_padded, self.store_entries):

@@ -17,6 +17,8 @@ from .solvers import (
 from .df64 import (
     sqexp_matvec_df64,
     sqexp_matmat_df64,
+    sqexp_matmat_rect_df64,
+    sqexp_matmat_df64_sharded,
     sqexp_entries_df64,
     sqexp_stored_matvec_df64,
     sqexp_stored_matmat_df64,
@@ -36,6 +38,8 @@ __all__ = [
     "df64_chunk_iters",
     "sqexp_matvec_df64",
     "sqexp_matmat_df64",
+    "sqexp_matmat_rect_df64",
+    "sqexp_matmat_df64_sharded",
     "sqexp_entries_df64",
     "sqexp_stored_matvec_df64",
     "sqexp_stored_matmat_df64",

@@ -391,10 +391,26 @@ def _matmat_kernel(d: int, q: int, tj: int, ti: int):
 
 @functools.partial(jax.jit, static_argnames=("interpret", "tj", "ti"))
 def _sqexp_matmat_df64_pallas(uh, ul, V, interpret=False, tj=_TJ, ti=_TI):
-    n, d = uh.shape
+    return _sqexp_matmat_rect_df64_pallas(
+        uh, ul, uh, ul, V, interpret=interpret, tj=tj, ti=ti
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "tj", "ti"))
+def _sqexp_matmat_rect_df64_pallas(
+    rh, rl, ch, cl, V, interpret=False, tj=_TJ, ti=_TI
+):
+    """Rectangular core: output rows come from the ``(n_rows, d)`` pair
+    ``(rh, rl)``, the reduction axis from the ``(n_cols, d)`` pair
+    ``(ch, cl)`` — ``Y[i, k] = sum_j exp(-0.5 ||r_i - c_j||^2) V[j, k]``.
+    The square kernel is the ``rows is cols`` special case; the row-sharded
+    multi-chip matvec gives each device its row block with the full data
+    replicated as columns."""
+    n_rows, d = rh.shape
+    n_cols = ch.shape[0]
     q = V.shape[1]
-    n_j = n // tj
-    n_i = n // ti
+    n_j = n_cols // tj
+    n_i = n_rows // ti
 
     kernel = _matmat_kernel(d, q, tj, ti)
     with _x64_off_ctx():
@@ -425,11 +441,11 @@ def _sqexp_matmat_df64_pallas(uh, ul, V, interpret=False, tj=_TJ, ti=_TI):
                 dimension_semantics=("parallel", "arbitrary"),
             ),
             interpret=interpret,
-        )(uh, ul, uh, ul, V)
+        )(ch, cl, rh, rl, V)
     ph = out_hi.reshape(q, n_i, 8, ti).astype(jnp.float64)
     plo = out_lo.reshape(q, n_i, 8, ti).astype(jnp.float64)
-    Y64 = (ph + plo).sum(axis=2).reshape(q, n)
-    return Y64.T  # (n, q)
+    Y64 = (ph + plo).sum(axis=2).reshape(q, n_rows)
+    return Y64.T  # (n_rows, q)
 
 
 def sqexp_matmat_df64(us_hi, us_lo, V, interpret: bool = None):
@@ -463,6 +479,90 @@ def sqexp_matmat_df64(us_hi, us_lo, V, interpret: bool = None):
             f"{_TJ}; pad the data rows (zero-padded v entries are inert)."
         )
     return _sqexp_matmat_df64_pallas(uh, ul, V, interpret=interpret)
+
+
+def sqexp_matmat_rect_df64(
+    rows_hi, rows_lo, cols_hi, cols_lo, V, interpret: bool = None
+):
+    """
+    Rectangular double-float matmat: ``Y[i, k] = sum_j E(r_i, c_j) V[j, k]``
+    with ``E(a, b) = exp(-0.5 ||a - b||^2)``, rows and columns drawn from
+    *different* pre-scaled coordinate pairs. This is the building block of
+    the row-sharded multi-chip matvec (each device evaluates its row block
+    against the full data); the square ``sqexp_matmat_df64`` is the
+    ``rows is cols`` case. Returns float64 ``(n_rows, q)``.
+    """
+    if not jax.config.read("jax_enable_x64"):
+        raise ValueError(
+            "sqexp_matmat_rect_df64 requires jax_enable_x64 (the "
+            "partial-pair combine and the returned matrix are float64)"
+        )
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    rh = jnp.asarray(rows_hi, jnp.float32)
+    rl = jnp.asarray(rows_lo, jnp.float32)
+    ch = jnp.asarray(cols_hi, jnp.float32)
+    cl = jnp.asarray(cols_lo, jnp.float32)
+    V = jnp.asarray(V, jnp.float32)
+    if V.ndim != 2:
+        raise ValueError(
+            "[ sqexp_matmat_rect_df64 error ] V must be 2D (n_cols, q)."
+        )
+    n_rows = rh.shape[0]
+    n_cols = ch.shape[0]
+    if V.shape[0] != n_cols:
+        raise ValueError(
+            f"[ sqexp_matmat_rect_df64 error ] V has {V.shape[0]} rows "
+            f"but there are {n_cols} column points."
+        )
+    if n_rows % _TI != 0 or n_cols % _TJ != 0:
+        raise ValueError(
+            f"[ sqexp_matmat_rect_df64 error ] row count ({n_rows}) must "
+            f"be a multiple of {_TI} and column count ({n_cols}) a "
+            f"multiple of {_TJ}; pad (zero-padded V entries are inert)."
+        )
+    return _sqexp_matmat_rect_df64_pallas(rh, rl, ch, cl, V, interpret=interpret)
+
+
+def sqexp_matmat_df64_sharded(us_hi, us_lo, V, mesh, interpret: bool = None):
+    """
+    Row-sharded multi-chip variant of ``sqexp_matmat_df64``: data rows
+    split over the (1D) ``mesh`` axis, each device evaluating its block of
+    ``E V`` with the rectangular kernel against the replicated full data
+    and right-hand sides — no cross-device communication beyond the input
+    gather, since every output row needs only its own reduction. Output is
+    row-sharded float64 ``(n, q)``; downstream elementwise solver algebra
+    partitions along the same axis. Traceable (usable inside jit).
+    """
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec
+
+    axis = mesh.axis_names[0]
+    n_dev = mesh.shape[axis]
+    n = us_hi.shape[0]
+    if (n // n_dev) % _TI != 0 or n % (n_dev * _TI) != 0:
+        raise ValueError(
+            f"[ sqexp_matmat_df64_sharded error ] n ({n}) must split over "
+            f"{n_dev} devices into row blocks that are multiples of {_TI}."
+        )
+
+    def local(rh, rl, ch, cl, Vf):
+        return sqexp_matmat_rect_df64(rh, rl, ch, cl, Vf, interpret=interpret)
+
+    f = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(
+            PartitionSpec(axis, None),
+            PartitionSpec(axis, None),
+            PartitionSpec(None, None),
+            PartitionSpec(None, None),
+            PartitionSpec(None, None),
+        ),
+        out_specs=PartitionSpec(axis, None),
+        check_rep=False,
+    )
+    return f(us_hi, us_lo, us_hi, us_lo, V)
 
 
 def sqexp_matvec_df64(us_hi, us_lo, v, interpret: bool = None):

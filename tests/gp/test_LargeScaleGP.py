@@ -544,3 +544,34 @@ def test_fit_on_df64_instance():
     th = gp.fit(n_steps=4, learning_rate=0.1, n_probes=4, seed=0)
     assert np.all(np.isfinite(th))
     assert not np.allclose(th, gp.hyperpars)  # it moved
+
+
+@pytest.mark.slow
+def test_df64_solver_on_sharded_mesh_matches_single_device():
+    """solver='df64' on a mesh routes the pair-arithmetic matvec through
+    the row-sharded rectangular kernel (each device computes its block of
+    kernel rows against the replicated data). The per-row arithmetic is
+    identical to the single-device fused kernel, so the whole solve must
+    agree to float64 rounding."""
+    import jax
+    from jax.sharding import Mesh
+
+    rng = np.random.default_rng(3)
+    n = 512
+    x = rng.uniform(0, 8, size=(n, 2))
+    y = np.sin(x[:, 0]) * np.cos(0.5 * x[:, 1])
+    err = np.full(n, 0.01)
+    kw = dict(
+        hyperpars=np.array([0.0, 0.0, 0.0]), block_size=128,
+        preconditioner_rank=128, solver="df64", cg_tol=1e-9,
+        cg_maxiter=2000, store_entries=False,
+    )
+    plain = LargeScaleGP(x, y, err, **kw)
+    mesh = Mesh(np.array(jax.devices()[:4]), ("data",))
+    sharded = LargeScaleGP(x, y, err, mesh=mesh, **kw)
+    assert sharded._entries is None  # the stored tier is single-chip
+    # identical tile arithmetic => the solves agree to f64 rounding
+    assert np.abs(sharded.alpha64 - plain.alpha64).max() <= 1e-10 * np.abs(
+        plain.alpha64
+    ).max()
+    assert sharded.residual_norm_f64(residual_backend="host") < 3e-8

@@ -338,3 +338,43 @@ def test_sqexp_stored_matmat_matches_fused():
         sqexp_matvec_df64(uh, ul, V[:, 0], interpret=True)
     )
     assert np.abs(y - y_fused).max() / np.abs(y_fused).max() < 1e-12
+
+
+def test_rect_and_sharded_matmat_match_square():
+    """The rectangular kernel reproduces the square kernel bitwise on the
+    full row set and on row blocks, and the row-sharded mesh wrapper
+    (the multi-chip df64 matvec) reproduces it bitwise end to end."""
+    import jax
+    from jax.sharding import Mesh
+    from inference_tpu.ops.df64 import (
+        split_f64,
+        sqexp_matmat_df64,
+        sqexp_matmat_rect_df64,
+        sqexp_matmat_df64_sharded,
+    )
+
+    rng = np.random.default_rng(2)
+    n, q = 256, 2
+    x = rng.uniform(0, 6, size=(n, 2))
+    uh, ul = split_f64(x)
+    V = rng.normal(size=(n, q))
+
+    Y = np.asarray(sqexp_matmat_df64(uh, ul, V))
+    Y_rect = np.asarray(sqexp_matmat_rect_df64(uh, ul, uh, ul, V))
+    assert np.array_equal(Y, Y_rect)
+    Y_rows = np.asarray(sqexp_matmat_rect_df64(uh[128:], ul[128:], uh, ul, V))
+    assert np.array_equal(Y[128:], Y_rows)
+
+    mesh = Mesh(np.array(jax.devices()[:2]), ("data",))
+    Y_sh = np.asarray(
+        sqexp_matmat_df64_sharded(
+            jnp.asarray(uh), jnp.asarray(ul), jnp.asarray(V), mesh
+        )
+    )
+    assert np.array_equal(Y, Y_sh)
+
+    with pytest.raises(ValueError):  # rows must split into 128-multiples
+        bad = Mesh(np.array(jax.devices()[:3]), ("data",))
+        sqexp_matmat_df64_sharded(
+            jnp.asarray(uh), jnp.asarray(ul), jnp.asarray(V), bad
+        )
