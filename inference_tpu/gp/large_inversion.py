@@ -59,14 +59,17 @@ class LargeScaleGpLinearInverter:
         split, the A products as emulated-float64 M x N matvecs (tiny
         programs — float32 A products were measured to floor the
         residual at ~2e-5), and float64 CG vectors in bounded compiled
-        chunks. Requires ``jax_enable_x64`` and a single chip.
+        chunks. Requires ``jax_enable_x64``; with a mesh the prior
+        contraction runs the row-sharded rectangular kernel
+        (``ops.df64.sqexp_matmat_df64_sharded``) across devices.
     :param dtype: optional dtype override for the stored arrays and the
         traced solve programs. Defaults to float32 for ``solver="df64"``
         (its precision lives in the pair-arithmetic operator and float64
         CG vectors, not the storage) and to the JAX default float
         otherwise.
     :param mesh: optional 1D mesh; parameter rows and the model-matrix
-        columns shard over its first axis.
+        columns shard over its first axis (the df64 tier's stored-entries
+        fast path is single-chip and is skipped on a mesh).
     """
 
     def __init__(
@@ -109,13 +112,15 @@ class LargeScaleGpLinearInverter:
                     "[ LargeScaleGpLinearInverter error ] solver='df64' "
                     "requires jax.config.update('jax_enable_x64', True)."
                 )
-            if mesh is not None:
+            if mesh is not None and store_entries is True:
                 raise ValueError(
-                    "[ LargeScaleGpLinearInverter error ] solver='df64' "
-                    "runs the fused double-float Pallas matvec on a "
-                    "single chip; drop the mesh."
+                    "[ LargeScaleGpLinearInverter error ] "
+                    "store_entries=True is single-chip (the stored pair "
+                    "is one device's HBM); with a mesh the df64 tier "
+                    "runs the row-sharded fused kernel — drop the flag."
                 )
         self.solver = solver
+        self._mesh = mesh
         if dtype is None:
             # df64 carries its precision in the pair-arithmetic matvec,
             # the emulated-f64 A products and the float64 CG vectors; the
@@ -208,6 +213,18 @@ class LargeScaleGpLinearInverter:
                 f"needs the padded parameter count to be a multiple of "
                 f"{_TJ}; use a block_size that is a multiple of {_TJ}."
             )
+        if self._mesh is not None:
+            from ..ops.df64 import _TI
+
+            n_dev = self._mesh.shape[self._mesh.axis_names[0]]
+            if self._n_padded % (n_dev * _TI) != 0:
+                raise ValueError(
+                    f"[ LargeScaleGpLinearInverter error ] solver='df64' "
+                    f"on a {n_dev}-device mesh needs the padded parameter "
+                    f"count ({self._n_padded}) to split into per-device "
+                    f"blocks that are multiples of {_TI}; adjust "
+                    f"block_size."
+                )
         ls64 = np.exp(np.asarray(self.hyperpars[1:], np.float64))
         uh, ul = split_f64(np.asarray(x_padded, np.float64) / ls64[None, :])
         self._us_hi = jnp.asarray(uh)
@@ -215,6 +232,10 @@ class LargeScaleGpLinearInverter:
         self._sig64 = jnp.asarray(self._sig_host, jnp.float64)
         self._A64 = None  # set in _build_compiled (needs the padded A)
         self._entries = None
+        if self._mesh is not None:
+            # the mesh path runs the row-sharded fused kernel; a stored
+            # (n, n) entry pair is one device's HBM and stays single-chip
+            return
         from ..ops.df64 import should_store_entries
 
         if should_store_entries(self._n_padded, self.store_entries):
@@ -245,6 +266,16 @@ class LargeScaleGpLinearInverter:
 
             KP = sqexp_stored_matmat_df64(
                 *self._entries, jnp.stack([ph, pl], axis=1)
+            )
+            Kp = amp2 * (KP[:, 0] + KP[:, 1])
+        elif self._mesh is not None:
+            from ..ops.df64 import sqexp_matmat_df64_sharded
+
+            # row-sharded rectangular kernel; the hi/lo input pair rides
+            # as two columns of one matmat (entries evaluated once)
+            KP = sqexp_matmat_df64_sharded(
+                self._us_hi, self._us_lo,
+                jnp.stack([ph, pl], axis=1), self._mesh,
             )
             Kp = amp2 * (KP[:, 0] + KP[:, 1])
         else:

@@ -220,3 +220,40 @@ def test_large_inverter_fit_improves_data_space_lml():
 
     with pytest.raises(ValueError):
         inv.fit(n_probes=0)
+
+
+@pytest.mark.slow
+def test_large_inverter_df64_on_sharded_mesh():
+    """solver='df64' with a mesh runs the prior contraction through the
+    row-sharded rectangular kernel; the data-space solve matches the
+    single-device df64 instance to float64 rounding (identical per-row
+    tile arithmetic)."""
+    import jax
+    from jax.sharding import Mesh
+
+    if not jax.config.read("jax_enable_x64"):
+        pytest.skip("requires x64")
+    rng = np.random.default_rng(5)
+    m_data, n_par = 96, 256
+    xp = rng.uniform(0, 6, size=(n_par, 2))
+    A = rng.normal(size=(m_data, n_par)) / np.sqrt(n_par)
+    truth = np.sin(xp[:, 0]) * np.cos(0.5 * xp[:, 1])
+    y = A @ truth + 1e-3 * rng.normal(size=m_data)
+    err = np.full(m_data, 1e-3)
+    theta = np.array([0.0, 0.0, 0.0])
+
+    from inference_tpu.gp import LargeScaleGpLinearInverter
+
+    kw = dict(block_size=128, solver="df64", cg_tol=1e-9, cg_maxiter=4000,
+              store_entries=False)
+    plain = LargeScaleGpLinearInverter(y, err, A, xp, theta, **kw)
+    mesh = Mesh(np.array(jax.devices()[:2]), ("data",))
+    sharded = LargeScaleGpLinearInverter(y, err, A, xp, theta, mesh=mesh, **kw)
+    assert sharded._entries is None
+    assert sharded.residual_norm_f64() < 1e-6
+    # the single-device path applies the hi/lo split as two matvec-kernel
+    # calls, the mesh path as one two-column matmat: the contraction
+    # roundings differ at the operator's own ~1e-8 noise, so the solves
+    # agree to that level rather than bitwise
+    scale = np.abs(plain.z64).max()
+    assert np.abs(sharded.z64 - plain.z64).max() <= 1e-7 * scale
