@@ -226,7 +226,8 @@ class LargeScaleGpLinearInverter:
                     f"block_size."
                 )
         ls64 = np.exp(np.asarray(self.hyperpars[1:], np.float64))
-        uh, ul = split_f64(np.asarray(x_padded, np.float64) / ls64[None, :])
+        self._x_pad_host = np.asarray(x_padded, np.float64)
+        uh, ul = split_f64(self._x_pad_host / ls64[None, :])
         self._us_hi = jnp.asarray(uh)
         self._us_lo = jnp.asarray(ul)
         self._sig64 = jnp.asarray(self._sig_host, jnp.float64)
@@ -243,7 +244,48 @@ class LargeScaleGpLinearInverter:
 
             self._entries = sqexp_entries_df64(self._us_hi, self._us_lo)
 
-    def _data_matvec64(self, v32, A64):
+    def _df64_op_args(self):
+        """Runtime operands of the double-float prior operator: the stored
+        entry pair when materialised, else the scaled-coordinate pair.
+        Threaded through the solver as arguments on every dispatch — a
+        bound method closing over an (n, n) device array would embed it
+        in the compiled chunk's HLO module (the compile-payload trap:
+        256 MB at n=8192 already exceeded the remote-compile limit)."""
+        if self._entries is not None:
+            return self._entries
+        return (self._us_hi, self._us_lo)
+
+    def _prior_matmat64(self, V32, op_a, op_b):
+        """``E V`` through the stored entry pair, the row-sharded mesh
+        kernel, or the single-device fused kernel — the branch is static
+        at trace time; ``(op_a, op_b)`` carries the branch's arrays."""
+        if self._entries is not None:
+            from ..ops.df64 import sqexp_stored_matmat_df64
+
+            return sqexp_stored_matmat_df64(op_a, op_b, V32)
+        if self._mesh is not None:
+            from ..ops.df64 import sqexp_matmat_df64_sharded
+
+            return sqexp_matmat_df64_sharded(op_a, op_b, V32, self._mesh)
+        from ..ops.df64 import sqexp_matmat_df64
+
+        return sqexp_matmat_df64(op_a, op_b, V32)
+
+    def _prior_apply_split64(self, P64, op_a, op_b):
+        """``K P`` for a float64 (n, q) block, through ONE pair-arithmetic
+        matmat on the exact hi/lo split of ``P`` (the hi and lo columns
+        ride together, so the ~190-flop entries are evaluated once)."""
+        f32, f64 = jnp.float32, jnp.float64
+        q = P64.shape[1]
+        Ph = P64.astype(f32)
+        Pl = (P64 - Ph.astype(f64)).astype(f32)
+        KP = self._prior_matmat64(
+            jnp.concatenate([Ph, Pl], axis=1), op_a, op_b
+        )
+        amp2 = np.exp(2.0 * float(self.hyperpars[0]))
+        return amp2 * (KP[:, :q] + KP[:, q:])
+
+    def _data_matvec64(self, v32, A64, op_a, op_b):
         """Double-float data-space matvec ``(Sigma + A K A^T) v``: the
         N-dimensional prior-covariance contraction runs through the
         pair-arithmetic Pallas kernel on an exact hi/lo split of its
@@ -253,40 +295,23 @@ class LargeScaleGpLinearInverter:
         cannot hold (float32 A products were measured to floor the
         data-space residual at ~2e-5: their rounding is operator-internal
         noise that the solver cannot correct)."""
-        f32, f64 = jnp.float32, jnp.float64
+        f64 = jnp.float64
         v64 = v32.astype(f64)
         p64 = jnp.dot(A64.T, v64, precision=_HI)
-        ph = p64.astype(f32)
-        pl = (p64 - ph.astype(f64)).astype(f32)
-        amp2 = np.exp(2.0 * float(self.hyperpars[0]))
-        if self._entries is not None:
-            # one stored-entries contraction covers both hi/lo columns:
-            # no entry evaluation AND the hi/lo pair amortised
-            from ..ops.df64 import sqexp_stored_matmat_df64
-
-            KP = sqexp_stored_matmat_df64(
-                *self._entries, jnp.stack([ph, pl], axis=1)
-            )
-            Kp = amp2 * (KP[:, 0] + KP[:, 1])
-        elif self._mesh is not None:
-            from ..ops.df64 import sqexp_matmat_df64_sharded
-
-            # row-sharded rectangular kernel; the hi/lo input pair rides
-            # as two columns of one matmat (entries evaluated once)
-            KP = sqexp_matmat_df64_sharded(
-                self._us_hi, self._us_lo,
-                jnp.stack([ph, pl], axis=1), self._mesh,
-            )
-            Kp = amp2 * (KP[:, 0] + KP[:, 1])
-        else:
-            from ..ops.df64 import sqexp_matvec_df64
-
-            Kp = amp2 * (
-                sqexp_matvec_df64(self._us_hi, self._us_lo, ph)
-                + sqexp_matvec_df64(self._us_hi, self._us_lo, pl)
-            )
+        Kp = self._prior_apply_split64(p64[:, None], op_a, op_b)[:, 0]
         AKp = jnp.dot(A64, Kp, precision=_HI)
         return self._sig64 * v64 + AKp
+
+    def _data_matmat64(self, V32, A64, op_a, op_b):
+        """Multi-RHS double-float data-space matmat ``(Sigma + A K A^T) V``
+        — the batched-variance counterpart of ``_data_matvec64`` (all
+        hi/lo columns of the block share one entry evaluation)."""
+        f64 = jnp.float64
+        V64 = V32.astype(f64)
+        P64 = jnp.dot(A64.T, V64, precision=_HI)
+        KP = self._prior_apply_split64(P64, op_a, op_b)
+        AKP = jnp.dot(A64, KP, precision=_HI)
+        return self._sig64[:, None] * V64 + AKP
 
     def _rhs64(self) -> np.ndarray:
         return self._y_host - self.prior_mean * self._A_row_sums
@@ -304,9 +329,10 @@ class LargeScaleGpLinearInverter:
             z64 = np.asarray(self.z, np.float64)
         zh = z64.astype(np.float32)
         zl = (z64 - zh.astype(np.float64)).astype(np.float32)
+        op = self._df64_op_args()
         Az = np.asarray(
-            self._data_matvec64(jnp.asarray(zh), self._A64)
-        ) + np.asarray(self._data_matvec64(jnp.asarray(zl), self._A64))
+            self._data_matvec64(jnp.asarray(zh), self._A64, *op)
+        ) + np.asarray(self._data_matvec64(jnp.asarray(zl), self._A64, *op))
         rhs = self._rhs64()
         return float(
             np.linalg.norm(rhs - Az) / max(np.linalg.norm(rhs), 1e-300)
@@ -392,7 +418,7 @@ class LargeScaleGpLinearInverter:
                 self._data_matvec64,
                 M=lambda v, sig: v / sig,
                 M_args=(self._sig,),
-                matvec_args=(self._A64,),
+                matvec_args=(self._A64, *self._df64_op_args()),
                 restart_every=chunk,
             )
             self._solve_data_space = lambda: solver.solve(
@@ -439,6 +465,106 @@ class LargeScaleGpLinearInverter:
 
         var_jit = jax.jit(variances)
         self._variances = lambda idx: var_jit(*args(), idx)
+        if use_df64:
+            # the f32 prediction paths would floor far above the df64
+            # solve's accuracy (kernel-entry noise ~1e-5 on the mean
+            # contraction; the amp^2 - quad variance cancellation reaches
+            # sigma^2 scale at small noise) — route both through the
+            # pair-arithmetic machinery and the float64 solution
+            self._mean_field = self._mean_field_df64
+            self._variances = self._variances_df64
+            self._cg_tol, self._cg_maxiter = cg_tol, cg_maxiter
+
+    # data-space variance solves per column block: each block column
+    # carries a hi/lo pair through the kernel, and the matmat kernel's
+    # (q, TJ, TI) accumulators pressure VMEM past ~16 kernel columns
+    _DF64_VAR_COLS = 4
+
+    def _k_rows_host64(self, idx) -> np.ndarray:
+        """Float64 host prior-covariance rows ``K(x_sel, x_padded)`` —
+        exact to f64 (the matmul distance form's cancellation is ~1e-14
+        relative on host f64). Padded columns carry kernel values but die
+        through the model matrix's zero columns downstream."""
+        ls = np.exp(np.asarray(self.hyperpars[1:], np.float64))
+        amp2 = float(np.exp(2.0 * self.hyperpars[0]))
+        xs = self._x_pad_host / ls[None, :]
+        sel = xs[np.asarray(idx, dtype=int)]
+        d2 = (
+            (sel**2).sum(axis=1)[:, None]
+            + (xs**2).sum(axis=1)[None, :]
+            - 2.0 * (sel @ xs.T)
+        )
+        np.maximum(d2, 0.0, out=d2)
+        return amp2 * np.exp(-0.5 * d2)
+
+    def _mean_field_df64(self) -> np.ndarray:
+        """Posterior mean field at float64: ``mu + K A^T z64`` with the
+        prior contraction through ONE pair-arithmetic matmat on the exact
+        hi/lo split of ``A^T z64`` (the f32 traced path's kernel-entry
+        noise ~1e-5 would bury the data-space solve's ~1e-10 accuracy)."""
+        A64h = np.asarray(self._A64, np.float64)
+        w64 = A64h.T @ self.z64
+        Kw = np.asarray(
+            self._prior_apply_split64(
+                jnp.asarray(w64)[:, None], *self._df64_op_args()
+            )[:, 0]
+        )
+        return self.prior_mean + Kw
+
+    def _variances_df64(self, indices) -> np.ndarray:
+        """Posterior variances for the df64 tier at float64 end to end:
+        host f64 cross-covariance rows, batched double-float data-space
+        solves, and the ``amp^2 - quad`` subtraction (which cancels to
+        sigma^2 scale at small noise — beyond float32 reach) in host f64."""
+        import warnings
+
+        from ..ops.solvers import Df64MultiSolver, df64_chunk_iters
+
+        idx = np.atleast_1d(np.asarray(indices, dtype=int))
+        amp2 = float(np.exp(2.0 * self.hyperpars[0]))
+        A64h = np.asarray(self._A64, np.float64)
+
+        solver = getattr(self, "_df64_var_solver", None)
+        if solver is None:
+            qc = self._DF64_VAR_COLS
+            # each data-space iteration sends 2*qc columns through the
+            # pair-arithmetic kernel (hi/lo per block column)
+            cost = (190.0 + 40.0 * 2 * qc) / 230.0
+            chunk = df64_chunk_iters(self._n_padded, matvecs_per_iter=cost)
+            solver = Df64MultiSolver(
+                self._data_matmat64,
+                M=lambda R, sig: R / sig[:, None],
+                M_args=(self._sig64,),
+                matmat_args=(self._A64, *self._df64_op_args()),
+                restart_every=chunk,
+            )
+            self._df64_var_solver = solver
+
+        qc = self._DF64_VAR_COLS
+        m = idx.shape[0]
+        quad = np.empty(m)
+        for start in range(0, m, qc):
+            stop = min(start + qc, m)
+            K_sx = self._k_rows_host64(idx[start:stop])   # (b, n_pad)
+            AK = A64h @ K_sx.T                            # (M, b) f64
+            # fixed-width blocks keep ONE compiled chunk program across
+            # all query counts (zero columns converge instantly)
+            B = np.zeros((self.M, qc))
+            B[:, : stop - start] = AK
+            X, info = solver.solve(
+                jnp.asarray(B), tol=self._cg_tol, maxiter=self._cg_maxiter
+            )
+            if info != 0:
+                warnings.warn(
+                    f"LargeScaleGpLinearInverter variance solve for "
+                    f"indices {start}:{stop} stopped at iteration {info} "
+                    f"without reaching tol={self._cg_tol:.1e}; raise "
+                    f"cg_maxiter."
+                )
+            quad[start:stop] = np.einsum(
+                "mi,mi->i", AK, np.asarray(X, np.float64)[:, : stop - start]
+            )
+        return amp2 - quad
 
     # ------------------------------------------------------------------ #
     # hyperparameter fitting

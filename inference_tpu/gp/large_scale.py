@@ -513,44 +513,58 @@ class LargeScaleGP:
         traced f32 preconditioner application (see ``_factor_core_host``)."""
         return jnp.asarray(self._factor_core_host(G), self._x.dtype)
 
-    def _matvec64_pair(self, v32):
+    def _df64_op_args(self):
+        """Runtime operands of the double-float system operator: the
+        stored entry pair when materialised, else the scaled-coordinate
+        pair. Passed as arguments on every solver dispatch — a bound
+        method closing over an (n, n) device array would embed it in the
+        compiled chunk's HLO module (the compile-payload trap documented
+        below: 256 MB at n=8192 already exceeded the remote-compile
+        request limit; the stored pair is ~2 GB at n=16384)."""
+        if self._entries is not None:
+            return self._entries
+        return (self._us_hi, self._us_lo)
+
+    def _matvec64_pair(self, v32, op_a, op_b):
         """Double-float system matvec: float32 vector in, float64
         ``(K + diag(sig) + jitter I) v`` out, ~1e-8 relative — the fused
         Pallas pair-arithmetic kernel for the covariance part (or the
         stored-entries contraction when the entry pair is materialised),
-        exact float64 elementwise for the diagonal (``ops/df64.py``)."""
-        Ev = self._entries_apply(v32.reshape(-1, 1))[:, 0]
+        exact float64 elementwise for the diagonal (``ops/df64.py``).
+        ``(op_a, op_b)`` is ``_df64_op_args()``, threaded through as
+        runtime operands."""
+        Ev = self._entries_apply(v32.reshape(-1, 1), op_a, op_b)[:, 0]
         amp2 = np.exp(2.0 * float(self.hyperpars[0]))
         diag = self._sig64 + amp2 * 1e-12
         return amp2 * Ev + diag * v32.astype(jnp.float64)
 
-    def _matmat64_pair(self, V32):
+    def _matmat64_pair(self, V32, op_a, op_b):
         """Multi-RHS double-float system matmat: float32 (n, q) block in,
         float64 ``(K + diag(sig) + jitter I) V`` out — the column-batched
         pair-arithmetic kernel amortises the entry evaluation across
         right-hand sides (``ops/df64.py::sqexp_matmat_df64``)."""
-        EV = self._entries_apply(V32)
+        EV = self._entries_apply(V32, op_a, op_b)
         amp2 = np.exp(2.0 * float(self.hyperpars[0]))
         diag = self._sig64 + amp2 * 1e-12
         return amp2 * EV + diag[:, None] * V32.astype(jnp.float64)
 
-    def _entries_apply(self, V32):
+    def _entries_apply(self, V32, op_a, op_b):
         """``E V`` through the stored entry pair when materialised, the
         row-sharded fused kernel on a mesh, else the single-device fused
-        evaluate-per-matvec kernel."""
+        evaluate-per-matvec kernel. The branch is resolved at trace time
+        (``self._entries``/``self._mesh`` are static); ``(op_a, op_b)``
+        carries the branch's arrays as runtime operands."""
         if self._entries is not None:
             from ..ops.df64 import sqexp_stored_matmat_df64
 
-            return sqexp_stored_matmat_df64(*self._entries, V32)
+            return sqexp_stored_matmat_df64(op_a, op_b, V32)
         if self._mesh is not None:
             from ..ops.df64 import sqexp_matmat_df64_sharded
 
-            return sqexp_matmat_df64_sharded(
-                self._us_hi, self._us_lo, V32, self._mesh
-            )
+            return sqexp_matmat_df64_sharded(op_a, op_b, V32, self._mesh)
         from ..ops.df64 import sqexp_matmat_df64
 
-        return sqexp_matmat_df64(self._us_hi, self._us_lo, V32)
+        return sqexp_matmat_df64(op_a, op_b, V32)
 
     def _prepare_df64(self):
         """Pre-split the scaled coordinates into a float32 pair (computed
@@ -667,11 +681,14 @@ class LargeScaleGP:
                 # baked-in program constant
                 self._df64_solver = Df64Solver(
                     self._matvec64_pair, M=M_df64, M_args=self._precond64,
+                    matvec_args=self._df64_op_args(),
                     restart_every=self._df64_chunk(),
                 )
             else:
                 self._df64_solver = Df64Solver(
-                    self._matvec64_pair, restart_every=self._df64_chunk()
+                    self._matvec64_pair,
+                    matvec_args=self._df64_op_args(),
+                    restart_every=self._df64_chunk(),
                 )
             self._solve_rhs = lambda rhs: self._df64_solver.solve(
                 jnp.asarray(rhs).astype(jnp.float64),
@@ -994,10 +1011,18 @@ class LargeScaleGP:
             # sqrt(n) * eps32 * |alpha| rounding is ~1e-2 ABSOLUTE error
             # at sigma=0.01, N=16k (measured on-chip) — the host f64
             # contraction with alpha64 is exact to the solve's accuracy
-            mu = self._predict_mean_df64(q_host)
-        else:
-            q = jnp.asarray(q_host, self._x.dtype)
-            mu = np.asarray(self._predict_mean(q, self.alpha))
+            if with_variance:
+                # one host f64 cross-covariance per query block serves
+                # both the mean contraction and the variance right-hand
+                # sides (building K(q, x) twice doubled the host kernel
+                # work on every prediction call)
+                mu, var = self._predict_var_df64(
+                    q_host, self.alpha, return_mean=True
+                )
+                return mu, np.sqrt(np.abs(var))
+            return self._predict_mean_df64(q_host)
+        q = jnp.asarray(q_host, self._x.dtype)
+        mu = np.asarray(self._predict_mean(q, self.alpha))
         if not with_variance:
             return mu
         # the variance path receives the FLOAT64 host query points: the
@@ -1046,7 +1071,7 @@ class LargeScaleGP:
             mu[start:stop] = Kqx @ self.alpha64
         return mu + self.mean_value
 
-    def _predict_var_df64(self, q_host, alpha):
+    def _predict_var_df64(self, q_host, alpha, return_mean: bool = False):
         """Posterior-variance quadratic forms for the df64 tier, at
         float64 accuracy end to end: float64 host cross-covariance rows,
         one chunked df64 solve per query point (pair-arithmetic matvec +
@@ -1054,7 +1079,11 @@ class LargeScaleGP:
         accumulated in host float64 — the amp^2 - quad subtraction
         cancels to sigma^2 scale at small noise, far below float32
         reach (reference computes this trivially in host f64:
-        inference/gp/regression.py:204-216)."""
+        inference/gp/regression.py:204-216). With ``return_mean`` the
+        same cross-covariance block also contracts against ``alpha64``,
+        returning ``(means, variances)`` without a second K(q, x) pass."""
+        import warnings
+
         q64 = np.atleast_2d(np.asarray(q_host, np.float64))
         amp2 = float(np.exp(2.0 * self.hyperpars[0]))
 
@@ -1062,22 +1091,35 @@ class LargeScaleGP:
         qc = self._DF64_VAR_COLS
         solver = self._get_df64_multi_solver()
         quad = np.empty(m)
+        mu = np.empty(m) if return_mean else None
         for start in range(0, m, qc):
             stop = min(start + qc, m)
             # cross-covariance built per block: the full-query (m, n, d)
             # displacement temporary is a host OOM hazard at scale
             Kqx = self._kqx_host64(q64[start:stop])
+            if return_mean:
+                mu[start:stop] = Kqx @ self.alpha64
             # fixed-width blocks (zero-padded columns converge instantly)
             # keep ONE compiled chunk program across all query counts
             B = np.zeros((self._n_padded, qc))
             B[:, : stop - start] = Kqx.T
-            X, _ = solver.solve(
+            X, info = solver.solve(
                 jnp.asarray(B), tol=self._cg_tol, maxiter=self._cg_maxiter
             )
+            if info != 0:
+                warnings.warn(
+                    f"LargeScaleGP variance solve for query block "
+                    f"{start}:{stop} stopped at iteration {info} without "
+                    f"reaching tol={self._cg_tol:.1e} — the returned "
+                    f"variances for these points may be inaccurate; "
+                    f"raise cg_maxiter."
+                )
             X = np.asarray(X, np.float64)
             quad[start:stop] = np.einsum(
                 "ij,ji->i", Kqx, X[:, : stop - start]
             )
+        if return_mean:
+            return mu + self.mean_value, amp2 - quad
         return amp2 - quad
 
     # column-block width for the batched variance solves: the matmat
@@ -1105,11 +1147,14 @@ class LargeScaleGP:
 
             solver = Df64MultiSolver(
                 self._matmat64_pair, M=M_multi64, M_args=self._precond64,
+                matmat_args=self._df64_op_args(),
                 restart_every=chunk,
             )
         else:
             solver = Df64MultiSolver(
-                self._matmat64_pair, restart_every=chunk
+                self._matmat64_pair,
+                matmat_args=self._df64_op_args(),
+                restart_every=chunk,
             )
         self._df64_msolver = solver
         return solver
@@ -1172,14 +1217,22 @@ class LargeScaleGP:
     def _residual64(self, alpha64, backend: str):
         if backend == "df64":
             # pair-arithmetic Pallas matvec on an exact hi/lo split of
-            # alpha: ~1e-8 relative at any N, no f64 program, no host pass
+            # alpha: ~1e-8 relative at any N, no f64 program, no host pass.
+            # A residual evaluation needs ONE matvec per round — never
+            # materialise the (n, n) stored entry pair just for that
             if not hasattr(self, "_us_hi"):
-                self._prepare_df64()
+                stored = self.store_entries
+                self.store_entries = False
+                try:
+                    self._prepare_df64()
+                finally:
+                    self.store_entries = stored
             ah = alpha64.astype(np.float32)
             al = (alpha64 - ah.astype(np.float64)).astype(np.float32)
+            op = self._df64_op_args()
             return np.asarray(
-                self._matvec64_pair(jnp.asarray(ah))
-                + self._matvec64_pair(jnp.asarray(al))
+                self._matvec64_pair(jnp.asarray(ah), *op)
+                + self._matvec64_pair(jnp.asarray(al), *op)
             )
         if backend == "device":
             self._build_matvec64()
@@ -1228,7 +1281,13 @@ class LargeScaleGP:
             )
         b64 = (np.asarray(self._y_host) - self.mean_value) * self._mask
         b_norm = float(np.linalg.norm(b64))
-        alpha64 = np.asarray(self.alpha, np.float64)
+        # start from the full-precision iterate when one exists (df64
+        # construction or an earlier refine): starting from the float32
+        # cast would discard its accuracy and the best-so-far tracking
+        # could then settle on a worse solution than it began with
+        alpha64 = np.asarray(
+            getattr(self, "alpha64", self.alpha), np.float64
+        )
         solve_dtype = self._x.dtype
         n_rounds = max_rounds if rounds is None else rounds
         # refinement never returns a worse solution than it started with:
