@@ -171,6 +171,29 @@ def probe_backend(timeout=None):
     return True, None
 
 
+def _last_measured():
+    """The most recent driver-recorded measurement, for context in the
+    failure line when the TPU worker is unreachable (clearly labelled —
+    it is NOT this run's number)."""
+    import glob
+    import re
+
+    records = sorted(
+        glob.glob(os.path.join(os.path.dirname(__file__), "BENCH_r*.json")),
+        key=lambda p: int(re.search(r"r(\d+)", p).group(1)),
+    )
+    for path in reversed(records):
+        try:
+            with open(path) as f:
+                parsed = json.load(f).get("parsed") or {}
+            if parsed.get("value"):
+                parsed["measured_in"] = os.path.basename(path)
+                return parsed
+        except Exception:
+            continue
+    return None
+
+
 def main():
     init_timeout = float(os.environ.get("BENCH_INIT_TIMEOUT", 900.0))
     healthy, reason = probe_backend(init_timeout)
@@ -184,6 +207,7 @@ def main():
                     "count, 10-dim correlated Gaussian)",
                     "vs_baseline": None,
                     "error": f"{reason}; no measurement possible",
+                    "last_measured": _last_measured(),
                 }
             )
         )
