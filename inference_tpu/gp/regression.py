@@ -92,6 +92,14 @@ class GpRegressor:
         ``GpOptimiser`` loop — reuse their compiled programs instead of
         recompiling at every new data size. Results are numerically
         identical to the unpadded computation.
+
+    :param cholesky: \
+        Factorisation backend for the N x N training matrix: "xla" (the
+        backend's expander), "blocked" (statically-unrolled MXU-matmul
+        panels, ``ops.linalg.blocked_cholesky`` — for large N on TPU,
+        where the sequential expander underfeeds the MXU), an int panel
+        width for the blocked factor, or "auto" (default; currently
+        "xla").
     """
 
     def __init__(
@@ -109,6 +117,7 @@ class GpRegressor:
         n_starts: int = None,
         pad_to: int = None,
         dtype=None,
+        cholesky="auto",
     ):
         # working dtype for the device arrays/compiled programs. The
         # default tracks jax x64 mode (float64 on CPU test runs, float32
@@ -118,6 +127,24 @@ class GpRegressor:
         self._dtype = (
             jnp.dtype(dtype) if dtype is not None else None
         )
+        if cholesky not in ("auto", "xla", "blocked") and not (
+            isinstance(cholesky, int) and not isinstance(cholesky, bool)
+        ):
+            raise ValueError(
+                f"[ GpRegressor error ] 'cholesky' must be 'auto', 'xla', "
+                f"'blocked' or a panel width (int), but {cholesky!r} was "
+                f"given."
+            )
+        # factorisation backend for the N x N training matrix: "xla" uses
+        # the backend expander; "blocked" (or an int panel width) routes
+        # through ops.linalg.blocked_cholesky, which expresses the O(N^3)
+        # trailing updates as HIGHEST-precision MXU matmuls — the TPU
+        # expander's sequential panels underfeed the MXU at large N (the
+        # N=16k LML+gradient measures ~11% of the f32 ceiling). "auto"
+        # currently selects "xla"; it will prefer the blocked factor at
+        # large N once the on-chip benchmark (benchmarks/cholesky_bench.py)
+        # confirms the crossover.
+        self._cholesky = cholesky
         self.cov = kernel() if isclass(kernel) else kernel
         self.mean = mean() if isclass(mean) else mean
         # user-specified bounds persist across data updates; auto-estimated
@@ -335,6 +362,16 @@ class GpRegressor:
 
         sig_is_diag = self._sig_is_diag
 
+        if self._cholesky in ("auto", "xla"):
+            chol = jnp.linalg.cholesky
+        else:
+            from ..ops.linalg import blocked_cholesky
+
+            blk = self._cholesky if isinstance(self._cholesky, int) else 2048
+
+            def chol(K):
+                return blocked_cholesky(K, block=blk)
+
         def add_sig(K, sig):
             if sig_is_diag:
                 return K + jnp.diag(sig)
@@ -358,7 +395,7 @@ class GpRegressor:
             # trace-scaled shift keeps the whole fit finite
             K = K + (jitter * jnp.diagonal(K).mean()) * identity_like(K)
             mu = mean.vector(x, theta[mean_slc])
-            L = jnp.linalg.cholesky(K)
+            L = chol(K)
             ok = jnp.isfinite(L).all()
             L_safe = jnp.where(ok, L, identity_like(L))
             v = solve_triangular(L_safe, (y - mu) * m, lower=True)
@@ -372,7 +409,7 @@ class GpRegressor:
             K = apply_mask(add_sig(cov.matrix(x, theta[cov_slc]), sig), m)
             K = K + (jitter * jnp.diagonal(K).mean()) * identity_like(K)
             mu = mean.vector(x, theta[mean_slc])
-            L = jnp.linalg.cholesky(K)
+            L = chol(K)
             ok = jnp.isfinite(L).all()
             L_safe = jnp.where(ok, L, identity_like(L))
             iK = cho_solve((L_safe, True), identity_like(L))
@@ -409,7 +446,7 @@ class GpRegressor:
             backends)."""
             K_xx = apply_mask(add_sig(cov.matrix(x, theta[cov_slc]), sig), m)
             mu = mean.vector(x, theta[mean_slc])
-            L = jnp.linalg.cholesky(K_xx)
+            L = chol(K_xx)
             alpha = solve_triangular(
                 L.T, solve_triangular(L, (y - mu) * m, lower=True)
             )

@@ -386,3 +386,37 @@ def test_gpr_explicit_dtype():
     assert np.allclose(sig32, sig, atol=1e-4)
     lml32 = gp32.marginal_likelihood(theta)
     assert abs(lml32 - gp.marginal_likelihood(theta)) / abs(lml32) < 1e-5
+
+
+def test_blocked_cholesky_backend_matches_xla():
+    """cholesky='blocked' (MXU-panel factorisation for large N on TPU)
+    reproduces the default backend's LML, gradient, fit state and
+    predictions; invalid options are rejected."""
+    import jax.numpy as jnp
+    from inference_tpu.gp import GpRegressor
+
+    rng = np.random.default_rng(8)
+    x = rng.uniform(0, 10, size=(300, 2))
+    y = np.sin(x[:, 0]) + 0.1 * rng.normal(size=300)
+    err = np.full(300, 0.1)
+    theta = None  # fit below
+
+    base = GpRegressor(x, y, y_err=err)
+    blocked = GpRegressor(x, y, y_err=err, cholesky=128)
+
+    t = np.asarray(base.hyperpars)
+    l0, g0 = base._lml_grad(jnp.asarray(t))
+    l1, g1 = blocked._lml_grad(jnp.asarray(t))
+    assert np.isclose(float(l0), float(l1), rtol=1e-8)
+    assert np.allclose(np.asarray(g0), np.asarray(g1), rtol=1e-6, atol=1e-8)
+
+    q = rng.uniform(0, 10, size=(40, 2))
+    mu0, s0 = base(q)
+    mu1, s1 = blocked(q)
+    assert np.allclose(mu0, mu1, rtol=1e-6, atol=1e-8)
+    assert np.allclose(s0, s1, rtol=1e-5, atol=1e-8)
+
+    with pytest.raises(ValueError):
+        GpRegressor(x, y, y_err=err, cholesky="bogus")
+    with pytest.raises(ValueError):
+        GpRegressor(x, y, y_err=err, cholesky=True)
