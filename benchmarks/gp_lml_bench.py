@@ -42,7 +42,7 @@ PEAK_BF16 = 197e12
 PEAK_F32_HIGHEST = PEAK_BF16 / 6
 
 
-def time_rebuild(n):
+def time_rebuild(n, cholesky="xla"):
     import jax.numpy as jnp
     from inference_tpu.gp import GpRegressor
 
@@ -50,7 +50,10 @@ def time_rebuild(n):
     theta = np.array([0.0, 0.0, 0.5, 0.5])
     # float32 regardless of the process's x64 setting (the chip's
     # measured working precision; emulated f64 is unusable at large N)
-    gp = GpRegressor(x, y, y_err=err, hyperpars=theta, dtype="float32")
+    gp = GpRegressor(
+        x, y, y_err=err, hyperpars=theta, dtype="float32",
+        cholesky=cholesky,
+    )
 
     gp.marginal_likelihood_gradient(theta)  # compile
     reps = 10 if n <= 8192 else 3
@@ -101,7 +104,18 @@ def main():
                     f" | reference {1 / ref_dt:6.2f} evals/s "
                     f"({ref_dt * 1e3:8.1f} ms) -> {ref_dt / dt:6.1f}x"
                 )
-        print(line)
+        print(line, flush=True)
+        if n >= 4096:
+            # the MXU-panel blocked factor (ops/linalg.py) vs the XLA
+            # expander, end to end through the same LML value+gradient
+            dt_b, lml_b = time_rebuild(n, cholesky="blocked")
+            tflops_b = model_flops(n) / dt_b / 1e12
+            print(
+                f"N={n:6d}: blocked-cholesky {1 / dt_b:8.2f} evals/s "
+                f"({dt_b * 1e3:8.1f} ms), {tflops_b:6.2f} TFLOP/s "
+                f"({dt / dt_b:5.2f}x vs xla), dlml={abs(lml_b - lml):.2e}",
+                flush=True,
+            )
 
 
 if __name__ == "__main__":
