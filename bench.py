@@ -178,10 +178,15 @@ def _last_measured():
     import glob
     import re
 
-    records = sorted(
-        glob.glob(os.path.join(os.path.dirname(__file__), "BENCH_r*.json")),
-        key=lambda p: int(re.search(r"r(\d+)", p).group(1)),
-    )
+    pattern = re.compile(r"^BENCH_r(\d+)\.json$")
+    records = [
+        p
+        for p in glob.glob(
+            os.path.join(os.path.dirname(__file__), "BENCH_r*.json")
+        )
+        if pattern.match(os.path.basename(p))
+    ]
+    records.sort(key=lambda p: int(pattern.match(os.path.basename(p)).group(1)))
     for path in reversed(records):
         try:
             with open(path) as f:

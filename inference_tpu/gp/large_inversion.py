@@ -482,20 +482,13 @@ class LargeScaleGpLinearInverter:
 
     def _k_rows_host64(self, idx) -> np.ndarray:
         """Float64 host prior-covariance rows ``K(x_sel, x_padded)`` —
-        exact to f64 (the matmul distance form's cancellation is ~1e-14
-        relative on host f64). Padded columns carry kernel values but die
-        through the model matrix's zero columns downstream."""
-        ls = np.exp(np.asarray(self.hyperpars[1:], np.float64))
-        amp2 = float(np.exp(2.0 * self.hyperpars[0]))
-        xs = self._x_pad_host / ls[None, :]
-        sel = xs[np.asarray(idx, dtype=int)]
-        d2 = (
-            (sel**2).sum(axis=1)[:, None]
-            + (xs**2).sum(axis=1)[None, :]
-            - 2.0 * (sel @ xs.T)
-        )
-        np.maximum(d2, 0.0, out=d2)
-        return amp2 * np.exp(-0.5 * d2)
+        ``large_scale.sqexp_rows_host64`` carries the numerical rationale.
+        Padded columns hold kernel values but die through the model
+        matrix's zero columns downstream."""
+        from .large_scale import sqexp_rows_host64
+
+        sel = self._x_pad_host[np.asarray(idx, dtype=int)]
+        return sqexp_rows_host64(sel, self._x_pad_host, self.hyperpars)
 
     def _mean_field_df64(self) -> np.ndarray:
         """Posterior mean field at float64: ``mu + K A^T z64`` with the
@@ -551,15 +544,20 @@ class LargeScaleGpLinearInverter:
             # all query counts (zero columns converge instantly)
             B = np.zeros((self.M, qc))
             B[:, : stop - start] = AK
+            # the pair-arithmetic operator's own ~1e-8 relative noise
+            # floors the achievable residual: a tighter data-space tol
+            # would spin to maxiter without gaining accuracy
             X, info = solver.solve(
-                jnp.asarray(B), tol=self._cg_tol, maxiter=self._cg_maxiter
+                jnp.asarray(B),
+                tol=max(self._cg_tol, 1e-8),
+                maxiter=self._cg_maxiter,
             )
             if info != 0:
                 warnings.warn(
                     f"LargeScaleGpLinearInverter variance solve for "
-                    f"indices {start}:{stop} stopped at iteration {info} "
-                    f"without reaching tol={self._cg_tol:.1e}; raise "
-                    f"cg_maxiter."
+                    f"parameter indices {idx[start:stop].tolist()} stopped "
+                    f"at iteration {info} without reaching "
+                    f"tol={self._cg_tol:.1e}; raise cg_maxiter."
                 )
             quad[start:stop] = np.einsum(
                 "mi,mi->i", AK, np.asarray(X, np.float64)[:, : stop - start]

@@ -61,6 +61,30 @@ def woodbury_apply(V, U, dinv, core, *, core_chol, out_dtype=None):
     return out[:, 0] if vec else out
 
 
+def sqexp_rows_host64(q, x, hyperpars):
+    """Float64 host squared-exponential covariance rows ``K(q, x)`` via
+    the sq-norm + matmul distance form — no ``(m, n, d)`` displacement
+    broadcast, so the peak temporary is the (m, n) result itself. The
+    matmul form's cancellation is harmless HERE because this runs in host
+    float64: the d2 error is ~|q/ls|^2 eps64 ~ 1e-14 on realistic scaled
+    domains (on the f32 DEVICE the same trick loses ~2e-1 and is exactly
+    what ops/df64.py exists to avoid). THE single host-f64 kernel-row
+    evaluation — ``LargeScaleGP`` and ``LargeScaleGpLinearInverter`` both
+    route their df64-tier prediction paths through it."""
+    h = np.asarray(hyperpars, np.float64)
+    ls = np.exp(h[1:])
+    amp2 = float(np.exp(2.0 * h[0]))
+    qs = np.asarray(q, np.float64) / ls[None, :]
+    xs = np.asarray(x, np.float64) / ls[None, :]
+    d2 = (
+        (qs**2).sum(axis=1)[:, None]
+        + (xs**2).sum(axis=1)[None, :]
+        - 2.0 * (qs @ xs.T)
+    )
+    np.maximum(d2, 0.0, out=d2)
+    return amp2 * np.exp(-0.5 * d2)
+
+
 class LargeScaleGP:
     """
     Squared-exponential GP regression with matrix-free training solves,
@@ -1033,24 +1057,12 @@ class LargeScaleGP:
 
     def _kqx_host64(self, q64):
         """Float64 host cross-covariance rows ``K(q, x)`` (query block x
-        padded points, padded columns masked to zero), via the sq-norm +
-        matmul distance form — no ``(m, n, d)`` displacement broadcast,
-        so the peak temporary is the (m, n) result itself. The matmul
-        form's cancellation is harmless HERE because this path is host
-        float64: the d2 error is ~|q/ls|^2 eps64 ~ 1e-14 on realistic
-        scaled domains (on the f32 DEVICE the same trick loses ~2e-1 and
-        is exactly what ops/df64.py exists to avoid)."""
-        ls = np.exp(np.asarray(self.hyperpars[1:], np.float64))
-        amp2 = float(np.exp(2.0 * self.hyperpars[0]))
-        qs = q64 / ls[None, :]
-        xs = np.asarray(self._x_host, np.float64) / ls[None, :]
-        d2 = (
-            (qs**2).sum(axis=1)[:, None]
-            + (xs**2).sum(axis=1)[None, :]
-            - 2.0 * (qs @ xs.T)
+        padded points, padded columns masked to zero) — see
+        ``sqexp_rows_host64`` for the numerical rationale."""
+        return (
+            sqexp_rows_host64(q64, self._x_host, self.hyperpars)
+            * self._mask[None, :]
         )
-        np.maximum(d2, 0.0, out=d2)
-        return amp2 * np.exp(-0.5 * d2) * self._mask[None, :]
 
     # query-block width for the host f64 mean contraction: bounds the
     # (chunk, n_padded) cross-covariance block at ~100 MB for N=50k
@@ -1103,8 +1115,13 @@ class LargeScaleGP:
             # keep ONE compiled chunk program across all query counts
             B = np.zeros((self._n_padded, qc))
             B[:, : stop - start] = Kqx.T
+            # the pair-arithmetic operator's own ~1e-8 relative noise
+            # floors the achievable residual: a tighter tol would spin to
+            # maxiter without gaining accuracy
             X, info = solver.solve(
-                jnp.asarray(B), tol=self._cg_tol, maxiter=self._cg_maxiter
+                jnp.asarray(B),
+                tol=max(self._cg_tol, 1e-8),
+                maxiter=self._cg_maxiter,
             )
             if info != 0:
                 warnings.warn(

@@ -128,12 +128,14 @@ class GpRegressor:
             jnp.dtype(dtype) if dtype is not None else None
         )
         if cholesky not in ("auto", "xla", "blocked") and not (
-            isinstance(cholesky, int) and not isinstance(cholesky, bool)
+            isinstance(cholesky, int)
+            and not isinstance(cholesky, bool)
+            and cholesky > 0
         ):
             raise ValueError(
                 f"[ GpRegressor error ] 'cholesky' must be 'auto', 'xla', "
-                f"'blocked' or a panel width (int), but {cholesky!r} was "
-                f"given."
+                f"'blocked' or a positive panel width (int), but "
+                f"{cholesky!r} was given."
             )
         # factorisation backend for the N x N training matrix: "xla" uses
         # the backend expander; "blocked" (or an int panel width) routes

@@ -132,6 +132,13 @@ class NutsChain(HamiltonianChain):
                 grad=self._tempered_state_grad(self._state.theta)
             )
 
+    def replace_last(self, theta):
+        # the kernel integrates from the cached gradient: a rewritten
+        # position must refresh it or the next trajectory's first
+        # half-step silently uses the old position's gradient
+        super().replace_last(theta)
+        self._refresh_state_grad()
+
     # ------------------------------------------------------------------ #
     # device execution
     # ------------------------------------------------------------------ #

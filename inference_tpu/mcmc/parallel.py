@@ -390,9 +390,12 @@ class ParallelTempering:
                         theta=jnp.asarray(positions[k], dtype),
                         logp=jnp.asarray(probabilities[k], dtype),
                     )
-                    if hasattr(chain._state, "grad"):
+                    if perm[k] != k and hasattr(chain._state, "grad"):
                         # the partner rung may carry no gradient to hand
                         # over — recompute the cache at the new position
+                        # (rungs outside accepted pairs keep their cache:
+                        # a refresh costs P+1 posterior calls under the
+                        # finite-difference gradient fallback)
                         chain._refresh_state_grad()
             else:
                 dtype = self._batched_state.theta.dtype

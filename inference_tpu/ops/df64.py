@@ -540,7 +540,7 @@ def sqexp_matmat_df64_sharded(us_hi, us_lo, V, mesh, interpret: bool = None):
     axis = mesh.axis_names[0]
     n_dev = mesh.shape[axis]
     n = us_hi.shape[0]
-    if (n // n_dev) % _TI != 0 or n % (n_dev * _TI) != 0:
+    if n % (n_dev * _TI) != 0:
         raise ValueError(
             f"[ sqexp_matmat_df64_sharded error ] n ({n}) must split over "
             f"{n_dev} devices into row blocks that are multiples of {_TI}."

@@ -286,6 +286,15 @@ class ChainArray:
                 "this ChainArray (kind / n_chains differ)."
             )
         leaves, treedef = jax.tree.flatten(self._state)
+        n_saved = sum(1 for k in D.files if k.startswith("leaf_"))
+        if n_saved != len(leaves):
+            raise ValueError(
+                f"[ ChainArray error ] checkpoint stores {n_saved} state "
+                f"leaves but the current '{self.kind}' state has "
+                f"{len(leaves)} — the checkpoint predates a kernel "
+                f"state-layout change (e.g. the NUTS state gaining its "
+                f"cached gradient); re-create it from the source run."
+            )
         new_leaves = [
             jnp.asarray(D[f"leaf_{i}"], v.dtype) for i, v in enumerate(leaves)
         ]

@@ -653,6 +653,15 @@ class ShardedTempering:
                 "not match this instance."
             )
         leaves, treedef = jax.tree.flatten(self._state)
+        n_saved = sum(1 for k in D.files if k.startswith("leaf_"))
+        if n_saved != len(leaves):
+            raise ValueError(
+                f"[ ShardedTempering error ] checkpoint stores {n_saved} "
+                f"state leaves but the current '{self.kind}' state has "
+                f"{len(leaves)} — the checkpoint predates a kernel "
+                f"state-layout change (e.g. the NUTS state gaining its "
+                f"cached gradient); re-create it from the source run."
+            )
         new_leaves = [
             jnp.asarray(D[f"leaf_{i}"], v.dtype) for i, v in enumerate(leaves)
         ]

@@ -196,3 +196,26 @@ def test_nuts_grad_cache_matches_position():
         jax.grad(gaussian_logp)(jnp.asarray(st.theta))
     )
     assert np.allclose(np.asarray(st.grad), expected, rtol=1e-5, atol=1e-6)
+
+
+def test_nuts_replace_last_refreshes_grad_cache():
+    """replace_last rewrites the state position; the cached tempered
+    gradient must follow (regression: the next trajectory's first
+    half-step integrated from the old position's gradient)."""
+    import jax
+    import jax.numpy as jnp
+
+    chain = NutsChain(
+        posterior=gaussian_logp,
+        start=np.array([1.0, 0.5]),
+        display_progress=False,
+        seed=3,
+    )
+    chain.advance(10)
+    new_theta = np.array([0.3, -0.2])
+    chain.replace_last(new_theta)
+    chain.replace_last_probability(float(gaussian_logp(jnp.asarray(new_theta))))
+    expected = np.asarray(jax.grad(gaussian_logp)(jnp.asarray(new_theta)))
+    assert np.allclose(np.asarray(chain._state.grad), expected, rtol=1e-6)
+    chain.advance(10)
+    assert np.isfinite(chain.get_probabilities()).all()
