@@ -3,6 +3,13 @@
 Statistical correctness is checked the same way the HMC tests do it —
 moments of a known target — plus NUTS-specific behaviour: adaptive
 trajectory lengths, divergence accounting, and checkpoint round-trips.
+
+Fast-tier economics: every chain INSTANCE recompiles its step kernel
+(the step closure is per-instance), and every distinct power-of-two
+advance chunk compiles a separate scan — on the 1-CPU CI box those
+compiles dominate the module. The fast tests therefore share two
+module-scoped advanced chains (read-only consumers) and advance by
+single power-of-two chunk sizes.
 """
 
 import numpy as np
@@ -19,6 +26,10 @@ def gaussian_logp(t):
     return -0.5 * t @ ICOV @ t
 
 
+def narrow_logp(t):
+    return -0.5e6 * (t @ t)
+
+
 def make_chain(n=300, seed=4, **kwargs):
     chain = NutsChain(
         posterior=ToroidalGaussian(),
@@ -31,9 +42,32 @@ def make_chain(n=300, seed=4, **kwargs):
     return chain
 
 
-def test_nuts_advance_and_slicing():
-    chain = make_chain(n=80)
-    assert chain.chain_length == 81
+@pytest.fixture(scope="module")
+def toroidal_chain():
+    """One advanced chain shared by every read-only consumer below (one
+    step-kernel compile + one scan compile for the whole module)."""
+    return make_chain(n=256)
+
+
+@pytest.fixture(scope="module")
+def divergent_chain():
+    """A chain driven with a hopeless step size on a narrow target, so
+    divergences are guaranteed; shared by the divergence-accounting
+    tests (all read-only)."""
+    chain = NutsChain(
+        posterior=narrow_logp,
+        start=np.array([0.5, 0.5]),
+        epsilon=50.0,
+        display_progress=False,
+        seed=5,
+    )
+    chain.advance(32)
+    return chain
+
+
+def test_nuts_advance_and_slicing(toroidal_chain):
+    chain = toroidal_chain
+    assert chain.chain_length == 257
     for burn, thin in [(0, 1), (1, 1), (10, 3), (50, 7)]:
         expected = sliced_length(chain.chain_length, burn, thin)
         assert chain.get_sample(burn=burn, thin=thin).shape == (expected, 3)
@@ -41,7 +75,7 @@ def test_nuts_advance_and_slicing():
     # trajectory bookkeeping is per-step and self-consistent
     depths = chain.tree_depths
     leaps = np.array(chain.leapfrog_steps)
-    assert depths.shape == (81,)
+    assert depths.shape == (257,)
     assert (depths[1:] >= 1).all() and (depths <= 10).all()
     # doublings before the last complete fully (2^(d-1) - 1 leaves), and
     # the final one adds at least one leaf before any early stop
@@ -102,29 +136,22 @@ def test_nuts_user_gradient():
     ],
 )
 def test_nuts_mass_options(inverse_mass):
-    chain = make_chain(n=100, inverse_mass=inverse_mass)
-    assert chain.chain_length == 101
+    chain = make_chain(n=64, inverse_mass=inverse_mass)
+    assert chain.chain_length == 65
     assert np.isfinite(chain.get_probabilities()).all()
 
 
-def test_nuts_divergence_counting():
+def test_nuts_divergence_counting(divergent_chain):
     """A hopeless step size on a narrow target produces divergences, which
     are counted without breaking the chain."""
-    chain = NutsChain(
-        posterior=lambda t: -0.5e6 * (t @ t),
-        start=np.array([0.5, 0.5]),
-        epsilon=50.0,
-        display_progress=False,
-        seed=5,
-    )
-    chain.advance(50)
+    chain = divergent_chain
     assert chain.n_divergences > 0
     assert chain.n_divergences == int(chain.divergent_steps.sum())
     assert np.isfinite(chain.get_sample()).all()
 
 
-def test_nuts_save_load(tmp_path):
-    chain = make_chain(n=60, seed=9)
+def test_nuts_save_load(toroidal_chain, tmp_path):
+    chain = toroidal_chain
     f = tmp_path / "nuts.npz"
     chain.save(str(f))
     loaded = NutsChain.load(str(f), posterior=ToroidalGaussian())
@@ -132,16 +159,15 @@ def test_nuts_save_load(tmp_path):
     assert np.allclose(loaded.get_probabilities(), chain.get_probabilities())
     assert loaded.n_divergences == chain.n_divergences
     assert loaded.max_depth == chain.max_depth
-    loaded.advance(20)
-    assert loaded.chain_length == chain.chain_length + 20
+    loaded.advance(16)
+    assert loaded.chain_length == chain.chain_length + 16
 
 
-def test_nuts_plot_diagnostics():
+def test_nuts_plot_diagnostics(toroidal_chain):
     import matplotlib
 
     matplotlib.use("Agg")
-    chain = make_chain(n=200)
-    chain.plot_diagnostics(show=False)
+    toroidal_chain.plot_diagnostics(show=False)
 
 
 @pytest.mark.slow
@@ -154,25 +180,17 @@ def test_nuts_mode_and_estimate_mass():
     assert chain.chain_length == 451
 
 
-def test_nuts_resave_preserves_divergences(tmp_path):
+def test_nuts_resave_preserves_divergences(divergent_chain, tmp_path):
     """Re-saving a chain that was loaded WITHOUT a posterior (so no live
     kernel state exists) must keep the cumulative divergence count
     (regression: the count was written as 0 whenever _state was None)."""
-    chain = NutsChain(
-        posterior=lambda t: -0.5e6 * (t @ t),
-        start=np.array([0.5, 0.5]),
-        epsilon=50.0,
-        display_progress=False,
-        seed=5,
-    )
-    chain.advance(50)
-    n_div = chain.n_divergences
+    n_div = divergent_chain.n_divergences
     assert n_div > 0
     f1, f2 = tmp_path / "a.npz", tmp_path / "b.npz"
-    chain.save(str(f1))
+    divergent_chain.save(str(f1))
     analysis_only = NutsChain.load(str(f1))  # no posterior
     analysis_only.save(str(f2))
-    resumed = NutsChain.load(str(f2), posterior=lambda t: -0.5e6 * (t @ t))
+    resumed = NutsChain.load(str(f2), posterior=narrow_logp)
     assert resumed.n_divergences == n_div
     assert int(resumed.divergent_steps.sum()) == n_div
 
@@ -190,7 +208,7 @@ def test_nuts_grad_cache_matches_position():
         display_progress=False,
         seed=11,
     )
-    chain.advance(40)
+    chain.advance(32)
     st = chain._state
     expected = chain.inv_temp * np.asarray(
         jax.grad(gaussian_logp)(jnp.asarray(st.theta))
@@ -211,11 +229,11 @@ def test_nuts_replace_last_refreshes_grad_cache():
         display_progress=False,
         seed=3,
     )
-    chain.advance(10)
+    chain.advance(8)
     new_theta = np.array([0.3, -0.2])
     chain.replace_last(new_theta)
     chain.replace_last_probability(float(gaussian_logp(jnp.asarray(new_theta))))
     expected = np.asarray(jax.grad(gaussian_logp)(jnp.asarray(new_theta)))
     assert np.allclose(np.asarray(chain._state.grad), expected, rtol=1e-6)
-    chain.advance(10)
+    chain.advance(8)
     assert np.isfinite(chain.get_probabilities()).all()

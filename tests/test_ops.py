@@ -226,8 +226,29 @@ def test_covariance_and_gradients_forces_fallback_path():
 
 def test_blocked_cholesky_matches_xla():
     """Statically-unrolled blocked Cholesky (ops/linalg.py) reproduces the
-    XLA factor — both methods, padded and exact-multiple sizes — and its
-    symmetrised logdet gradient is the analytic K^-1."""
+    XLA factor on a padded size, and its symmetrised logdet gradient is
+    the analytic K^-1 (the exhaustive size x method sweep is slow-tier)."""
+    from inference_tpu.ops.linalg import blocked_cholesky
+
+    rng = np.random.default_rng(3)
+    n, block = 300, 128
+    A = rng.normal(size=(n, n))
+    K = jnp.asarray(A @ A.T + n * np.eye(n))
+    L_ref = np.linalg.cholesky(np.asarray(K))
+    L = np.asarray(blocked_cholesky(K, block=block, method="trsm"))
+    assert np.allclose(np.tril(L), L)
+    assert np.allclose(L, L_ref, rtol=1e-9, atol=1e-9)
+
+    g = jax.grad(
+        lambda K: jnp.sum(jnp.log(jnp.diag(blocked_cholesky(K, block=128))))
+    )(K)
+    sym = g + g.T  # logdet gradient: sym(g) == K^-1 for symmetric K
+    assert np.allclose(np.asarray(sym), np.linalg.inv(np.asarray(K)), atol=1e-8)
+
+
+@pytest.mark.slow
+def test_blocked_cholesky_sweep_matches_xla():
+    """Both solve methods across padded and exact-multiple sizes."""
     from inference_tpu.ops.linalg import blocked_cholesky
 
     rng = np.random.default_rng(3)
@@ -239,12 +260,3 @@ def test_blocked_cholesky_matches_xla():
             L = np.asarray(blocked_cholesky(K, block=block, method=method))
             assert np.allclose(np.tril(L), L)
             assert np.allclose(L, L_ref, rtol=1e-9, atol=1e-9)
-
-    n = 300
-    A = rng.normal(size=(n, n))
-    K = jnp.asarray(A @ A.T + n * np.eye(n))
-    g = jax.grad(
-        lambda K: jnp.sum(jnp.log(jnp.diag(blocked_cholesky(K, block=128))))
-    )(K)
-    sym = g + g.T  # logdet gradient: sym(g) == K^-1 for symmetric K
-    assert np.allclose(np.asarray(sym), np.linalg.inv(np.asarray(K)), atol=1e-8)

@@ -13,7 +13,7 @@ from inference_tpu.plotting import (
 )
 
 
-def make_samples(n_params=3, n=2000, seed=0):
+def make_samples(n_params=3, n=500, seed=0):
     rng = np.random.default_rng(seed)
     base = rng.normal(size=n)
     return [base * (i + 1) + rng.normal(0, 0.5, n) for i in range(n_params)]
