@@ -388,10 +388,12 @@ def test_gpr_explicit_dtype():
     assert abs(lml32 - gp.marginal_likelihood(theta)) / abs(lml32) < 1e-5
 
 
+@pytest.mark.slow
 def test_blocked_cholesky_backend_matches_xla():
     """cholesky='blocked' (MXU-panel factorisation for large N on TPU)
     reproduces the default backend's LML, gradient, fit state and
-    predictions; invalid options are rejected."""
+    predictions; invalid options are rejected. Slow tier: the fast tier
+    covers the blocked factorisation itself in tests/test_ops.py."""
     import jax.numpy as jnp
     from inference_tpu.gp import GpRegressor
 

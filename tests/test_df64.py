@@ -222,6 +222,7 @@ def test_df64_solver_breakdown_freezes_iterate():
     assert int(info) != 0  # breakdown reported, not claimed converged
 
 
+@pytest.mark.slow
 def test_sqexp_matmat_df64_matches_matvec_columns():
     """The multi-RHS kernel must produce BITWISE the single-RHS kernel's
     result per column (same entry evaluation, same compensated
@@ -307,6 +308,7 @@ def test_sqexp_entries_df64_accuracy():
     assert np.abs(E - E64).max() < 1e-8
 
 
+@pytest.mark.slow
 def test_sqexp_stored_matmat_matches_fused():
     """The stored-entries contraction reproduces the fused kernel (same
     entry bits, same pair accumulation) and the float64 truth."""
@@ -340,6 +342,7 @@ def test_sqexp_stored_matmat_matches_fused():
     assert np.abs(y - y_fused).max() / np.abs(y_fused).max() < 1e-12
 
 
+@pytest.mark.slow
 def test_rect_and_sharded_matmat_match_square():
     """The rectangular kernel reproduces the square kernel bitwise on the
     full row set and on row blocks, and the row-sharded mesh wrapper
