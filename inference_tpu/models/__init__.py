@@ -10,6 +10,7 @@ from .priors import (
     GaussianPrior,
     ExponentialPrior,
     UniformPrior,
+    validate_prior_parameters,
 )
 from .posterior import Posterior
 
@@ -23,5 +24,6 @@ __all__ = [
     "GaussianPrior",
     "ExponentialPrior",
     "UniformPrior",
+    "validate_prior_parameters",
     "Posterior",
 ]

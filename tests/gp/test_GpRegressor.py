@@ -418,7 +418,16 @@ def test_blocked_cholesky_backend_matches_xla():
     assert np.allclose(mu0, mu1, rtol=1e-6, atol=1e-8)
     assert np.allclose(s0, s1, rtol=1e-5, atol=1e-8)
 
+
+def test_cholesky_option_validation():
+    """Invalid cholesky= options are rejected at construction (fast tier:
+    needs no fitting or factorisation)."""
+    rng = np.random.default_rng(8)
+    x = rng.uniform(0, 10, size=(16, 1))
+    y = np.sin(x[:, 0])
+    err = np.full(16, 0.1)
+    theta = np.zeros(3)
     with pytest.raises(ValueError):
-        GpRegressor(x, y, y_err=err, cholesky="bogus")
+        GpRegressor(x, y, y_err=err, hyperpars=theta, cholesky="bogus")
     with pytest.raises(ValueError):
-        GpRegressor(x, y, y_err=err, cholesky=True)
+        GpRegressor(x, y, y_err=err, hyperpars=theta, cholesky=True)

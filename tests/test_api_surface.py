@@ -52,10 +52,13 @@ MODULE_MAP = {
 # reference symbols with no counterpart, each justified in DELTAS.md
 SYMBOL_ALLOWLIST = {
     # internal validation helpers the reference leaks through sloppy
-    # `from x import *`-style surfaces; not part of its documented API
+    # `from x import *`-style surfaces; not part of its documented API.
+    # jacobian_not_given (likelihoods.py:267) is a module-level default-arg
+    # sentinel that raises; the rebuild raises the same error from an
+    # instance check. attempt_array_conversion (priors.py:565) is a private
+    # isinstance helper subsumed by models.priors._convertible.
     "jacobian_not_given",
     "attempt_array_conversion",
-    "validate_prior_parameters",
 }
 
 # (class name, method/attr name) pairs with no counterpart, per DELTAS.md
