@@ -3,7 +3,12 @@ from .ess import effective_sample_size, effective_sample_size_batched
 from .progress import ChainProgressPrinter
 from .random import make_key
 from .dtypes import default_float
-from .wrap import as_device_logp, validate_posterior, is_traceable
+from .wrap import (
+    as_device_logp,
+    validate_posterior,
+    is_traceable,
+    callbacks_supported,
+)
 from .profiling import device_trace, PhaseTimer
 
 __all__ = [
@@ -17,6 +22,7 @@ __all__ = [
     "as_device_logp",
     "validate_posterior",
     "is_traceable",
+    "callbacks_supported",
     "device_trace",
     "PhaseTimer",
 ]

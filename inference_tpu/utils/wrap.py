@@ -18,6 +18,40 @@ import jax.numpy as jnp
 from .dtypes import default_float
 
 
+# Per-platform result of the one-time host-callback capability probe.
+# Some backends (e.g. the axon TPU tunnel used for remote single-chip
+# work) do not implement host callbacks at all, in which case a
+# non-traceable posterior cannot run inside a compiled sampler loop on
+# that backend and the user needs an actionable error, not a trace-time
+# backend failure.
+_CALLBACK_SUPPORT = {}
+
+
+def callbacks_supported(platform: str = None) -> bool:
+    """Whether ``jax.pure_callback`` works inside jitted code on the given
+    platform (default: the active default backend). Probed once per
+    platform with a tiny jitted identity callback and cached."""
+    platform = platform or jax.default_backend()
+    if platform not in _CALLBACK_SUPPORT:
+        def probe(x):
+            return jax.pure_callback(
+                lambda v: np.asarray(v), jax.ShapeDtypeStruct((), x.dtype), x
+            )
+
+        try:
+            # commit the operand to the probed platform so jit runs there
+            x = jax.device_put(
+                jnp.asarray(1.0, dtype=default_float()),
+                jax.devices(platform)[0],
+            )
+            _CALLBACK_SUPPORT[platform] = bool(
+                np.isfinite(float(jax.jit(probe)(x)))
+            )
+        except Exception:
+            _CALLBACK_SUPPORT[platform] = False
+    return _CALLBACK_SUPPORT[platform]
+
+
 def is_traceable(fn, example) -> bool:
     """Check whether ``fn`` can be traced by jax on the example input."""
     try:
@@ -39,6 +73,20 @@ def as_device_logp(fn, example):
         def logp(theta):
             return jnp.asarray(fn(theta), dtype=theta.dtype).reshape(())
         return logp
+
+    if not callbacks_supported():
+        raise RuntimeError(
+            f"[ inference_tpu ] The given posterior is not jax-traceable "
+            f"(it appears to use numpy or other host-only code), and the "
+            f"active '{jax.default_backend()}' backend does not implement "
+            f"host callbacks, so it cannot be evaluated inside a compiled "
+            f"sampler loop on this device. Either (a) rewrite the "
+            f"posterior with jax.numpy so it runs on the device at full "
+            f"speed, or (b) run this chain on the CPU backend by calling "
+            f"jax.config.update('jax_platforms', 'cpu') before any jax "
+            f"operation — host-callback posteriors are supported there "
+            f"at host-call speed."
+        )
 
     result_shape = jax.ShapeDtypeStruct((), example.dtype)
 

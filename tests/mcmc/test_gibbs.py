@@ -164,6 +164,39 @@ def test_gibbs_numpy_posterior_callback():
     assert abs(s.mean() - 1.0) < 0.3
 
 
+def test_numpy_posterior_actionable_error_without_callbacks(monkeypatch):
+    """On backends with no host-callback support (e.g. the axon TPU
+    tunnel), a non-traceable posterior raises an actionable error at
+    construction instead of an opaque trace-time backend failure."""
+    import jax
+    from inference_tpu.utils import wrap
+
+    monkeypatch.setitem(wrap._CALLBACK_SUPPORT, jax.default_backend(), False)
+
+    def np_posterior(t):
+        return float(-0.5 * np.sum(np.asarray(t) ** 2))
+
+    with pytest.raises(RuntimeError, match="host callbacks"):
+        GibbsChain(
+            posterior=np_posterior,
+            start=np.array([0.5, 0.5]),
+            display_progress=False,
+        )
+
+
+def test_callbacks_supported_probe_caches():
+    """The capability probe runs once per platform and reports True on the
+    CPU backend (where callbacks are implemented)."""
+    import jax
+    from inference_tpu.utils import callbacks_supported
+    from inference_tpu.utils import wrap
+
+    assert callbacks_supported() is True
+    assert wrap._CALLBACK_SUPPORT[jax.default_backend()] is True
+    # unknown platforms fall to the probe's exception path -> False
+    assert callbacks_supported("no-such-platform") is False
+
+
 @pytest.mark.slow
 def test_gibbs_run_for_wall_clock():
     """run_for advances the chain for (at least) the requested duration."""
