@@ -35,16 +35,23 @@ _HI = jax.lax.Precision.HIGHEST
 class LargeScaleGpLinearInverter:
     """
     Solve a linear-Gaussian inverse problem ``y = A p + noise`` with a
-    squared-exponential GP prior over the parameter field ``p``, for
-    parameter counts far beyond dense factorisation.
+    GP prior over the parameter field ``p``, for parameter counts far
+    beyond dense factorisation.
 
     :param y: measured data, shape (M,).
     :param y_err: data error standard deviations, shape (M,).
     :param model_matrix: linear forward model ``A``, shape (M, N).
     :param parameter_spatial_positions: positions of the N parameters,
         shape (N, D).
-    :param hyperpars: prior-covariance hyperparameters
-        ``[ln A, ln l_1, ..., ln l_D]``.
+    :param hyperpars: prior-covariance hyperparameters — for the default
+        ``SquaredExponential`` that is ``[ln A, ln l_1, ..., ln l_D]``;
+        for ``RationalQuadratic``, ``[ln A, ln alpha, ln l_1..l_D]``;
+        a ``+ WhiteNoise()`` composition appends its ``ln sigma_w``.
+    :param kernel: prior covariance kernel (class or instance) —
+        ``SquaredExponential`` (default), ``RationalQuadratic``, or
+        either ``+ WhiteNoise()`` (an independent per-parameter prior
+        variance term); see ``gp.block_kernels``. Other kernels raise at
+        construction. The df64 tier is ``SquaredExponential``-only.
     :param prior_mean: constant prior mean (default 0).
     :param block_size: parameter rows per covariance-block matmul.
     :param cg_tol: conjugate-gradient relative tolerance.
@@ -79,6 +86,7 @@ class LargeScaleGpLinearInverter:
         model_matrix,
         parameter_spatial_positions,
         hyperpars,
+        kernel=None,
         prior_mean: float = 0.0,
         block_size: int = 4096,
         cg_tol: float = 1e-6,
@@ -92,6 +100,21 @@ class LargeScaleGpLinearInverter:
             raise ValueError(
                 f"[ LargeScaleGpLinearInverter error ] 'solver' must be "
                 f"'cg', 'mixed' or 'df64', but '{solver}' was given."
+            )
+        from .covariance import SquaredExponential
+        from .block_kernels import as_block_kernel
+
+        self._bk = as_block_kernel(
+            SquaredExponential if kernel is None else kernel,
+            "LargeScaleGpLinearInverter",
+        )
+        if solver == "df64" and not self._bk.supports_df64:
+            raise ValueError(
+                f"[ LargeScaleGpLinearInverter error ] solver='df64' is "
+                f"implemented for the pure SquaredExponential kernel only "
+                f"(its pair-arithmetic Pallas entry kernels are kernel-"
+                f"specific); got {self._bk.name}. Use solver='cg' or "
+                f"'mixed' for this kernel."
             )
         if store_entries not in ("auto", True, False):
             raise ValueError(
@@ -154,6 +177,14 @@ class LargeScaleGpLinearInverter:
         self.M, self.n_parameters = A.shape
         self.n_dimensions = x.shape[1]
         hyperpars = np.asarray(hyperpars, dtype=float)
+        expected = self._bk.n_params(self.n_dimensions)
+        if hyperpars.size != expected:
+            raise ValueError(
+                f"[ LargeScaleGpLinearInverter error ] kernel "
+                f"{self._bk.name} over {self.n_dimensions}-dimensional "
+                f"positions takes {expected} hyperparameters, but "
+                f"{hyperpars.size} were given."
+            )
         self.hyperpars = hyperpars
         self.prior_mean = float(prior_mean)
 
@@ -179,8 +210,7 @@ class LargeScaleGpLinearInverter:
         self._A = jnp.asarray(A, dtype)
         self._y = jnp.asarray(y, dtype)
         self._sig = jnp.asarray(y_err**2, dtype)
-        self._amp = jnp.exp(jnp.asarray(hyperpars[0], dtype))
-        self._ls = jnp.exp(jnp.asarray(hyperpars[1:], dtype))
+        self._theta = jnp.asarray(hyperpars, dtype)
 
         if mesh is not None:
             axis = mesh.axis_names[0]
@@ -343,24 +373,26 @@ class LargeScaleGpLinearInverter:
         noise as RUNTIME arguments — closed-over (M, N) constants would be
         baked into every HLO (the compile-payload trap documented in
         large_scale.py)."""
-        amp, ls = self._amp, self._ls
+        theta = self._theta
         n_pad, block = self._n_padded, self.block_size
         n_blocks = n_pad // block
 
         def k_matvec(x, v):
             """Prior-covariance action ``K @ v`` in row blocks (never
             dense K), for a vector (n_pad,) or a column block (n_pad, q)
-            — one blocked matmul serves every column at once."""
+            — one blocked matmul serves every column at once. A
+            WhiteNoise prior component acts diagonally."""
             x_blocks = x.reshape(n_blocks, block, -1)
 
             def one_block(xb):
                 return jnp.dot(
-                    sqexp_covariance(xb, x, amp, ls), v, precision=_HI
+                    self._bk.rows(xb, x, theta), v, precision=_HI
                 )
 
-            return lax.map(one_block, x_blocks).reshape(
+            Kv = lax.map(one_block, x_blocks).reshape(
                 (n_pad,) + v.shape[1:]
             )
+            return Kv + self._bk.noise_variance(theta) * v
 
         def data_matvec(A, x, sig, v):
             """(Sigma + A K A^T) @ v."""
@@ -445,7 +477,12 @@ class LargeScaleGpLinearInverter:
             from ..ops.solvers import pcg_multi
 
             x_sel = x[idx]
-            K_sx = sqexp_covariance(x_sel, x, amp, ls)
+            K_sx = self._bk.rows(x_sel, x, theta)
+            # a WhiteNoise prior component contributes its variance on
+            # the (selected-parameter, same-parameter) diagonal entries
+            K_sx = K_sx.at[
+                jnp.arange(idx.shape[0]), idx
+            ].add(self._bk.noise_variance(theta))
             AK = jnp.dot(A, K_sx.T, precision=_HI)  # (M, n_sel)
 
             def data_matvec_multi(V):
@@ -461,7 +498,10 @@ class LargeScaleGpLinearInverter:
                 maxiter=cg_maxiter,
             )
             quad = jnp.sum(AK * sols, axis=0)
-            return amp**2 - quad
+            prior_var = self._bk.amp2(theta) + self._bk.noise_variance(
+                theta
+            )
+            return prior_var - quad
 
         var_jit = jax.jit(variances)
         self._variances = lambda idx: var_jit(*args(), idx)
@@ -567,10 +607,10 @@ class LargeScaleGpLinearInverter:
     # ------------------------------------------------------------------ #
     # hyperparameter fitting
     # ------------------------------------------------------------------ #
-    def _data_matmat_live(self, a, l, V):
-        """``(Sigma + A K(a, l) A^T) V`` with LIVE hyperparameters, for a
-        data-space column block (M, q) — the same blocked prior
-        contraction as the solve path, differentiable through ``a, l``
+    def _data_matmat_live(self, theta, V):
+        """``(Sigma + A K(theta) A^T) V`` with LIVE hyperparameters, for
+        a data-space column block (M, q) — the same blocked prior
+        contraction as the solve path, differentiable through ``theta``
         for the stochastic-LML fit."""
         A, x, sig = self._A, self._x, self._sig
         n_pad, block = self._n_padded, self.block_size
@@ -578,9 +618,10 @@ class LargeScaleGpLinearInverter:
         x_blocks = x.reshape(n_pad // block, block, -1)
 
         def one_block(xb):
-            return jnp.dot(sqexp_covariance(xb, x, a, l), P, precision=_HI)
+            return jnp.dot(self._bk.rows(xb, x, theta), P, precision=_HI)
 
         KP = lax.map(one_block, x_blocks).reshape((n_pad,) + P.shape[1:])
+        KP = KP + self._bk.noise_variance(theta) * P
         return (sig * V.T).T + jnp.dot(A, KP, precision=_HI)
 
     def fit(
@@ -607,8 +648,8 @@ class LargeScaleGpLinearInverter:
 
         assembles by autodiff of the blocked live-theta products with
         ``z, u`` held fixed (the Sigma term is theta-independent and
-        drops out of the gradient). Returns the optimised
-        ``[ln A, ln l_1, ..., ln l_D]`` without mutating this instance —
+        drops out of the gradient). Returns the optimised prior
+        hyperparameter vector without mutating this instance —
         construct a new inverter with the result, matching
         ``LargeScaleGP.fit``'s contract. A step whose inner CG stops
         above ``max(10 * fit_tol, 0.05)`` relative residual warns that
@@ -672,10 +713,9 @@ class LargeScaleGpLinearInverter:
         @jax.jit
         def fit_step(theta, adam, t, lr, rhs, Z):
             th0 = lax.stop_gradient(theta)
-            a0, l0 = jnp.exp(th0[0]), jnp.exp(th0[1:])
             B = jnp.concatenate([rhs[:, None], Z], axis=1)
             Sol, _ = pcg_multi(
-                lambda V: self._data_matmat_live(a0, l0, V),
+                lambda V: self._data_matmat_live(th0, V),
                 B,
                 M=lambda V: V / sig[:, None],
                 tol=fit_tol,
@@ -683,15 +723,14 @@ class LargeScaleGpLinearInverter:
             )
             Sol = lax.stop_gradient(Sol)
             z, U = Sol[:, :1], Sol[:, 1:]
-            R = B - self._data_matmat_live(a0, l0, Sol)
+            R = B - self._data_matmat_live(th0, Sol)
             rel_resid = jnp.sqrt(
                 jnp.max(jnp.sum(R * R, axis=0) / jnp.sum(B * B, axis=0))
             )
 
             def surrogate(th):
-                a, l = jnp.exp(th[0]), jnp.exp(th[1:])
                 SW = self._data_matmat_live(
-                    a, l, jnp.concatenate([z, Z], axis=1)
+                    th, jnp.concatenate([z, Z], axis=1)
                 )
                 s_data = -0.5 * jnp.sum(z[:, 0] * SW[:, 0])
                 s_trace = 0.5 * jnp.mean(jnp.sum(U * SW[:, 1:], axis=0))

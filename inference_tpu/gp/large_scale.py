@@ -29,6 +29,8 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 
 from ..ops.pairwise import sqexp_covariance
 from ..utils.dtypes import default_float
+from .block_kernels import SqExpBlock, as_block_kernel
+from .covariance import SquaredExponential
 
 
 def woodbury_apply(V, U, dinv, core, *, core_chol, out_dtype=None):
@@ -87,17 +89,27 @@ def sqexp_rows_host64(q, x, hyperpars):
 
 class LargeScaleGP:
     """
-    Squared-exponential GP regression with matrix-free training solves,
-    for datasets beyond the reach of dense factorisation. Hyperparameters
-    can be selected at this scale too: ``fit()`` maximises the marginal
-    likelihood with Hutchinson-trace stochastic gradients through batched
-    multi-RHS CG — no dense K at any point.
+    GP regression with matrix-free training solves, for datasets beyond
+    the reach of dense factorisation. Hyperparameters can be selected at
+    this scale too: ``fit()`` maximises the marginal likelihood with
+    Hutchinson-trace stochastic gradients through batched multi-RHS CG —
+    no dense K at any point.
 
     :param x: data positions, shape (n_points, n_dims).
     :param y: data values, shape (n_points,).
     :param y_err: per-point Gaussian error standard deviations.
-    :param hyperpars: ``[ln A, ln l_1, ..., ln l_D]`` (as ``GpRegressor``
-        with a SquaredExponential kernel and known constant mean).
+    :param hyperpars: the kernel's hyperparameter vector — for the
+        default ``SquaredExponential`` that is ``[ln A, ln l_1..l_D]``
+        (as ``GpRegressor`` with a known constant mean); for
+        ``RationalQuadratic`` it is ``[ln A, ln alpha, ln l_1..l_D]``;
+        a ``+ WhiteNoise()`` composition appends its ``ln sigma_w`` in
+        the dense composite's slice order.
+    :param kernel: covariance kernel (class or instance) —
+        ``SquaredExponential`` (default), ``RationalQuadratic``, or
+        either ``+ WhiteNoise()``; see ``gp.block_kernels``. Other
+        kernels raise a ``ValueError`` at construction (they remain
+        available on the dense ``GpRegressor`` path). The df64 solver
+        tier is ``SquaredExponential``-only.
     :param mean_value: constant mean (defaults to the data mean).
     :param block_size: rows per kernel-block matmul.
     :param cg_tol: conjugate-gradient relative tolerance.
@@ -161,6 +173,7 @@ class LargeScaleGP:
         y,
         y_err,
         hyperpars,
+        kernel=SquaredExponential,
         mean_value: float = None,
         block_size: int = 4096,
         cg_tol: float = 1e-6,
@@ -176,6 +189,15 @@ class LargeScaleGP:
             raise ValueError(
                 f"[ LargeScaleGP error ] 'solver' must be 'cg', 'mixed' or "
                 f"'df64', but '{solver}' was given."
+            )
+        self._bk = as_block_kernel(kernel, "LargeScaleGP")
+        if solver == "df64" and not self._bk.supports_df64:
+            raise ValueError(
+                f"[ LargeScaleGP error ] solver='df64' is implemented for "
+                f"the pure SquaredExponential kernel only (its pair-"
+                f"arithmetic Pallas entry kernels are kernel-specific); "
+                f"got {self._bk.name}. Use solver='cg' or 'mixed' for "
+                f"this kernel."
             )
         if solver in ("mixed", "df64") and not jax.config.read(
             "jax_enable_x64"
@@ -227,6 +249,13 @@ class LargeScaleGP:
         y_err = np.asarray(y_err, dtype=float).squeeze()
         self.n_points, self.n_dimensions = x.shape
         hyperpars = np.asarray(hyperpars, dtype=float)
+        expected = self._bk.n_params(self.n_dimensions)
+        if hyperpars.size != expected:
+            raise ValueError(
+                f"[ LargeScaleGP error ] kernel {self._bk.name} over "
+                f"{self.n_dimensions}-dimensional data takes {expected} "
+                f"hyperparameters, but {hyperpars.size} were given."
+            )
         self.hyperpars = hyperpars
 
         self.block_size = int(block_size)
@@ -278,8 +307,7 @@ class LargeScaleGP:
         self._y = jnp.asarray(y, dtype)
         self._sig_diag = jnp.asarray(y_err**2, dtype)
         self._mask_dev = jnp.asarray(self._mask, dtype)
-        self._amp = jnp.exp(jnp.asarray(hyperpars[0], dtype))
-        self._ls = jnp.exp(jnp.asarray(hyperpars[1:], dtype))
+        self._theta = jnp.asarray(hyperpars, dtype)
 
         if mesh is not None:
             axis = mesh.axis_names[0]
@@ -314,7 +342,7 @@ class LargeScaleGP:
             self.alpha = jnp.asarray(self.alpha64, dtype)
         self.cg_iterations_estimate = None  # jax cg does not report count
 
-    def _pivoted_cholesky(self, rank: int, amp=None, ls=None):
+    def _pivoted_cholesky(self, rank: int, theta=None):
         """Partial pivoted Cholesky of the kernel matrix, entirely on
         device: ``rank`` greedy steps, each picking the point with the
         largest residual diagonal, evaluating one kernel column against all
@@ -336,14 +364,14 @@ class LargeScaleGP:
             cache = self._pivchol_cache = {}
         if rank in cache:
             build = cache[rank]
-            return build(
-                self._amp if amp is None else amp,
-                self._ls if ls is None else ls,
-            )
+            return build(self._theta if theta is None else theta)
 
         @jax.jit
-        def build(amp, ls):
-            diag = amp**2 * mask  # padded rows have zero diagonal: never pivoted
+        def build(theta):
+            # padded rows have zero diagonal: never pivoted. The factor
+            # approximates the SMOOTH kernel part only — white noise
+            # lives in the Woodbury diagonal D, not in U U^T
+            diag = self._bk.amp2(theta) * mask
             U = jnp.zeros((n, rank), dtype)
             tiny = jnp.asarray(jnp.finfo(dtype).tiny, dtype)
 
@@ -351,7 +379,7 @@ class LargeScaleGP:
                 diag, U = carry
                 j = jnp.argmax(diag)
                 xj = lax.dynamic_slice(x, (j, 0), (1, D))
-                col = sqexp_covariance(x, xj, amp, ls)[:, 0] * mask * mask[j]
+                col = self._bk.rows(x, xj, theta)[:, 0] * mask * mask[j]
                 uj = lax.dynamic_slice(U, (j, 0), (1, rank))[0]
                 # columns of U beyond i are still zero, so the full-width
                 # matvec projects onto exactly the first i factors
@@ -366,10 +394,7 @@ class LargeScaleGP:
             return U
 
         cache[rank] = build
-        return build(
-            self._amp if amp is None else amp,
-            self._ls if ls is None else ls,
-        )
+        return build(self._theta if theta is None else theta)
 
     def _pivoted_cholesky_host(self, rank: int) -> np.ndarray:
         """Greedy pivoted Cholesky in HOST float64. The on-device float32
@@ -442,7 +467,7 @@ class LargeScaleGP:
                 )
                 return
             U = self._pivoted_cholesky(rank)
-            d, G = self._precond_gram(U, self._amp)
+            d, G = self._precond_gram(U, self._theta)
             self._precond = (U, d, self._factor_woodbury_core(G))
             return
 
@@ -451,7 +476,9 @@ class LargeScaleGP:
 
         @jax.jit
         def build():
-            K_mm = sqexp_covariance(xm, xm, self._amp, self._ls)
+            theta = self._theta
+            amp2 = self._bk.amp2(theta)
+            K_mm = self._bk.rows(xm, xm, theta)
             n = K_mm.shape[0]
             # generous jitter: inducing rows of a smooth kernel are highly
             # correlated and K_mm is near-singular in float32; the
@@ -459,18 +486,22 @@ class LargeScaleGP:
             # diagonal shift costs a few extra CG iterations, not accuracy
             jit_scale = 1e-3 if K_mm.dtype == jnp.float32 else 1e-8
             K_mm = K_mm.at[jnp.arange(n), jnp.arange(n)].add(
-                self._amp**2 * jit_scale
+                amp2 * jit_scale
             )
             L_mm = jnp.linalg.cholesky(K_mm)
-            K_nm = sqexp_covariance(self._x, xm, self._amp, self._ls)
+            K_nm = self._bk.rows(self._x, xm, theta)
             # U = K_nm L^-T  =>  U U^T = K_nm K_mm^-1 K_mn (Nystrom)
             U = jax.scipy.linalg.solve_triangular(
                 L_mm, K_nm.T, lower=True
             ).T
             # mask padded rows out of the preconditioner
             U = U * self._mask_dev[:, None]
-            # Woodbury-core Gram: G = U^T D^-1 U with D = sig + jitter
-            d = self._sig_diag + self._amp**2 * 1e-12
+            # Woodbury-core Gram: G = U^T D^-1 U, D = sig + noise + jitter
+            d = (
+                self._sig_diag
+                + self._bk.noise_variance(theta)
+                + amp2 * 1e-12
+            )
             G = jnp.dot((U / d[:, None]).T, U, precision=_HI)
             return U, d, G
 
@@ -481,7 +512,7 @@ class LargeScaleGP:
         U, d, G = build()
         self._precond = (U, d, self._factor_woodbury_core(G))
 
-    def _precond_gram(self, U, amp):
+    def _precond_gram(self, U, theta):
         """Jitter-shifted diagonal and Woodbury-core Gram ``G = U^T D^-1 U``
         for a low-rank factor, shared by the construction-time build and
         ``fit()``'s live-theta refresh (one program, cached)."""
@@ -489,13 +520,17 @@ class LargeScaleGP:
         if fn is None:
 
             @jax.jit
-            def fn(U, amp):
-                d = self._sig_diag + amp**2 * 1e-12
+            def fn(U, theta):
+                d = (
+                    self._sig_diag
+                    + self._bk.noise_variance(theta)
+                    + self._bk.amp2(theta) * 1e-12
+                )
                 G = jnp.dot((U / d[:, None]).T, U, precision=_HI)
                 return d, G
 
             self._precond_gram_fn = fn
-        return fn(U, amp)
+        return fn(U, theta)
 
     @staticmethod
     def _factor_core_host(G) -> np.ndarray:
@@ -629,30 +664,36 @@ class LargeScaleGP:
 
         return df64_chunk_iters(self._n_padded, matvecs_per_iter=1)
 
-    def _system_matmat(self, a, l, V):
-        """(K(a, l) + diag(sig) + jitter I) applied to a vector (n_pad,)
-        or a column block (n_pad, q), in kernel row blocks — one blocked
-        matmul serves every column at once (``jnp.dot`` handles 1-D and
-        2-D right operands uniformly). This is the single solve-critical
-        system decomposition: the fixed-theta solve paths and ``fit()``'s
-        live-theta autodiff both call it, so jitter policy / precision /
-        padding handling cannot drift between them."""
+    def _system_matmat(self, theta, V):
+        """(K(theta) + diag(sig) + noise + jitter I) applied to a vector
+        (n_pad,) or a column block (n_pad, q), in kernel row blocks — one
+        blocked matmul serves every column at once (``jnp.dot`` handles
+        1-D and 2-D right operands uniformly). This is the single
+        solve-critical system decomposition: the fixed-theta solve paths
+        and ``fit()``'s live-theta autodiff both call it, so jitter
+        policy / precision / padding handling cannot drift between
+        them."""
         x = self._x
         n_pad, block = self._n_padded, self.block_size
         x_blocks = x.reshape(n_pad // block, block, -1)
 
         def one_block(xb):
-            return jnp.dot(sqexp_covariance(xb, x, a, l), V, precision=_HI)
+            return jnp.dot(self._bk.rows(xb, x, theta), V, precision=_HI)
 
         KV = lax.map(one_block, x_blocks).reshape((n_pad,) + V.shape[1:])
-        return KV + ((self._sig_diag + a**2 * 1e-12) * V.T).T
+        diag = (
+            self._sig_diag
+            + self._bk.noise_variance(theta)
+            + self._bk.amp2(theta) * 1e-12
+        )
+        return KV + (diag * V.T).T
 
     def _build_compiled(self, cg_tol, cg_maxiter):
-        x, amp, ls = self._x, self._amp, self._ls
+        x, theta = self._x, self._theta
         has_precond = self._precond is not None
 
         def matvec(v):
-            return self._system_matmat(amp, ls, v)
+            return self._system_matmat(theta, v)
 
         use_mixed = self.solver == "mixed"
         use_df64 = self.solver == "df64"
@@ -730,7 +771,7 @@ class LargeScaleGP:
             self._solve_rhs = lambda rhs: solve_jit(rhs, self._precond)
 
         def predict_mean(q, alpha):
-            K_qx = sqexp_covariance(q, x, amp, ls)
+            K_qx = self._bk.rows(q, x, theta)
             return jnp.dot(K_qx, alpha, precision=_HI) + self.mean_value
 
         self._predict_mean = jax.jit(predict_mean)
@@ -742,7 +783,7 @@ class LargeScaleGP:
         def predict_var(q, alpha, pc):
             from ..ops.solvers import pcg_multi
 
-            K_qx = sqexp_covariance(q, x, amp, ls)  # (M, n_pad)
+            K_qx = self._bk.rows(q, x, theta)  # (M, n_pad)
             if has_precond:
                 U, d, L_c = pc
                 M_multi = lambda V: woodbury_apply(
@@ -754,7 +795,7 @@ class LargeScaleGP:
                 matvec_multi, K_qx.T, M=M_multi, tol=cg_tol, maxiter=cg_maxiter
             )
             quad = jnp.sum(K_qx.T * sols, axis=0)
-            return amp**2 - quad
+            return self._bk.amp2(theta) - quad
 
         predict_var_jit = jax.jit(predict_var)
         self._cg_tol, self._cg_maxiter = cg_tol, cg_maxiter
@@ -805,7 +846,7 @@ class LargeScaleGP:
         numbers), so the stochastic objective is a fixed smooth function
         and Adam converges on it cleanly.
 
-        Returns the optimised ``[ln A, ln l_1, ..., ln l_D]`` (does not
+        Returns the optimised kernel hyperparameter vector (does not
         mutate this instance — construct a new ``LargeScaleGP`` with the
         returned vector, matching ``GpRegressor.fit``'s contract).
 
@@ -897,23 +938,27 @@ class LargeScaleGP:
         diverges (measured: worst-column residuals 3-9 at N=16k even
         with a freshly rebuilt rank-1024 factor)."""
         th = np.asarray(theta, np.float64)
-        a = jnp.asarray(np.exp(th[0]), self._x.dtype)
-        l = jnp.asarray(np.exp(th[1:]), self._x.dtype)
         rank = self._precond[0].shape[1]
-        U = self._pivoted_cholesky(rank, amp=a, ls=l)
-        return self._fit_pc_from_U(U, float(np.exp(th[0])))
+        U = self._pivoted_cholesky(
+            rank, theta=jnp.asarray(th, self._x.dtype)
+        )
+        return self._fit_pc_from_U(U, th)
 
-    def _fit_pc_from_U(self, U, amp64: float):
+    def _fit_pc_from_U(self, U, theta64):
         """Fit-format triple (U, d_inv, C_inv) from a low-rank factor:
         device Gram, host-f64 core inverse, x64-gated core dtype."""
-        a = jnp.asarray(amp64, self._x.dtype)
-        _, G = self._precond_gram(U, a)
+        th = np.asarray(theta64, np.float64)
+        _, G = self._precond_gram(U, jnp.asarray(th, self._x.dtype))
         cdtype = (
             jnp.float64
             if jax.config.read("jax_enable_x64")
             else self._x.dtype
         )
-        dinv = 1.0 / (self._sig_host + amp64**2 * 1e-12)
+        dinv = 1.0 / (
+            self._sig_host
+            + self._bk.noise_variance_host(th)
+            + self._bk.amp2_host(th) * 1e-12
+        )
         Cinv = self._core_inverse_host(np.asarray(G))
         return U, jnp.asarray(dinv, cdtype), jnp.asarray(Cinv, cdtype)
 
@@ -936,9 +981,7 @@ class LargeScaleGP:
                 jnp.asarray(dinv, cdtype),
                 jnp.asarray(Cinv, cdtype),
             )
-        return self._fit_pc_from_U(
-            self._precond[0], float(np.exp(self.hyperpars[0]))
-        )
+        return self._fit_pc_from_U(self._precond[0], self.hyperpars)
 
     def _get_fit_step(self, fit_tol, fit_maxiter, use_precond):
         """One jitted Adam step of the stochastic-LML fit, cached per
@@ -959,7 +1002,6 @@ class LargeScaleGP:
         @jax.jit
         def fit_step(theta, adam, t, lr, rhs, Z, *pc):
             th0 = lax.stop_gradient(theta)
-            a0, l0 = jnp.exp(th0[0]), jnp.exp(th0[1:])
             B = jnp.concatenate([rhs[:, None], Z], axis=1)
             if use_precond:
                 Up, dinv, Cinv = pc[0]
@@ -972,7 +1014,7 @@ class LargeScaleGP:
             else:
                 M_multi = None
             Sol, _ = pcg_multi(
-                lambda V: self._system_matmat(a0, l0, V),
+                lambda V: self._system_matmat(th0, V),
                 B,
                 M=M_multi,
                 tol=fit_tol,
@@ -984,7 +1026,7 @@ class LargeScaleGP:
             # at maxiter with unconverged columns, and a silently-loose
             # solve biases the gradient (costs one extra matmat ~ one CG
             # iteration per step)
-            R = B - self._system_matmat(a0, l0, Sol)
+            R = B - self._system_matmat(th0, Sol)
             rel_resid = jnp.sqrt(
                 jnp.max(jnp.sum(R * R, axis=0) / jnp.sum(B * B, axis=0))
             )
@@ -992,9 +1034,8 @@ class LargeScaleGP:
             def surrogate(th):
                 # S(th) = -0.5 a^T K a + 0.5 mean_i u_i^T K z_i has
                 # dS = -dL with alpha/U fixed: minimising S maximises LML
-                a, l = jnp.exp(th[0]), jnp.exp(th[1:])
                 KW = self._system_matmat(
-                    a, l, jnp.concatenate([alpha, Z], axis=1)
+                    th, jnp.concatenate([alpha, Z], axis=1)
                 )
                 s_data = -0.5 * jnp.sum(alpha[:, 0] * KW[:, 0])
                 s_trace = 0.5 * jnp.mean(jnp.sum(U * KW[:, 1:], axis=0))
@@ -1188,9 +1229,9 @@ class LargeScaleGP:
         f64 = jnp.float64
         x64 = jnp.asarray(self._x_host, f64)
         sig64 = jnp.asarray(self._sig_host, f64)
-        amp64 = jnp.exp(jnp.asarray(self.hyperpars[0], f64))
-        ls64 = jnp.exp(jnp.asarray(self.hyperpars[1:], f64))
-        jitter = amp64**2 * 1e-12
+        th64 = jnp.asarray(self.hyperpars, f64)
+        jitter = self._bk.amp2_host(self.hyperpars) * 1e-12
+        noise64 = self._bk.noise_variance_host(self.hyperpars)
         n_pad = self._n_padded
         # emulated f64 doubles every buffer: use a smaller row block than
         # the f32 solve so the block covariance chunk stays well inside HBM
@@ -1204,11 +1245,11 @@ class LargeScaleGP:
 
             def one_block(xb):
                 return jnp.dot(
-                    sqexp_covariance(xb, x64, amp64, ls64), v, precision=_HI
+                    self._bk.rows(xb, x64, th64), v, precision=_HI
                 )
 
             Kv = lax.map(one_block, x_blocks).reshape(n_pad)
-            return Kv + (sig64 + jitter) * v
+            return Kv + (sig64 + noise64 + jitter) * v
 
         self._matvec64 = jax.jit(matvec64)
 
@@ -1219,17 +1260,18 @@ class LargeScaleGP:
         cancellation is ~1e-13 relative."""
         v = np.asarray(v, dtype=np.float64)
         h = np.asarray(self.hyperpars, dtype=np.float64)
-        amp2 = np.exp(2.0 * h[0])
-        ls = np.exp(h[1:])
-        xs = np.asarray(self._x_host, np.float64) / ls[None, :]
-        sq = (xs**2).sum(axis=1)
+        x64 = np.asarray(self._x_host, np.float64)
         out = np.empty(self._n_padded)
         B = min(self.block_size, 4096)
         for i in range(0, self._n_padded, B):
             blk = slice(i, min(i + B, self._n_padded))
-            d2 = sq[blk, None] + sq[None, :] - 2.0 * (xs[blk] @ xs.T)
-            out[blk] = (amp2 * np.exp(-0.5 * np.maximum(d2, 0.0))) @ v
-        return out + (self._sig_host + amp2 * 1e-12) * v
+            out[blk] = self._bk.rows_host64(x64[blk], x64, h) @ v
+        diag = (
+            self._sig_host
+            + self._bk.noise_variance_host(h)
+            + self._bk.amp2_host(h) * 1e-12
+        )
+        return out + diag * v
 
     def _residual64(self, alpha64, backend: str):
         if backend == "df64":

@@ -304,3 +304,61 @@ def test_large_inverter_df64_predictions_match_dense_truth():
     # truth is ~sigma^2-scale against amp^2 = 1: demand absolute accuracy
     # far below the f32 floor (measured 1e-3+ through the f32 batched CG)
     assert np.abs(var - var_ref).max() < 1e-8
+
+
+def test_large_inverter_kernel_generality():
+    """RationalQuadratic and SquaredExponential()+WhiteNoise() priors run
+    through the matrix-free inverter and match the dense GpLinearInverter
+    posterior (VERDICT r3 item 5); unsupported kernels raise."""
+    from inference_tpu.gp import (
+        ChangePoint,
+        GpLinearInverter,
+        LargeScaleGpLinearInverter,
+        RationalQuadratic,
+        SquaredExponential,
+        WhiteNoise,
+    )
+
+    rng = np.random.default_rng(1)
+    N, M = 200, 60
+    x = np.linspace(0, 10, N).reshape(-1, 1)
+    A = rng.normal(size=(M, N)) / N
+    y = A @ np.sin(x[:, 0]) + 0.01 * rng.normal(size=M)
+    err = np.full(M, 0.01)
+
+    for kernel, theta in [
+        (RationalQuadratic, np.array([0.0, 0.5, 0.0])),
+        (
+            SquaredExponential() + WhiteNoise(),
+            np.array([0.0, 0.0, np.log(0.3)]),
+        ),
+    ]:
+        dense = GpLinearInverter(
+            y, err, A, x, prior_covariance_function=kernel
+        )
+        mu_d, cov_d = dense.calculate_posterior(
+            np.concatenate([[0.0], theta])
+        )
+        sd_d = np.sqrt(np.diag(np.asarray(cov_d)))
+        big = LargeScaleGpLinearInverter(
+            y, err, A, x, hyperpars=theta, kernel=kernel,
+            block_size=64, cg_tol=1e-12,
+        )
+        mu_b = big.calculate_posterior_mean()
+        sd_b = np.sqrt(big.posterior_variances(np.arange(N)))
+        assert np.allclose(np.asarray(mu_d), mu_b, atol=1e-8)
+        assert np.allclose(sd_d, sd_b, atol=1e-8)
+
+        # the stochastic data-space fit runs on the generic theta path
+        fitted = big.fit(n_steps=3, learning_rate=0.02)
+        assert fitted.shape == theta.shape and np.all(np.isfinite(fitted))
+
+    with pytest.raises(ValueError, match="not supported"):
+        LargeScaleGpLinearInverter(
+            y, err, A, x, hyperpars=[0.0, 0.0], kernel=ChangePoint
+        )
+    with pytest.raises(ValueError, match="SquaredExponential kernel only"):
+        LargeScaleGpLinearInverter(
+            y, err, A, x, hyperpars=[0.0, 0.5, 0.0],
+            kernel=RationalQuadratic, solver="df64",
+        )
