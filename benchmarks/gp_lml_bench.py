@@ -42,7 +42,7 @@ PEAK_BF16 = 197e12
 PEAK_F32_HIGHEST = PEAK_BF16 / 6
 
 
-def time_rebuild(n, cholesky="xla"):
+def time_rebuild(n, cholesky="auto"):
     import jax.numpy as jnp
     from inference_tpu.gp import GpRegressor
 
@@ -106,16 +106,19 @@ def main():
                 )
         print(line, flush=True)
         if n >= 4096:
-            # the MXU-panel blocked factor (ops/linalg.py) vs the XLA
-            # expander, end to end through the same LML value+gradient
-            dt_b, lml_b = time_rebuild(n, cholesky="blocked")
-            tflops_b = model_flops(n) / dt_b / 1e12
-            print(
-                f"N={n:6d}: blocked-cholesky {1 / dt_b:8.2f} evals/s "
-                f"({dt_b * 1e3:8.1f} ms), {tflops_b:6.2f} TFLOP/s "
-                f"({dt / dt_b:5.2f}x vs xla), dlml={abs(lml_b - lml):.2e}",
-                flush=True,
-            )
+            # the "auto" policy (measured per-program choice) against the
+            # pure-expander and pure-blocked backends, end to end through
+            # the same LML value+gradient program
+            for backend in ("xla", "blocked"):
+                dt_b, lml_b = time_rebuild(n, cholesky=backend)
+                tflops_b = model_flops(n) / dt_b / 1e12
+                print(
+                    f"N={n:6d}: cholesky={backend:7s} "
+                    f"{1 / dt_b:8.2f} evals/s ({dt_b * 1e3:8.1f} ms), "
+                    f"{tflops_b:6.2f} TFLOP/s ({dt / dt_b:5.2f}x vs auto), "
+                    f"dlml={abs(lml_b - lml):.2e}",
+                    flush=True,
+                )
 
 
 if __name__ == "__main__":

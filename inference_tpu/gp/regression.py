@@ -96,10 +96,11 @@ class GpRegressor:
     :param cholesky: \
         Factorisation backend for the N x N training matrix: "xla" (the
         backend's expander), "blocked" (statically-unrolled MXU-matmul
-        panels, ``ops.linalg.blocked_cholesky`` — for large N on TPU,
-        where the sequential expander underfeeds the MXU), an int panel
-        width for the blocked factor, or "auto" (default; currently
-        "xla").
+        panels, ``ops.linalg.blocked_cholesky``), an int panel width for
+        the blocked factor, or "auto" (default): the measured per-program
+        policy — the expander for forward-only factorisations, the
+        blocked factor inside gradient programs at n >= 12288, where the
+        expander's VJP is 2.8x slower on chip (BENCH_NOTES).
     """
 
     def __init__(
@@ -140,12 +141,13 @@ class GpRegressor:
         # factorisation backend for the N x N training matrix: "xla" uses
         # the backend expander; "blocked" (or an int panel width) routes
         # through ops.linalg.blocked_cholesky, which expresses the O(N^3)
-        # trailing updates as HIGHEST-precision MXU matmuls — the TPU
-        # expander's sequential panels underfeed the MXU at large N (the
-        # N=16k LML+gradient measures ~11% of the f32 ceiling). "auto"
-        # currently selects "xla"; it will prefer the blocked factor at
-        # large N once the on-chip benchmark (benchmarks/cholesky_bench.py)
-        # confirms the crossover.
+        # trailing updates as HIGHEST-precision MXU matmuls. Measured on
+        # chip (benchmarks/cholesky_bench.py): the expander's FORWARD
+        # factorisation is faster at every size, but its VJP collapses at
+        # large N (2.8x slower than the blocked factor's explicit-matmul
+        # VJP at N=16,384) — so "auto" keeps the expander for forward-only
+        # programs and switches the gradient programs to the blocked
+        # factor at n >= 12288 (see _build_compiled_functions).
         self._cholesky = cholesky
         self.cov = kernel() if isclass(kernel) else kernel
         self.mean = mean() if isclass(mean) else mean
@@ -364,15 +366,32 @@ class GpRegressor:
 
         sig_is_diag = self._sig_is_diag
 
-        if self._cholesky in ("auto", "xla"):
-            chol = jnp.linalg.cholesky
+        from ..ops.linalg import blocked_cholesky
+
+        def make_blocked(blk):
+            return lambda K: blocked_cholesky(K, block=blk)
+
+        n_pad = int(self._x_dev.shape[0])
+        if self._cholesky == "auto":
+            # measured on a v5e chip (benchmarks/cholesky_bench.py,
+            # BENCH_NOTES "Blocked vs XLA Cholesky"): for FORWARD-only
+            # factorisations the XLA expander wins at every size (19
+            # TFLOP/s at N=16,384 vs ~13 blocked), but its VJP collapses
+            # at large N — value+grad measured 1.10 s at N=16,384 where
+            # the blocked factor's explicit-matmul VJP (jax.checkpoint
+            # per panel) runs 0.39 s. Crossover lies between 8k and 16k;
+            # the gradient programs switch to the blocked factor at
+            # n >= 12288 while forward-only programs stay on the expander.
+            chol_fwd = jnp.linalg.cholesky
+            chol_grad = (
+                make_blocked(2048) if n_pad >= 12288 else jnp.linalg.cholesky
+            )
+        elif self._cholesky == "xla":
+            chol_fwd = chol_grad = jnp.linalg.cholesky
         else:
-            from ..ops.linalg import blocked_cholesky
-
             blk = self._cholesky if isinstance(self._cholesky, int) else 2048
-
-            def chol(K):
-                return blocked_cholesky(K, block=blk)
+            chol_fwd = chol_grad = make_blocked(blk)
+        chol = chol_grad
 
         def add_sig(K, sig):
             if sig_is_diag:
@@ -448,7 +467,7 @@ class GpRegressor:
             backends)."""
             K_xx = apply_mask(add_sig(cov.matrix(x, theta[cov_slc]), sig), m)
             mu = mean.vector(x, theta[mean_slc])
-            L = chol(K_xx)
+            L = chol_fwd(K_xx)
             alpha = solve_triangular(
                 L.T, solve_triangular(L, (y - mu) * m, lower=True)
             )

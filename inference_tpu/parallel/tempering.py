@@ -409,7 +409,13 @@ class ShardedTempering:
         # would give an irregular stride across chunk boundaries
         offset = (-self._raw_steps) % thin
         self._raw_steps += pos.shape[0]
-        pos, logp = jax.device_get((pos[offset::thin], logp[offset::thin]))
+        pos, logp = pos[offset::thin], logp[offset::thin]
+        if isinstance(pos, jax.Array) and not pos.is_fully_addressable:
+            # multi-controller runs gather the global history per process
+            self._history.append(self._gather_host(pos))
+            self._prob_history.append(self._gather_host(logp))
+            return
+        pos, logp = jax.device_get((pos, logp))
         self._history.append(np.asarray(pos))
         self._prob_history.append(np.asarray(logp))
 
@@ -435,7 +441,7 @@ class ShardedTempering:
             self._state, outs, acc = self._fused(
                 self._state, keys, swap_interval, self._phase, store
             )
-            acc = np.asarray(acc)  # (n_super, 2, R, C[, W])
+            acc = self._gather_host(acc)  # (n_super, 2, R, C[, W])
             for s in range(acc.shape[0]):
                 self._record_swaps(acc[s, 0], self._phase)
                 self._record_swaps(acc[s, 1], 1 - self._phase)
@@ -449,8 +455,9 @@ class ShardedTempering:
             self._state, outs, acc = self._single(
                 self._state, sub, swap_interval, self._phase, store
             )
-            self._record_swaps(np.asarray(acc), self._phase)
-            accepts.append(np.asarray(acc)[None])
+            acc = self._gather_host(acc)
+            self._record_swaps(acc, self._phase)
+            accepts.append(acc[None])
             if store:
                 self._store(outs, thin)
             self._phase ^= 1
@@ -519,12 +526,12 @@ class ShardedTempering:
     def theta(self) -> np.ndarray:
         """Positions: (n_rungs, n_chains, P), with a walker axis inserted
         before P for the ensemble kind."""
-        return np.asarray(positions_of(self._state)[0])
+        return self._gather_host(positions_of(self._state)[0])
 
     @property
     def logp(self) -> np.ndarray:
         """Tempered log-probabilities, shape (n_rungs, n_chains[, W])."""
-        return np.asarray(positions_of(self._state)[1])
+        return self._gather_host(positions_of(self._state)[1])
 
     def cold_chain_positions(self) -> np.ndarray:
         """Positions of the T=1 (first) rung."""
@@ -615,11 +622,26 @@ class ShardedTempering:
     # ------------------------------------------------------------------ #
     # checkpoint / resume for long multi-chip runs
     # ------------------------------------------------------------------ #
+    @staticmethod
+    def _gather_host(v):
+        """Host copy of a (possibly multi-controller) device array. Under
+        ``jax.distributed`` the sharded state is not fully addressable
+        from any single process, so ``np.asarray`` would fail — gather
+        the global value across processes instead."""
+        if isinstance(v, jax.Array) and not v.is_fully_addressable:
+            from jax.experimental import multihost_utils
+
+            return np.asarray(
+                multihost_utils.process_allgather(v, tiled=True)
+            )
+        return np.asarray(v)
+
     def save(self, filename: str):
         """Checkpoint the sharded replica-exchange state (gathered to the
-        host as flat arrays)."""
+        host as flat arrays; multi-controller safe — every process gathers
+        the full global state and may write its own copy)."""
         leaves, _ = jax.tree.flatten(self._state)
-        items = {f"leaf_{i}": np.asarray(v) for i, v in enumerate(leaves)}
+        items = {f"leaf_{i}": self._gather_host(v) for i, v in enumerate(leaves)}
         items["temperatures"] = self.temperatures
         items["n_chains"] = self.n_chains
         items["kind"] = self.kind

@@ -93,6 +93,51 @@ def main():
         for c in range(tmesh.devices.shape[1])
     ]
 
+    # a ShardedTempering program spanning BOTH processes: 4 rungs x 2
+    # chain shards over the 8 global devices; the even/odd ppermute swap
+    # phases cross the process boundary (the DCN stand-in), and the
+    # advance runs as one multi-controller SPMD program
+    import tempfile
+    from inference_tpu.parallel import ShardedTempering
+
+    st = ShardedTempering(
+        posterior=lambda t: -0.5 * jnp.sum(jnp.asarray(t) ** 2),
+        start=np.array([1.0, -1.0]),
+        temperatures=np.geomspace(1.0, 20.0, 4),
+        n_chains=4,
+        mesh=tmesh,
+        steps=5,
+        epsilon=0.25,
+        seed=3,
+    )
+    accepted = st.advance(20, swap_interval=5)
+    temper_swap_rate = float(np.asarray(accepted).mean())
+    temper_theta = st.theta  # gathered global state (all processes equal)
+    temper_logp_finite = bool(np.isfinite(st.logp).all())
+
+    # cross-process checkpoint/restore round-trip: gather-save the global
+    # state, restore into a FRESH instance on the same global mesh, and
+    # verify the restored state reproduces the source positions exactly
+    ckpt = os.path.join(
+        tempfile.gettempdir(), f"mh_tempering_{proc_id}.npz"
+    )
+    st.save(ckpt)
+    st2 = ShardedTempering(
+        posterior=lambda t: -0.5 * jnp.sum(jnp.asarray(t) ** 2),
+        start=np.array([1.0, -1.0]),
+        temperatures=np.geomspace(1.0, 20.0, 4),
+        n_chains=4,
+        mesh=tmesh,
+        steps=5,
+        epsilon=0.25,
+        seed=99,
+    )
+    st2.restore(ckpt)
+    restore_exact = bool(np.array_equal(st2.theta, temper_theta))
+    st2.advance(10, swap_interval=5)  # the restored run keeps advancing
+    restored_moved = bool(np.isfinite(st2.logp).all())
+    os.remove(ckpt)
+
     print(
         "RESULT "
         + json.dumps(
@@ -102,6 +147,11 @@ def main():
                 "mean_logp": mean_logp,
                 "mean_move": mean_move,
                 "tempering_col_procs": col_procs,
+                "temper_swap_rate": temper_swap_rate,
+                "temper_theta_mean": float(np.abs(temper_theta).mean()),
+                "temper_logp_finite": temper_logp_finite,
+                "restore_exact": restore_exact,
+                "restored_moved": restored_moved,
             }
         ),
         flush=True,
