@@ -104,11 +104,9 @@ class ChainArray:
         keys = jax.random.split(key, self.n_chains)
         starts_dev = jnp.asarray(starts, dtype)
 
-        init, step = build_kind(
-            kind,
-            self._logp,
-            self.n_parameters,
-            dtype,
+        # kept so warmup()/set_inverse_mass() can rebuild the kernel with
+        # a re-estimated mass while preserving the live state
+        self._build_kwargs = dict(
             # widths may be per-chain (n_chains, P): the real values are
             # written into the state after init (below); build_kind only
             # needs a placeholder of per-chain shape-free form
@@ -123,6 +121,9 @@ class ChainArray:
             n_walkers=self.n_walkers,
             retry=retry,
             max_depth=max_depth,
+        )
+        init, step = build_kind(
+            kind, self._logp, self.n_parameters, dtype, **self._build_kwargs
         )
 
         if kind == "ensemble":
@@ -181,6 +182,81 @@ class ChainArray:
         else:
             # no outputs were materialised at all (the scan emits None)
             jax.block_until_ready(jax.tree.leaves(state)[0])
+        return self
+
+    def set_inverse_mass(self, inverse_mass):
+        """
+        Rebuild the transition kernel with a new inverse mass (scalar,
+        (P,) diagonal, or (P, P) matrix), preserving the live chain state
+        — positions, log-probabilities, cached gradients and step-size
+        adaptation are all mass-independent, so only the kernel closure
+        changes (one recompile on the next ``advance``).
+        """
+        if self.kind not in ("hmc", "nuts"):
+            raise ValueError(
+                "[ ChainArray error ] set_inverse_mass applies to the "
+                "'hmc' and 'nuts' kinds only."
+            )
+        self._build_kwargs["inverse_mass"] = inverse_mass
+        _, step = build_kind(
+            self.kind,
+            self._logp,
+            self.n_parameters,
+            default_float(),
+            **self._build_kwargs,
+        )
+        self._step = jax.vmap(step)
+        return self
+
+    def warmup(
+        self,
+        n_steps: int = 500,
+        n_windows: int = 4,
+        store: bool = False,
+    ):
+        """
+        Windowed diagonal mass adaptation for the hmc/nuts kinds (the
+        Stan-style warmup the reference's mass matrices are set from
+        chain variance by hand, reference: hmc/__init__.py:202-209):
+        advance in ``n_windows`` expanding windows; after each, set the
+        inverse mass to the per-parameter posterior variance pooled over
+        all chains and the window's steps — on badly-scaled targets this
+        raises post-warmup ESS/step by orders of magnitude. Step-size
+        adaptation keeps running throughout and re-adapts to each new
+        mass. Warmup samples are discarded (``store=False``) by default.
+        """
+        if self.kind not in ("hmc", "nuts"):
+            raise ValueError(
+                "[ ChainArray error ] warmup applies to the 'hmc' and "
+                "'nuts' kinds only."
+            )
+        if n_windows < 1 or n_steps < 2 * n_windows:
+            raise ValueError(
+                "[ ChainArray error ] warmup needs n_windows >= 1 and "
+                "n_steps >= 2 * n_windows."
+            )
+        # expanding windows (1x, 1x, 2x, 4x, ... of the base), so late
+        # windows — where the chains have reached the typical set —
+        # dominate the final estimate
+        weights = np.array(
+            [1.0] + [float(1 << max(0, w - 1)) for w in range(1, n_windows)]
+        )
+        sizes = np.maximum(
+            (n_steps * weights / weights.sum()).astype(int), 2
+        )
+        sizes[-1] += n_steps - sizes.sum()
+        mark = len(self._history)
+        for size in sizes:
+            self.advance(int(size), store=True)
+            h = np.concatenate(self._history[mark:], axis=0)
+            # pooled variance across chains and window steps
+            flat = h.reshape(-1, self.n_parameters)
+            var = flat.var(axis=0)
+            floor = 1e-12 * max(float(var.max()), 1e-30)
+            self.set_inverse_mass(np.maximum(var, floor))
+        if not store:
+            del self._history[mark:]
+            del self._prob_history[mark:]
         return self
 
     def update_directions(self, last: int = None):

@@ -237,3 +237,64 @@ def test_nuts_replace_last_refreshes_grad_cache():
     assert np.allclose(np.asarray(chain._state.grad), expected, rtol=1e-6)
     chain.advance(8)
     assert np.isfinite(chain.get_probabilities()).all()
+
+
+@pytest.mark.slow
+def test_nuts_warmup_mass_adaptation_raises_ess():
+    """Windowed diagonal mass estimation (ChainArray.warmup) on a badly
+    scaled Gaussian: with identity mass, NUTS trajectories resolve the
+    smallest scale and random-walk the largest (condition 1e4 here); the
+    adapted mass must raise the worst-parameter ESS/step by >= 5x
+    (VERDICT r3 item 9)."""
+    import jax.numpy as jnp
+    from inference_tpu.parallel import ChainArray
+
+    scales = np.geomspace(1.0, 100.0, 6)  # variance condition = 1e4
+    scales_j = jnp.asarray(scales)
+
+    def logp(t):
+        return -0.5 * jnp.sum((t / scales_j) ** 2)
+
+    rng = np.random.default_rng(0)
+    starts = rng.normal(size=(8, 6)) * scales[None, :]
+
+    def worst_ess(ca):
+        # chain-mean ESS of the worst-mixed parameter
+        return float(ca.effective_sample_size().mean(axis=0).min())
+
+    base = ChainArray("nuts", logp, starts, max_depth=6, seed=0, retry=False)
+    base.advance(384)
+    ess_identity = worst_ess(base)
+
+    warm = ChainArray("nuts", logp, starts, max_depth=6, seed=0, retry=False)
+    warm.warmup(n_steps=384, n_windows=3)
+    assert not warm._history  # warmup samples are discarded
+    # the adapted inverse mass tracks the true variances (ratio within
+    # ~an order of magnitude across the 1e4-condition spread)
+    im = np.asarray(warm._build_kwargs["inverse_mass"])
+    ratio = im / scales**2
+    assert ratio.max() / ratio.min() < 30.0
+    warm.advance(384)
+    ess_adapted = worst_ess(warm)
+
+    assert ess_adapted >= 5.0 * ess_identity, (
+        f"adapted ESS {ess_adapted:.1f} vs identity {ess_identity:.1f}"
+    )
+
+
+def test_warmup_validation_and_kind_gate():
+    from inference_tpu.parallel import ChainArray
+
+    starts = np.zeros((4, 2)) + 0.1
+    ca = ChainArray(
+        "gibbs", lambda t: -0.5 * (t**2).sum(), starts, seed=0, retry=False
+    )
+    with pytest.raises(ValueError, match="hmc"):
+        ca.warmup(100)
+    with pytest.raises(ValueError, match="hmc"):
+        ca.set_inverse_mass(np.ones(2))
+    hm = ChainArray(
+        "hmc", lambda t: -0.5 * (t**2).sum(), starts, seed=0, retry=False
+    )
+    with pytest.raises(ValueError, match="n_windows"):
+        hm.warmup(4, n_windows=4)
