@@ -98,9 +98,11 @@ class GpRegressor:
         backend's expander), "blocked" (statically-unrolled MXU-matmul
         panels, ``ops.linalg.blocked_cholesky``), an int panel width for
         the blocked factor, or "auto" (default): the measured per-program
-        policy — the expander for forward-only factorisations, the
-        blocked factor inside gradient programs at n >= 12288, where the
-        expander's VJP is 2.8x slower on chip (BENCH_NOTES).
+        policy — on TPU, the expander for forward-only factorisations and
+        the blocked factor inside gradient programs at n >= 3072, where
+        the expander's VJP is 1.2-2.8x slower on chip (BENCH_NOTES
+        "Blocked vs XLA Cholesky"); on other backends, always the
+        native factorisation.
     """
 
     def __init__(
@@ -143,11 +145,12 @@ class GpRegressor:
         # through ops.linalg.blocked_cholesky, which expresses the O(N^3)
         # trailing updates as HIGHEST-precision MXU matmuls. Measured on
         # chip (benchmarks/cholesky_bench.py): the expander's FORWARD
-        # factorisation is faster at every size, but its VJP collapses at
-        # large N (2.8x slower than the blocked factor's explicit-matmul
-        # VJP at N=16,384) — so "auto" keeps the expander for forward-only
-        # programs and switches the gradient programs to the blocked
-        # factor at n >= 12288 (see _build_compiled_functions).
+        # factorisation is at least as fast at every size, but its VJP
+        # loses to the blocked factor's explicit-matmul VJP from N=4096
+        # up (1.2x) through N=16,384 (2.8x) — so "auto" keeps the
+        # expander for forward-only programs and switches the gradient
+        # programs to the blocked factor at n >= 3072 on the TPU backend
+        # (see _build_compiled_functions).
         self._cholesky = cholesky
         self.cov = kernel() if isclass(kernel) else kernel
         self.mean = mean() if isclass(mean) else mean
@@ -375,16 +378,24 @@ class GpRegressor:
         if self._cholesky == "auto":
             # measured on a v5e chip (benchmarks/cholesky_bench.py,
             # BENCH_NOTES "Blocked vs XLA Cholesky"): for FORWARD-only
-            # factorisations the XLA expander wins at every size (19
-            # TFLOP/s at N=16,384 vs ~13 blocked), but its VJP collapses
-            # at large N — value+grad measured 1.10 s at N=16,384 where
-            # the blocked factor's explicit-matmul VJP (jax.checkpoint
-            # per panel) runs 0.39 s. Crossover lies between 8k and 16k;
-            # the gradient programs switch to the blocked factor at
-            # n >= 12288 while forward-only programs stay on the expander.
+            # factorisations the XLA expander wins from N=8k up (19
+            # TFLOP/s at N=16,384 vs ~13 blocked) and ties below, but its
+            # VJP collapses with N — value+grad 30/147/1099 ms at
+            # N=4096/8192/16384 where the blocked factor's
+            # explicit-matmul VJP (jax.checkpoint per panel) runs
+            # 25/79/392 ms. The expander wins value+grad only at
+            # N <= 2048 (15 vs 17 ms at 1024, 17 vs 19 at 2048), so the
+            # gradient programs switch to the blocked factor at n >= 3072
+            # while forward-only programs stay on the expander. The
+            # policy is chip-measured: non-TPU backends (LAPACK forward
+            # + a cheap VJP, and slow compilation of the unrolled
+            # panels) keep the default factorisation everywhere.
+            on_tpu = jax.default_backend() == "tpu"
             chol_fwd = jnp.linalg.cholesky
             chol_grad = (
-                make_blocked(2048) if n_pad >= 12288 else jnp.linalg.cholesky
+                make_blocked(2048)
+                if on_tpu and n_pad >= 3072
+                else jnp.linalg.cholesky
             )
         elif self._cholesky == "xla":
             chol_fwd = chol_grad = jnp.linalg.cholesky
