@@ -514,45 +514,39 @@ class GpOptimiser:
         return proposed_ev
 
     def plot_results(self, filename: str = None, show_plot=True):
+        """Two-panel BO summary: running best + raw evaluations on the
+        left, the acquisition convergence metric (log scale) on the
+        right (output parity with reference: optimisation.py:251-292)."""
         self._ensure_current()
+        from ..utils.figures import finish_figure, series_with_markers_panel
+
         fig = plt.figure(figsize=(10, 4))
-        ax1 = fig.add_subplot(121)
         maxvals = np.maximum.accumulate(self.y)
         pad = np.ptp(maxvals) * 0.1 if np.ptp(maxvals) > 0 else 1.0
-        iterations = np.arange(len(self.y)) + 1
-        ax1.plot(iterations, maxvals, c="red", alpha=0.6, label="max observed value")
-        ax1.plot(iterations, self.y, ".", label="function evaluations", markersize=10)
-        ax1.set_xlabel("iteration")
-        ax1.set_ylabel("function value")
-        ax1.set_ylim([maxvals.min() - pad, maxvals.max() + pad])
-        ax1.legend(loc=4)
-        ax1.grid()
-
-        ax2 = fig.add_subplot(122)
-        ax2.plot(
-            self.iteration_history, self.convergence_metric_history, c="C0", alpha=0.35
+        series_with_markers_panel(
+            fig.add_subplot(121),
+            np.arange(len(self.y)) + 1,
+            line=(maxvals, dict(c="red", alpha=0.6, label="max observed value")),
+            markers=(self.y, dict(label="function evaluations", markersize=10)),
+            ylabel="function value",
+            ylim=[maxvals.min() - pad, maxvals.max() + pad],
+            legend_kwargs=dict(loc=4),
         )
-        ax2.plot(
+        series_with_markers_panel(
+            fig.add_subplot(122),
             self.iteration_history,
-            self.convergence_metric_history,
-            ".",
-            c="C0",
-            label=self.acquisition.convergence_description,
-            markersize=10,
+            line=(self.convergence_metric_history, dict(c="C0", alpha=0.35)),
+            markers=(
+                self.convergence_metric_history,
+                dict(
+                    c="C0",
+                    label=self.acquisition.convergence_description,
+                    markersize=10,
+                ),
+            ),
+            ylabel="acquisition function value",
+            title="Convergence summary",
+            yscale="log",
+            xlim=[0, None],
         )
-        ax2.set_yscale("log")
-        ax2.set_xlabel("iteration")
-        ax2.set_ylabel("acquisition function value")
-        ax2.set_xlim([0, None])
-        ax2.set_title("Convergence summary")
-        ax2.legend()
-        ax2.grid()
-
-        fig.tight_layout()
-
-        if filename is not None:
-            plt.savefig(filename)
-        if show_plot:
-            plt.show()
-        else:
-            plt.close()
+        finish_figure(fig, plt, show_plot, filename)

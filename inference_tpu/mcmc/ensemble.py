@@ -381,50 +381,35 @@ class EnsembleSampler(MarkovChain):
                 [np.ones((1, self.n_walkers), bool), moved]
             )
             rates = accepted.cumsum(axis=0).T / x[None, :]
-        avg_rate = rates.mean(axis=0)
+        from ..utils.figures import finish_figure, trace_bundle_panel
 
         fig = plt.figure(figsize=(10, 4))
-        ax1 = fig.add_subplot(121)
-        alpha = max(0.01, min(1, 20.0 / float(self.n_walkers)))
-        for i in range(self.n_walkers):
-            ax1.plot(x, rates[i, :], lw=0.5, c="C0", alpha=alpha)
-        ax1.plot(x, avg_rate, lw=2, c="red", label="mean rate of all walkers")
-        ax1.set_ylim([0, 1])
-        ax1.grid()
-        ax1.legend()
-        ax1.set_title("walker acceptance rates")
-        ax1.set_xlabel("iteration")
-        ax1.set_ylabel("average acceptance rate per walker")
+        trace_bundle_panel(
+            fig.add_subplot(121),
+            x,
+            rates,
+            rates.mean(axis=0),
+            "mean rate of all walkers",
+            title="walker acceptance rates",
+            ylabel="average acceptance rate per walker",
+            alpha=max(0.01, min(1, 20.0 / float(self.n_walkers))),
+            ylim=[0, 1],
+        )
 
         itr_probs = self.sample_probs.reshape([self.n_iterations, self.n_walkers])
         lowest_prob = itr_probs[self.n_iterations // 2 :, :].min()
-
-        ax2 = fig.add_subplot(122)
-        ax2.plot(x, itr_probs, marker=".", ls="none", c="C0", alpha=0.05)
-        ax2.plot(
+        trace_bundle_panel(
+            fig.add_subplot(122),
             x,
+            itr_probs,
             np.median(itr_probs, axis=1),
-            c="red",
-            lw=2,
-            label="median walker log-probability",
+            "median walker log-probability",
+            title="walker log-probabilities",
+            ylabel="walker log-probability",
+            scatter=True,
+            ylim=[lowest_prob, self.sample_probs.max() * 1.1 - 0.1 * lowest_prob],
         )
-        ax2.set_ylim(
-            [lowest_prob, self.sample_probs.max() * 1.1 - 0.1 * lowest_prob]
-        )
-        ax2.grid()
-        ax2.legend()
-        ax2.set_title("walker log-probabilities")
-        ax2.set_xlabel("iteration")
-        ax2.set_ylabel("walker log-probability")
-
-        plt.tight_layout()
-        if filename is not None:
-            plt.savefig(filename)
-        if show:
-            plt.show()
-        else:
-            fig.clear()
-            plt.close(fig)
+        finish_figure(fig, plt, show, filename)
 
     # ------------------------------------------------------------------ #
     # checkpointing (.npz key layout matches the reference,

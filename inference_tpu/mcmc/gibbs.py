@@ -332,6 +332,14 @@ class MetropolisChain(MarkovChain):
         and per-parameter effective sample sizes
         (reference: gibbs.py:405-519).
         """
+        from ..utils.figures import (
+            ess_panel,
+            finish_figure,
+            logprob_history_panel,
+            percent_change_panel,
+            summary_text_panel,
+        )
+
         burn = self.estimate_burn_in()
         param_ESS = [
             effective_sample_size(np.atleast_1d(self.get_parameter(i, burn=burn)))
@@ -340,66 +348,26 @@ class MetropolisChain(MarkovChain):
         probs = self._consolidated_probs()
 
         fig = plt.figure(figsize=(12, 9))
-
-        ax1 = fig.add_subplot(221)
-        step_ax = np.arange(len(probs)) * 1e-3
-        ax1.plot(step_ax, probs, marker=".", ls="none", markersize=3)
-        ax1.set_xlabel("chain step number ($10^3$)", fontsize=12)
-        ax1.set_ylabel("posterior log-probability", fontsize=12)
-        ax1.set_title("Chain log-probability history")
-        lo = probs[self.chain_length // 2 :].min()
-        ylims = [lo, probs.max() * 1.1 - 0.1 * lo]
-        ax1.plot([burn * 1e-3, burn * 1e-3], ylims, c="red", ls="dashed", lw=2)
-        ax1.set_ylim(ylims)
-        ax1.grid()
-
-        ax2 = fig.add_subplot(222)
-        for i in range(self.n_parameters):
-            y = np.array(self.sigma_values[i])
-            x = np.array(self.sigma_checks[i][1:]) * 1e-3
-            if y.size > 1:
-                ax2.plot(x, 1e2 * np.diff(y) / y[:-1], marker="D", markersize=3)
-        ax2.plot(
-            [0, self.chain_length * 1e-3], [5, 5], ls="dashed", lw=2, color="black"
+        logprob_history_panel(
+            fig.add_subplot(221), probs, burn,
+            half_floor_from=self.chain_length // 2,
         )
-        ax2.plot(
-            [0, self.chain_length * 1e-3], [-5, -5], ls="dashed", lw=2, color="black"
+        percent_change_panel(
+            fig.add_subplot(222),
+            self.sigma_values,
+            self.sigma_checks,
+            self.chain_length,
         )
-        ax2.set_xlabel("chain step number ($10^3$)", fontsize=12)
-        ax2.set_ylabel("% change in proposal widths", fontsize=12)
-        ax2.set_title("Parameter proposal widths adjustment summary")
-        ax2.set_ylim([-50, 50])
-        ax2.grid()
-
-        ax3 = fig.add_subplot(223)
-        ax3.bar(
-            range(self.n_parameters), param_ESS, color=["C0", "C1", "C2", "C3", "C4"]
+        ess_panel(fig.add_subplot(223), param_ESS, histogram_above=10**9)
+        summary_text_panel(
+            fig.add_subplot(224),
+            [
+                ("Estimated burn-in:", f"{burn:.5G}"),
+                ("Average ESS:", f"{int(np.mean(param_ESS)):.5G}"),
+                ("Lowest ESS:", f"{int(np.min(param_ESS)):.5G}"),
+            ],
         )
-        ax3.set_xlabel("parameter", fontsize=12)
-        ax3.set_ylabel("effective sample size", fontsize=12)
-        ax3.set_title("Parameter effective sample size estimate")
-        ax3.set_xticks(range(self.n_parameters))
-
-        ax4 = fig.add_subplot(224)
-        gap, h, x1, x2, fntsiz = 0.1, 0.85, 0.5, 0.55, 14
-        ax4.text(x1, h, "Estimated burn-in:", ha="right", fontsize=fntsiz)
-        ax4.text(x2, h, f"{burn:.5G}", ha="left", fontsize=fntsiz)
-        h -= gap
-        ax4.text(x1, h, "Average ESS:", ha="right", fontsize=fntsiz)
-        ax4.text(x2, h, f"{int(np.mean(param_ESS)):.5G}", ha="left", fontsize=fntsiz)
-        h -= gap
-        ax4.text(x1, h, "Lowest ESS:", ha="right", fontsize=fntsiz)
-        ax4.text(x2, h, f"{int(np.min(param_ESS)):.5G}", ha="left", fontsize=fntsiz)
-        ax4.axis("off")
-
-        plt.tight_layout()
-        if filename is not None:
-            plt.savefig(filename)
-        if show:
-            plt.show()
-        else:
-            fig.clear()
-            plt.close(fig)
+        finish_figure(fig, plt, show, filename)
 
     # ------------------------------------------------------------------ #
     # checkpointing (.npz key layout matches the reference,

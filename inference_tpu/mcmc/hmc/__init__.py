@@ -375,6 +375,13 @@ class HamiltonianChain(MarkovChain):
         and per-parameter effective sample sizes
         (reference: hmc/__init__.py:245-359).
         """
+        from ...utils.figures import (
+            ess_panel,
+            finish_figure,
+            logprob_history_panel,
+            summary_text_panel,
+        )
+
         self._drain_epsilon_trace()
         if burn is None:
             burn = self.estimate_burn_in()
@@ -385,19 +392,12 @@ class HamiltonianChain(MarkovChain):
         probs = self._consolidated_probs()
 
         fig = plt.figure(figsize=(12, 9))
+        logprob_history_panel(
+            fig.add_subplot(221), probs, burn,
+            half_floor_from=self.chain_length // 2,
+        )
 
-        ax1 = fig.add_subplot(221)
-        step_ax = np.arange(len(probs)) * 1e-3
-        ax1.plot(step_ax, probs, marker=".", ls="none", markersize=3)
-        ax1.set_xlabel("chain step number ($10^3$)", fontsize=12)
-        ax1.set_ylabel("posterior log-probability", fontsize=12)
-        ax1.set_title("Chain log-probability history")
-        lo = probs[self.chain_length // 2 :].min()
-        ylims = [lo, probs.max() * 1.1 - 0.1 * lo]
-        ax1.plot([burn * 1e-3, burn * 1e-3], ylims, c="red", ls="dashed", lw=2)
-        ax1.set_ylim(ylims)
-        ax1.grid()
-
+        # the one HMC-specific panel: leapfrog step-size adaptation
         ax2 = fig.add_subplot(222)
         ax2.plot(
             np.array(self.ES.epsilon_checks) * 1e-3, self.ES.epsilon_values, ".-"
@@ -408,43 +408,16 @@ class HamiltonianChain(MarkovChain):
         ax2.set_yscale("log")
         ax2.grid()
 
-        ax3 = fig.add_subplot(223)
-        if self.n_parameters < 50:
-            ax3.bar(
-                range(self.n_parameters),
-                param_ESS,
-                color=["C0", "C1", "C2", "C3", "C4"],
-            )
-            ax3.set_xlabel("parameter", fontsize=12)
-            ax3.set_ylabel("effective sample size", fontsize=12)
-            ax3.set_title("Parameter effective sample size estimate")
-            ax3.set_xticks(range(self.n_parameters))
-        else:
-            ax3.hist(param_ESS, bins=20)
-            ax3.set_xlabel("effective sample size", fontsize=12)
-            ax3.set_ylabel("frequency", fontsize=12)
-            ax3.set_title("Parameter effective sample size estimates")
-
-        ax4 = fig.add_subplot(224)
-        gap, h, x1, x2, fntsiz = 0.1, 0.85, 0.5, 0.55, 14
-        ax4.text(x1, h, "Estimated burn-in:", ha="right", fontsize=fntsiz)
-        ax4.text(x2, h, f"{burn:.5G}", ha="left", fontsize=fntsiz)
-        h -= gap
-        ax4.text(x1, h, "Average ESS:", ha="right", fontsize=fntsiz)
-        ax4.text(x2, h, f"{int(np.mean(param_ESS)):.5G}", ha="left", fontsize=fntsiz)
-        h -= gap
-        ax4.text(x1, h, "Lowest ESS:", ha="right", fontsize=fntsiz)
-        ax4.text(x2, h, f"{int(np.min(param_ESS)):.5G}", ha="left", fontsize=fntsiz)
-        ax4.axis("off")
-
-        plt.tight_layout()
-        if filename is not None:
-            plt.savefig(filename)
-        if show:
-            plt.show()
-        else:
-            fig.clear()
-            plt.close(fig)
+        ess_panel(fig.add_subplot(223), param_ESS, histogram_above=50)
+        summary_text_panel(
+            fig.add_subplot(224),
+            [
+                ("Estimated burn-in:", f"{burn:.5G}"),
+                ("Average ESS:", f"{int(np.mean(param_ESS)):.5G}"),
+                ("Lowest ESS:", f"{int(np.min(param_ESS)):.5G}"),
+            ],
+        )
+        finish_figure(fig, plt, show, filename)
 
     # ------------------------------------------------------------------ #
     # checkpointing (.npz key layout matches the reference,
