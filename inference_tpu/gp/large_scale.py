@@ -151,13 +151,19 @@ class LargeScaleGP:
         iterate/residual are float64 (``ops.solvers.df64_pcg``). Both
         require ``jax_enable_x64``; neither builds an N x N float64
         program.
-    :param store_entries: df64 tier only. ``True`` materialises the
-        kernel entries once as a float32 pair (two (n, n) device arrays,
-        8 bytes/entry of HBM), after which every solve iteration skips
-        the dominant pair-arithmetic d^2 + exp evaluation; ``False``
-        re-evaluates entries each matvec (no N x N storage, any N);
-        "auto" (default) stores when the pair fits comfortably
-        (n_padded <= 20480, ~3.4 GB).
+    :param store_entries: df64 tier only. ``True``/"auto" (default)
+        materialise the kernel entries once so solve iterations skip the
+        dominant pair-arithmetic d^2 + exp evaluation, picking the best
+        storage that fits (``ops.df64.stored_entries_tier``): the full
+        float32 PAIR up to n_padded = 20480 (8 bytes/entry, ~3.4 GB),
+        then — new in round 4 — the pair-accurate entries rounded to ONE
+        float32 word up to n_padded = 51200 (4 bytes/entry, ~10.5 GB),
+        where CG iterates on the stored array (operator error = the
+        2^-24 entry quantisation, NOT the ~1.2e-5 float32-evaluation
+        noise) and the solver refreshes true residuals through the fused
+        pair kernel — mixed-precision iterative refinement with a df64
+        floor. ``False`` re-evaluates entries each matvec (no N x N
+        storage, any N).
     :param mesh: optional 1D mesh; data rows and solves shard over its
         first axis. With ``solver="df64"`` the double-float matvec runs
         the row-sharded rectangular Pallas kernel on every device
@@ -206,25 +212,25 @@ class LargeScaleGP:
                 f"[ LargeScaleGP error ] solver='{solver}' requires "
                 "jax.config.update('jax_enable_x64', True)."
             )
-        if solver == "df64" and mesh is not None and store_entries is True:
+        if solver == "df64" and mesh is not None and store_entries in (True, "f32"):
             raise ValueError(
                 "[ LargeScaleGP error ] store_entries=True is single-chip "
-                "(the stored pair is one device's HBM); with a mesh the "
-                "df64 tier runs the row-sharded fused kernel instead — "
-                "drop the flag."
+                "(the stored entries are one device's HBM); with a mesh "
+                "the df64 tier runs the row-sharded fused kernel instead "
+                "— drop the flag."
             )
         self.solver = solver
         self._mesh = mesh
-        if store_entries not in ("auto", True, False):
+        if store_entries not in ("auto", True, False, "f32"):
             raise ValueError(
                 f"[ LargeScaleGP error ] 'store_entries' must be 'auto', "
-                f"True or False, but {store_entries!r} was given."
+                f"True, False or 'f32', but {store_entries!r} was given."
             )
-        if store_entries is True and solver != "df64":
+        if store_entries in (True, "f32") and solver != "df64":
             raise ValueError(
-                "[ LargeScaleGP error ] store_entries=True is a df64-tier "
-                "option (the stored pair serves the double-float matvec); "
-                "use solver='df64' or drop the flag."
+                "[ LargeScaleGP error ] store_entries is a df64-tier "
+                "option (the stored entries serve the double-float "
+                "matvec); use solver='df64' or drop the flag."
             )
         self.store_entries = store_entries
         if dtype is None:
@@ -607,6 +613,22 @@ class LargeScaleGP:
         diag = self._sig64 + amp2 * 1e-12
         return amp2 * EV + diag[:, None] * V32.astype(jnp.float64)
 
+    def _matvec64_fast_f32(self, v32, E):
+        """Fast-iteration system matvec for the stored-f32 tier: exact
+        contraction over the stored entries (error = their 2^-24
+        quantisation), float64 out. Used for Df64Solver ITERATIONS only;
+        refreshes anchor on ``_matvec64_pair``. ``E`` travels as a
+        runtime operand (compile-payload trap — it is ~10 GB at n=51k)."""
+        return self._matmat64_fast_f32(v32.reshape(-1, 1), E)[:, 0]
+
+    def _matmat64_fast_f32(self, V32, E):
+        from ..ops.df64 import sqexp_stored_f32_matmat
+
+        EV = sqexp_stored_f32_matmat(E, V32)
+        amp2 = np.exp(2.0 * float(self.hyperpars[0]))
+        diag = self._sig64 + amp2 * 1e-12
+        return amp2 * EV + diag[:, None] * V32.astype(jnp.float64)
+
     def _entries_apply(self, V32, op_a, op_b):
         """``E V`` through the stored entry pair when materialised, the
         row-sharded fused kernel on a mesh, else the single-device fused
@@ -646,23 +668,54 @@ class LargeScaleGP:
         self._us_lo = jnp.asarray(ul)
         self._sig64 = jnp.asarray(self._sig_host, jnp.float64)
         self._entries = None
+        self._entries_f32 = None
         if self._mesh is not None:
             # the mesh path runs the row-sharded fused kernel; a stored
             # (n, n) entry pair is one device's HBM and stays single-chip
             return
-        from ..ops.df64 import should_store_entries
+        from ..ops.df64 import stored_entries_tier
 
-        if should_store_entries(self._n_padded, self.store_entries):
+        tier = stored_entries_tier(self._n_padded, self.store_entries)
+        if tier == "pair":
             from ..ops.df64 import sqexp_entries_df64
 
             self._entries = sqexp_entries_df64(self._us_hi, self._us_lo)
+        elif tier == "f32":
+            # pair-accurate entries rounded to one float32 word
+            # (4 bytes/entry): iteration matvecs run on the stored
+            # array while the solver's true-residual refreshes go
+            # through the fused pair kernel (iterative refinement —
+            # see ops/solvers.py::Df64MultiSolver)
+            from ..ops.df64 import sqexp_entries_f32
+
+            self._entries_f32 = sqexp_entries_f32(self._us_hi, self._us_lo)
 
     def _df64_chunk(self) -> int:
         """Watchdog-safe CG iterations per compiled Df64Solver chunk
-        (see ``ops.solvers.df64_chunk_iters`` — the shared budget)."""
+        (see ``ops.solvers.df64_chunk_iters`` — the shared budget). The
+        stored-f32 tier's iteration matvec is ~30x cheaper than the
+        fused kernel (the chunk's fixed cost is then its 2-matvec fused
+        refresh), so its chunks run more iterations."""
         from ..ops.solvers import df64_chunk_iters
 
-        return df64_chunk_iters(self._n_padded, matvecs_per_iter=1)
+        per_iter = 0.05 if self._entries_f32 is not None else 1.0
+        return df64_chunk_iters(self._n_padded, matvecs_per_iter=per_iter)
+
+    def _df64_fast_kwargs(self, kind: str):
+        """Constructor kwargs wiring the stored-f32 fast-iteration matvec
+        into a Df64Solver ('matvec') or Df64MultiSolver ('matmat');
+        empty when the tier is not active."""
+        if self._entries_f32 is None:
+            return {}
+        if kind == "matvec":
+            return {
+                "matvec_fast": self._matvec64_fast_f32,
+                "matvec_fast_args": (self._entries_f32,),
+            }
+        return {
+            "matmat_fast": self._matmat64_fast_f32,
+            "matmat_fast_args": (self._entries_f32,),
+        }
 
     def _system_matmat(self, theta, V):
         """(K(theta) + diag(sig) + noise + jitter I) applied to a vector
@@ -748,12 +801,14 @@ class LargeScaleGP:
                     self._matvec64_pair, M=M_df64, M_args=self._precond64,
                     matvec_args=self._df64_op_args(),
                     restart_every=self._df64_chunk(),
+                    **self._df64_fast_kwargs("matvec"),
                 )
             else:
                 self._df64_solver = Df64Solver(
                     self._matvec64_pair,
                     matvec_args=self._df64_op_args(),
                     restart_every=self._df64_chunk(),
+                    **self._df64_fast_kwargs("matvec"),
                 )
             self._solve_rhs = lambda rhs: self._df64_solver.solve(
                 jnp.asarray(rhs).astype(jnp.float64),
@@ -1207,12 +1262,14 @@ class LargeScaleGP:
                 self._matmat64_pair, M=M_multi64, M_args=self._precond64,
                 matmat_args=self._df64_op_args(),
                 restart_every=chunk,
+                **self._df64_fast_kwargs("matmat"),
             )
         else:
             solver = Df64MultiSolver(
                 self._matmat64_pair,
                 matmat_args=self._df64_op_args(),
                 restart_every=chunk,
+                **self._df64_fast_kwargs("matmat"),
             )
         self._df64_msolver = solver
         return solver

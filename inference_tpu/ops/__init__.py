@@ -20,8 +20,11 @@ from .df64 import (
     sqexp_matmat_rect_df64,
     sqexp_matmat_df64_sharded,
     sqexp_entries_df64,
+    sqexp_entries_f32,
     sqexp_stored_matvec_df64,
     sqexp_stored_matmat_df64,
+    sqexp_stored_f32_matmat,
+    stored_entries_tier,
     split_f64,
 )
 
@@ -41,7 +44,10 @@ __all__ = [
     "sqexp_matmat_rect_df64",
     "sqexp_matmat_df64_sharded",
     "sqexp_entries_df64",
+    "sqexp_entries_f32",
     "sqexp_stored_matvec_df64",
     "sqexp_stored_matmat_df64",
+    "sqexp_stored_f32_matmat",
+    "stored_entries_tier",
     "split_f64",
 ]

@@ -129,18 +129,25 @@ def split_f64(a):
 _LN2_HI = np.float32(0.6931472)
 _LN2_LO = np.float32(np.log(2.0) - np.float64(np.float32(0.6931472)))
 _INV_LN2 = np.float32(1.0 / np.log(2.0))
-# Taylor coefficients of (exp(r) - 1 - r) / r^2 = 1/2 + r/6 + ... ;
-# evaluated in plain float32 (its leading factor r^2 <= 0.121 keeps the
-# rounding contribution ~1e-8 relative)
+# Cody-Waite split of ln2: C1 carries only the top 15 significand bits
+# (0x3F317200), so k*C1 with |k| <= 127 is exact in float32; C2 is the
+# float32 remainder (|ln2 - C1 - C2| ~ 1e-13, irrelevant at the ~1e-8
+# target after multiplying by |k| <= 127)
+_LN2_C1 = np.float32(0.693145751953125)
+_LN2_C2 = np.float32(np.log(2.0) - 0.693145751953125)
+# Taylor coefficients of (exp(r) - 1 - r - r^2/2) / r^3 = 1/6 + r/24 + ...;
+# evaluated in plain float32 — the cube factor r^3 <= 0.0105 keeps the
+# rounding contribution ~1e-9 absolute (the r^2/2 term, 12x larger, is
+# carried exactly via a split square)
 _EXP_P = tuple(
-    np.float32(1.0 / __import__("math").factorial(k)) for k in range(8, 1, -1)
+    np.float32(1.0 / __import__("math").factorial(k)) for k in range(8, 2, -1)
 )
 
 
 def df_exp_neg_parts(ah, al):
     """
     ``exp(a) = scale * (1 + q)`` for a non-positive pair argument, with
-    ``scale`` an exact power of two and ``q`` a pair, ~1e-8 relative — the
+    ``scale`` an exact power of two and ``q`` a pair, ~2e-8 relative — the
     TPU float32 exp intrinsic is only ~4e-6 accurate (measured: 37 ulps),
     far too coarse for double-float kernel entries, so the reduction and
     reconstruction are done explicitly:
@@ -148,37 +155,33 @@ def df_exp_neg_parts(ah, al):
         a = k ln2 + r,  |r| <= ln2/2
         exp(a) = 2^k (1 + [r + r^2 P(r)])
 
-    with k*ln2 subtracted in pair arithmetic (two-product on the high word
-    of ln2), P a degree-6 float32 Horner, the bracketed ``q`` assembled in
-    pair arithmetic, and 2^k applied exactly by exponent-bit assembly.
-    Arguments below -87 (entries < 2e-38) get ``scale = 0``.
+    Round-4 dataflow (this is the hot ~40% of the fused df64 kernels,
+    measured): the reduction is Cody-Waite — the argument is clamped to
+    [-88, 0] so ``|k| <= 127``, and ``C1`` (the top 15 significand bits
+    of ln2) makes ``k*C1`` exact and ``t = ah - k*C1`` exact by Sterbenz,
+    replacing the round-3 two-product/two-sum chain (~35 flops) with ~12.
+    The series is split as ``q = r + r^2/2 + r^3 P(r)``: the quadratic
+    term rides an exact single-split Dekker square (Sterbenz-cheap), and
+    only the cube term — at most 0.0105 — is plain float32, bounding its
+    rounding at ~1e-9 absolute. (A first cut evaluated all of
+    ``r^2 P(r)`` in plain float32; the two full-magnitude roundings cost
+    ~7e-9 per entry, which a kappa ~ 1e4 CG solve amplified past its
+    convergence floor — measured, hence the split.)
+    Arguments below -87 (entries < 2e-38) get
+    ``scale = 0``; the clamp also keeps the polynomial argument bounded
+    for arbitrarily negative inputs (no Inf*0 = NaN through the mask).
 
     The "1 +" is deliberately left to the caller: XLA's constant folding
     corrupts error-free transformations that involve a literal constant
     (measured: ``two_sum(ones_like(x), x)`` returns a wrong error word
     under jit on CPU), so the final add must use runtime data — e.g. fuse
     it into a product ``exp(a) * v = scale * (v + q*v)``.
+
+    This is the single-chunk view of ``_exp_parts_m`` (the kernels run
+    the same code over interleaved chunk tuples — see the multi-chunk
+    core below).
     """
-    f32 = ah.dtype
-    k = jnp.floor(ah * _INV_LN2 + f32.type(0.5))
-    ph, pe = two_prod(k, jnp.asarray(_LN2_HI, f32))
-    t, te = two_sum(ah, -ph)
-    te = te + (al - pe - k * jnp.asarray(_LN2_LO, f32))
-    rh, rl = two_sum(t, te)
-
-    p = jnp.asarray(_EXP_P[0], f32)
-    for c in _EXP_P[1:]:
-        p = p * rh + c
-    r2h, r2l = df_mul(rh, rl, rh, rl)
-    th, tl = df_mul_f32(r2h, r2l, p)
-    qh, ql = df_add(rh, rl, th, tl)  # q = r + r^2 P(r)
-
-    # 2^k by exponent-bit assembly (exact); k in [-126, 0] after clamping
-    ki = jnp.clip(k, -126.0, 0.0).astype(jnp.int32)
-    scale = jax.lax.bitcast_convert_type(
-        (ki + 127) << 23, jnp.float32
-    ).astype(f32)
-    scale = jnp.where(ah < f32.type(-87.0), jnp.zeros_like(scale), scale)
+    (scale,), (qh,), (ql,) = _exp_parts_m((ah,), (al,))
     return scale, qh, ql
 
 
@@ -192,6 +195,152 @@ def df_exp_neg(ah, al):
     one = jax.lax.optimization_barrier(jnp.ones_like(ah))
     s, se = two_sum(one, qh)
     return s * scale, (se + ql) * scale
+
+
+# --------------------------------------------------------------------- #
+# multi-chunk (interleaved-ILP) kernel core
+#
+# Mosaic emits vector instructions essentially in program order; a
+# direct probe (benchmarks/vpu_probe.py, v5e chip) issues one serial
+# dependent f32 chain at ~200 GFLOP/s but 4 interleaved independent
+# chains at ~1.25 TFLOP/s — and the round-3 kernels, whose error-free
+# transforms are almost entirely serial dependency chains, measured
+# ~70 GFLOP/s. The helpers below therefore operate on TUPLES of chunk
+# arrays (the kernels slice each (TJ, TI) tile into _CHUNKS sublane
+# slices): every elementary op is applied across all chunks before the
+# next op, so consecutive instructions are independent and the VPU
+# pipeline stays full. The single-value functions above are one-chunk
+# views of the same code — one implementation, no drift.
+# --------------------------------------------------------------------- #
+_CHUNKS = 4
+
+
+def _two_sum_m(A, B):
+    """Chunked Knuth two-sum (see ``two_sum``)."""
+    S = tuple(a + b for a, b in zip(A, B))
+    BB = tuple(s - a for s, a in zip(S, A))
+    T1 = tuple(s - bb for s, bb in zip(S, BB))
+    T2 = tuple(a - t1 for a, t1 in zip(A, T1))
+    T3 = tuple(b - bb for b, bb in zip(B, BB))
+    E = tuple(t2 + t3 for t2, t3 in zip(T2, T3))
+    return S, E
+
+
+def _veltkamp_split_m(A):
+    """Chunked Veltkamp split (see ``veltkamp_split``)."""
+    f = A[0].dtype.type(4097.0)  # 2**12 + 1
+    C = tuple(a * f for a in A)
+    D = tuple(c - a for c, a in zip(C, A))
+    HI = tuple(c - d for c, d in zip(C, D))
+    LO = tuple(a - h for a, h in zip(A, HI))
+    return HI, LO
+
+
+def _two_prod_m(A, B):
+    """Chunked Dekker two-product (see ``two_prod``)."""
+    P = tuple(a * b for a, b in zip(A, B))
+    AH, AL = _veltkamp_split_m(A)
+    BH, BL = _veltkamp_split_m(B)
+    E = tuple(ah * bh - p for ah, bh, p in zip(AH, BH, P))
+    E = tuple(e + ah * bl for e, ah, bl in zip(E, AH, BL))
+    E = tuple(e + al * bh for e, al, bh in zip(E, AL, BH))
+    E = tuple(e + al * bl for e, al, bl in zip(E, AL, BL))
+    return P, E
+
+
+def _df_mul_f32_m(XH, XL, Y):
+    """Chunked pair * float32 with renormalisation (see ``df_mul_f32``)."""
+    P, E = _two_prod_m(XH, Y)
+    E = tuple(e + xl * y for e, xl, y in zip(E, XL, Y))
+    return _two_sum_m(P, E)
+
+
+def _exp_parts_m(AH, AL):
+    """Chunked ``df_exp_neg_parts`` — the algorithm documented there."""
+    f32 = AH[0].dtype
+    c88, chalf = f32.type(-88.0), f32.type(0.5)
+    c1 = jnp.asarray(_LN2_C1, f32)
+    c2 = jnp.asarray(_LN2_C2, f32)
+    inv_ln2 = f32.type(_INV_LN2)
+    two, one = f32.type(2.0), f32.type(1.0)
+
+    AC = tuple(jnp.maximum(ah, c88) for ah in AH)
+    K = tuple(jnp.floor(ac * inv_ln2 + chalf) for ac in AC)
+    T = tuple(ac - k * c1 for ac, k in zip(AC, K))
+    RH, RE = _two_sum_m(T, tuple(-k * c2 for k in K))
+    RL = tuple(re + al for re, al in zip(RE, AL))
+
+    P = tuple(jnp.full_like(rh, _EXP_P[0]) for rh in RH)
+    for c in _EXP_P[1:]:
+        P = tuple(p * rh + c for p, rh in zip(P, RH))
+    HH, HL = _veltkamp_split_m(RH)
+    R2H = tuple(rh * rh for rh in RH)
+    R2E = tuple(
+        (hh * hh - r2h) + two * (hh * hl) + hl * hl
+        for hh, hl, r2h in zip(HH, HL, R2H)
+    )
+    T3 = tuple((r2h * rh) * p for r2h, rh, p in zip(R2H, RH, P))
+    QH, QE = _two_sum_m(RH, tuple(chalf * r2h for r2h in R2H))
+    QE = tuple(
+        qe + (chalf * r2e + t3) for qe, r2e, t3 in zip(QE, R2E, T3)
+    )
+    QL = tuple(
+        qe + rl * (one + qh + t3)
+        for qe, rl, qh, t3 in zip(QE, RL, QH, T3)
+    )
+    QH, QL = _two_sum_m(QH, QL)
+
+    KI = tuple(jnp.clip(k, -126.0, 0.0).astype(jnp.int32) for k in K)
+    SC = tuple(
+        jax.lax.bitcast_convert_type((ki + 127) << 23, jnp.float32).astype(
+            f32
+        )
+        for ki in KI
+    )
+    c87 = f32.type(-87.0)
+    SC = tuple(
+        jnp.where(ah < c87, jnp.zeros_like(sc), sc)
+        for ah, sc in zip(AH, SC)
+    )
+    return SC, QH, QL
+
+
+def _tile_sq_distance_m(
+    uj_hi_ref, uj_lo_ref, ui_hi_ref, ui_lo_ref, d, tj, ti, chunks
+):
+    """Chunked pair-arithmetic squared distances: the ``_tile_sq_distance``
+    algorithm over ``chunks`` sublane slices of the tj axis (the column
+    points are shared across chunks). Returns tuples of (tj/chunks, ti)
+    arrays whose low words are unnormalised error accumulations."""
+    cs = tj // chunks
+    D2H = tuple(jnp.zeros((cs, ti), jnp.float32) for _ in range(chunks))
+    D2E = tuple(jnp.zeros((cs, ti), jnp.float32) for _ in range(chunks))
+    two = jnp.float32(2.0)
+    for k in range(d):
+        AH = tuple(
+            uj_hi_ref[c * cs : (c + 1) * cs, k][:, None]
+            for c in range(chunks)
+        )
+        AL = tuple(
+            uj_lo_ref[c * cs : (c + 1) * cs, k][:, None]
+            for c in range(chunks)
+        )
+        nbh = -ui_hi_ref[:, k][None, :]
+        bl = ui_lo_ref[:, k][None, :]
+        S, E = _two_sum_m(AH, (nbh,) * chunks)
+        DL = tuple(e + (al - bl) for e, al in zip(E, AL))
+        HH, HL = _veltkamp_split_m(S)
+        P = tuple(s * s for s in S)
+        PE = tuple(
+            ((hh * hh - p) + two * (hh * hl)) + hl * hl
+            for hh, hl, p in zip(HH, HL, P)
+        )
+        PE = tuple(pe + two * (s * dl) for pe, s, dl in zip(PE, S, DL))
+        D2H, AE = _two_sum_m(D2H, P)
+        D2E = tuple(
+            d2e + (ae + pe) for d2e, ae, pe in zip(D2E, AE, PE)
+        )
+    return D2H, D2E
 
 
 # --------------------------------------------------------------------- #
@@ -219,24 +368,31 @@ def _tile_sq_distance(uj_hi_ref, uj_lo_ref, ui_hi_ref, ui_lo_ref, d, tj, ti):
     single d^2 evaluation all three pallas kernels (fused matvec, fused
     matmat, entries precompute) share, so the delicate error-free
     transform sequence cannot drift between copies. ``d`` is a static
-    python int (small); the loop unrolls."""
-    d2h = jnp.zeros((tj, ti), jnp.float32)
-    d2l = jnp.zeros((tj, ti), jnp.float32)
-    for k in range(d):
-        ah = uj_hi_ref[:, k][:, None]
-        al = uj_lo_ref[:, k][:, None]
-        bh = ui_hi_ref[:, k][None, :]
-        bl = ui_lo_ref[:, k][None, :]
-        dh, dl = df_add(ah, al, -bh, -bl)
-        sh, sl = df_mul(dh, dl, dh, dl)
-        d2h, d2l = df_add(d2h, d2l, sh, sl)
-    return d2h, d2l
+    python int (small); the loop unrolls.
+
+    Returns an UNNORMALISED pair ``(d2h, d2e)``: the high word is built
+    by error-free two-sums, every sub-ulp correction accumulates in a
+    plain float32 error word (|d2e| <= a few ulps of d2h, so its own
+    rounding sits at ~2^-48 relative — the pair target). Round 4
+    replaced the round-3 full pair arithmetic (renormalising two-sum
+    after every add, Dekker two-product with both operands split) with
+    this: per dimension ~30 flops instead of ~53, same accuracy, for
+    the hottest loop in the df64 tier (consumers feed the result
+    additively into ``df_exp_neg_parts``, which never needed a
+    normalised low word). Single-chunk view of ``_tile_sq_distance_m``."""
+    (d2h,), (d2e,) = _tile_sq_distance_m(
+        uj_hi_ref, uj_lo_ref, ui_hi_ref, ui_lo_ref, d, tj, ti, chunks=1
+    )
+    return d2h, d2e
 
 
-def _matvec_kernel(d: int, tj: int, ti: int):
+def _matvec_kernel(d: int, tj: int, ti: int, chunks: int = _CHUNKS):
     """Pallas kernel body for grid (n_i, n_j): accumulate
     sum_j exp(-0.5 * d2_ij) * v_j into a pair accumulator, elementwise
-    over a (tj, ti) tile, reducing over tj only once per output tile."""
+    over a (tj, ti) tile, reducing over tj only once per output tile.
+    The tile is processed as ``chunks`` interleaved sublane slices (see
+    the multi-chunk core note)."""
+    cs = tj // chunks
 
     def kernel(
         uj_hi_ref, uj_lo_ref, ui_hi_ref, ui_lo_ref, v_ref,
@@ -250,8 +406,8 @@ def _matvec_kernel(d: int, tj: int, ti: int):
             acc_hi[:] = jnp.zeros_like(acc_hi)
             acc_lo[:] = jnp.zeros_like(acc_lo)
 
-        d2h, d2l = _tile_sq_distance(
-            uj_hi_ref, uj_lo_ref, ui_hi_ref, ui_lo_ref, d, tj, ti
+        D2H, D2E = _tile_sq_distance_m(
+            uj_hi_ref, uj_lo_ref, ui_hi_ref, ui_lo_ref, d, tj, ti, chunks
         )
 
         # exp of the pair argument, itself in pair arithmetic — the TPU
@@ -260,16 +416,33 @@ def _matvec_kernel(d: int, tj: int, ti: int):
         #   E_ij v_j = scale * (v_j + q_ij v_j)
         # so no literal constant enters an error-free transform (XLA
         # constant folding corrupts those — see df_exp_neg_parts).
-        scale, qh, ql = df_exp_neg_parts(-0.5 * d2h, -0.5 * d2l)
+        half = jnp.float32(-0.5)
+        SC, QH, QL = _exp_parts_m(
+            tuple(half * x for x in D2H), tuple(half * x for x in D2E)
+        )
 
-        v = v_ref[:]  # (TJ, 1)
-        tvh, tvl = df_mul_f32(qh, ql, v)
-        s, se = two_sum(jnp.broadcast_to(v, tvh.shape), tvh)
-        ph = s * scale
-        plo = (se + tvl) * scale
-        acc_h, acc_l = df_add(acc_hi[:], acc_lo[:], ph, plo)
-        acc_hi[:] = acc_h
-        acc_lo[:] = acc_l
+        V = tuple(v_ref[c * cs : (c + 1) * cs] for c in range(chunks))
+        # renormalised pair product (an un-renormalised product chain
+        # measurably corrupts under downstream fusion: see the test note
+        # on compiler instruction selection), then a cheap accumulate:
+        # exact high-word two-sum with the corrections riding a plain-f32
+        # error word. The accumulator low word stays unnormalised across
+        # the j loop — its magnitude is ~n_j ulps of the high word, so
+        # its own rounding is far below the pair target; the final tree
+        # reduce renormalises.
+        TVH, TVL = _df_mul_f32_m(QH, QL, V)
+        VB = tuple(
+            jnp.broadcast_to(v, tvh.shape) for v, tvh in zip(V, TVH)
+        )
+        S, SE = _two_sum_m(VB, TVH)
+        PH = tuple(s * sc for s, sc in zip(S, SC))
+        PE = tuple((se + tvl) * sc for se, tvl, sc in zip(SE, TVL, SC))
+        ACC = tuple(acc_hi[c * cs : (c + 1) * cs] for c in range(chunks))
+        AH, AE = _two_sum_m(ACC, PH)
+        for c in range(chunks):
+            lo = acc_lo[c * cs : (c + 1) * cs]
+            acc_hi[c * cs : (c + 1) * cs] = AH[c]
+            acc_lo[c * cs : (c + 1) * cs] = lo + (AE[c] + PE[c])
 
         @pl.when(j == n_j - 1)
         def _():
@@ -342,12 +515,13 @@ def _sqexp_matvec_df64_pallas(uh, ul, v, interpret=False, tj=_TJ, ti=_TI):
     return y64
 
 
-def _matmat_kernel(d: int, q: int, tj: int, ti: int):
+def _matmat_kernel(d: int, q: int, tj: int, ti: int, chunks: int = _CHUNKS):
     """Multi-RHS variant of ``_matvec_kernel``: the pair-arithmetic
-    kernel ENTRIES (the ~190-flop d^2 + exp evaluation) are computed once
-    per tile and amortised over ``q`` right-hand-side columns (~40 flops
-    each) — a q-column matmat costs ~(190 + 40 q)/(230 q) of q separate
-    matvecs (q = 8: ~3.6x cheaper per column)."""
+    kernel ENTRIES (the expensive d^2 + exp evaluation) are computed once
+    per tile and amortised over ``q`` right-hand-side columns — a
+    q-column matmat costs a small multiple of one matvec, not q of them.
+    Chunked like the matvec kernel."""
+    cs = tj // chunks
 
     def kernel(
         uj_hi_ref, uj_lo_ref, ui_hi_ref, ui_lo_ref, v_ref,
@@ -361,23 +535,40 @@ def _matmat_kernel(d: int, q: int, tj: int, ti: int):
             acc_hi[:] = jnp.zeros_like(acc_hi)
             acc_lo[:] = jnp.zeros_like(acc_lo)
 
-        d2h, d2l = _tile_sq_distance(
-            uj_hi_ref, uj_lo_ref, ui_hi_ref, ui_lo_ref, d, tj, ti
+        D2H, D2E = _tile_sq_distance_m(
+            uj_hi_ref, uj_lo_ref, ui_hi_ref, ui_lo_ref, d, tj, ti, chunks
         )
-
-        scale, qh, ql = df_exp_neg_parts(-0.5 * d2h, -0.5 * d2l)
+        half = jnp.float32(-0.5)
+        SC, QH, QL = _exp_parts_m(
+            tuple(half * x for x in D2H), tuple(half * x for x in D2E)
+        )
 
         # per-column product + compensated accumulate; the column loop is
         # statically unrolled (q is small) and reuses the tile's entries
         for k in range(q):
-            v = v_ref[:, k][:, None]  # (TJ, 1)
-            tvh, tvl = df_mul_f32(qh, ql, v)
-            s, se = two_sum(jnp.broadcast_to(v, tvh.shape), tvh)
-            ph = s * scale
-            plo = (se + tvl) * scale
-            a_h, a_l = df_add(acc_hi[k], acc_lo[k], ph, plo)
-            acc_hi[k] = a_h
-            acc_lo[k] = a_l
+            V = tuple(
+                v_ref[c * cs : (c + 1) * cs, k][:, None]
+                for c in range(chunks)
+            )
+            # same renormalised product + cheap accumulate as the
+            # matvec kernel (see note there)
+            TVH, TVL = _df_mul_f32_m(QH, QL, V)
+            VB = tuple(
+                jnp.broadcast_to(v, tvh.shape) for v, tvh in zip(V, TVH)
+            )
+            S, SE = _two_sum_m(VB, TVH)
+            PH = tuple(s * sc for s, sc in zip(S, SC))
+            PE = tuple(
+                (se + tvl) * sc for se, tvl, sc in zip(SE, TVL, SC)
+            )
+            ACC = tuple(
+                acc_hi[k, c * cs : (c + 1) * cs] for c in range(chunks)
+            )
+            AH, AE = _two_sum_m(ACC, PH)
+            for c in range(chunks):
+                lo = acc_lo[k, c * cs : (c + 1) * cs]
+                acc_hi[k, c * cs : (c + 1) * cs] = AH[c]
+                acc_lo[k, c * cs : (c + 1) * cs] = lo + (AE[c] + PE[c])
 
         @pl.when(j == n_j - 1)
         def _():
@@ -602,7 +793,7 @@ def sqexp_matvec_df64(us_hi, us_lo, v, interpret: bool = None):
 
 # --------------------------------------------------------------------- #
 # stored-entries df64 matvec: precompute the pair entries once, then
-# every matvec skips the ~190-flop d^2 + exp evaluation (~38 flops/entry
+# every matvec skips the expensive d^2 + exp evaluation (~30 flops/entry
 # remain: one pair product + one compensated accumulate)
 # --------------------------------------------------------------------- #
 def _entries_kernel(d: int, tj: int, ti: int):
@@ -613,15 +804,22 @@ def _entries_kernel(d: int, tj: int, ti: int):
     so no literal constant enters an error-free transform."""
 
     def kernel(uj_hi_ref, uj_lo_ref, ui_hi_ref, ui_lo_ref, eh_ref, el_ref):
-        d2h, d2l = _tile_sq_distance(
-            uj_hi_ref, uj_lo_ref, ui_hi_ref, ui_lo_ref, d, tj, ti
+        chunks = _CHUNKS
+        cs = tj // chunks
+        D2H, D2E = _tile_sq_distance_m(
+            uj_hi_ref, uj_lo_ref, ui_hi_ref, ui_lo_ref, d, tj, ti, chunks
         )
-
-        scale, qh, ql = df_exp_neg_parts(-0.5 * d2h, -0.5 * d2l)
-        s, se = two_sum(scale, scale * qh)
-        eh, el = two_sum(s, se + scale * ql)
-        eh_ref[:] = eh
-        el_ref[:] = el
+        half = jnp.float32(-0.5)
+        SC, QH, QL = _exp_parts_m(
+            tuple(half * x for x in D2H), tuple(half * x for x in D2E)
+        )
+        S, SE = _two_sum_m(SC, tuple(sc * qh for sc, qh in zip(SC, QH)))
+        EH, EL = _two_sum_m(
+            S, tuple(se + sc * ql for se, sc, ql in zip(SE, SC, QL))
+        )
+        for c in range(chunks):
+            eh_ref[c * cs : (c + 1) * cs] = EH[c]
+            el_ref[c * cs : (c + 1) * cs] = EL[c]
 
     return kernel
 
@@ -657,14 +855,40 @@ def _sqexp_entries_df64_pallas(uh, ul, interpret=False, tj=_TJ, ti=_TI):
     return eh, el
 
 
+def stored_entries_tier(n_padded: int, store):
+    """The SINGLE storage policy for the df64 tiers — one place to
+    retune for a different chip. Returns:
+
+    - ``"pair"``  — store the full (E_hi, E_lo) float32 pair
+      (8 bytes/entry, ~3.4 GB at n = 20480): matvecs carry NO error
+      beyond the pair entries themselves;
+    - ``"f32"``   — store the pair-accurate entries rounded to one
+      float32 word (4 bytes/entry, ~10.5 GB at n = 51200): iteration
+      matvecs carry the 2^-24 entry quantisation and the solver
+      refreshes true residuals through the fused kernel;
+    - ``None``    — no storage (fused evaluate-per-matvec kernel).
+
+    ``store`` is the user knob: 'auto' picks by size, True picks the
+    best storage that fits, "f32" forces the rounded-f32 tier (any
+    size the array fits — mainly for tests and benchmarks), False
+    disables storage.
+    """
+    if store is False:
+        return None
+    if store == "f32":
+        return "f32"
+    if n_padded <= 20480:
+        return "pair"
+    if n_padded <= 51200:
+        return "f32"
+    return None
+
+
 def should_store_entries(n_padded: int, store) -> bool:
-    """The SINGLE storage policy for the df64 tiers ('auto' | True |
-    False): 'auto' stores when the two (n, n) float32 entry arrays stay
-    within ~3.4 GB of HBM (n_padded <= 20480) — one threshold for every
-    consumer, so retuning it for a different chip is one edit."""
-    if store == "auto":
-        return n_padded <= 20480
-    return bool(store)
+    """Back-compat boolean view of ``stored_entries_tier``: True when the
+    full PAIR tier applies (consumers that only understand the round-3
+    pair storage, e.g. the linear-inverter tier)."""
+    return stored_entries_tier(n_padded, store) == "pair"
 
 
 def sqexp_entries_df64(us_hi, us_lo, interpret: bool = None):
@@ -673,8 +897,8 @@ def sqexp_entries_df64(us_hi, us_lo, interpret: bool = None):
     ``(E_hi, E_lo)`` of (n, n) device arrays — 8 bytes/entry of HBM, so
     this tier is for moderate N (~3.4 GB at n = 20480). Amortisation:
     one precompute at the cost of ~one fused matvec buys every later
-    ``sqexp_stored_matvec_df64`` call the entry evaluation (~190 of the
-    ~230 flops/entry), which dominates df64 CG solves.
+    ``sqexp_stored_matvec_df64`` call the entry evaluation (the bulk of
+    the per-entry work), which dominates df64 CG solves.
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
@@ -689,9 +913,11 @@ def sqexp_entries_df64(us_hi, us_lo, interpret: bool = None):
     return _sqexp_entries_df64_pallas(uh, ul, interpret=interpret)
 
 
-def _stored_matmat_kernel(q: int, tj: int, ti: int):
+def _stored_matmat_kernel(q: int, tj: int, ti: int, chunks: int = _CHUNKS):
     """Contraction over stored pair entries: per tile, q pair products +
-    compensated accumulates — no entry evaluation."""
+    compensated accumulates — no entry evaluation. Chunked like the
+    fused kernels (see the multi-chunk core note)."""
+    cs = tj // chunks
 
     def kernel(eh_ref, el_ref, v_ref, out_hi_ref, out_lo_ref, acc_hi, acc_lo):
         j = pl.program_id(1)
@@ -702,14 +928,27 @@ def _stored_matmat_kernel(q: int, tj: int, ti: int):
             acc_hi[:] = jnp.zeros_like(acc_hi)
             acc_lo[:] = jnp.zeros_like(acc_lo)
 
-        eh = eh_ref[:]
-        el = el_ref[:]
+        EH = tuple(eh_ref[c * cs : (c + 1) * cs] for c in range(chunks))
+        EL = tuple(el_ref[c * cs : (c + 1) * cs] for c in range(chunks))
         for k in range(q):
-            v = v_ref[:, k][:, None]  # (TJ, 1)
-            tvh, tvl = df_mul_f32(eh, el, v)
-            a_h, a_l = df_add(acc_hi[k], acc_lo[k], tvh, tvl)
-            acc_hi[k] = a_h
-            acc_lo[k] = a_l
+            V = tuple(
+                v_ref[c * cs : (c + 1) * cs, k][:, None]
+                for c in range(chunks)
+            )
+            # renormalised pair product + cheap accumulate: exact
+            # high-word two-sum into the accumulator with corrections
+            # riding a plain-f32 error word (renormalised once by the
+            # tree reduce) — saves the accumulate-side renormalisation
+            # of round 3's df_add (~29 vs ~35 flops/entry/column)
+            TVH, TVL = _df_mul_f32_m(EH, EL, V)
+            ACC = tuple(
+                acc_hi[k, c * cs : (c + 1) * cs] for c in range(chunks)
+            )
+            AH, AE = _two_sum_m(ACC, TVH)
+            for c in range(chunks):
+                lo = acc_lo[k, c * cs : (c + 1) * cs]
+                acc_hi[k, c * cs : (c + 1) * cs] = AH[c]
+                acc_lo[k, c * cs : (c + 1) * cs] = lo + (AE[c] + TVL[c])
 
         @pl.when(j == n_j - 1)
         def _():
@@ -798,3 +1037,204 @@ def sqexp_stored_matvec_df64(E_hi, E_lo, v, interpret: bool = None):
     return sqexp_stored_matmat_df64(
         E_hi, E_lo, jnp.asarray(v).reshape(-1, 1), interpret=interpret
     )[:, 0]
+
+# --------------------------------------------------------------------- #
+# stored-f32 tier: pair-ACCURATE entries rounded to one float32 word.
+#
+# The pair tier above costs 8 bytes/entry (caps out near n = 20480 on a
+# 16 GB chip); this tier stores only the correctly-rounded float32 high
+# word (4 bytes/entry, n up to ~51k) and contracts it with an exact
+# Dekker product + compensated pair accumulation, so the ONLY error
+# beyond float64 is the 2^-24 entry quantisation. A CG solve iterating
+# on this operator and refreshing its true residual through the fused
+# df64 kernel (ops/solvers.py::Df64MultiSolver matmat_fast) converges
+# like mixed-precision iterative refinement with a ~6e-8 operator —
+# each refresh contracts the error by ~kappa_precond * 6e-8 — instead
+# of stalling at the 1.2e-5 float32-EVALUATED-entry noise that made the
+# plain mixed tier insufficient in the small-noise regime.
+# --------------------------------------------------------------------- #
+def _entries_f32_kernel(d: int, tj: int, ti: int):
+    """``_entries_kernel`` writing only the correctly-rounded float32
+    entry (the renormalised pair's high word IS fl(E))."""
+
+    def kernel(uj_hi_ref, uj_lo_ref, ui_hi_ref, ui_lo_ref, e_ref):
+        chunks = _CHUNKS
+        cs = tj // chunks
+        D2H, D2E = _tile_sq_distance_m(
+            uj_hi_ref, uj_lo_ref, ui_hi_ref, ui_lo_ref, d, tj, ti, chunks
+        )
+        half = jnp.float32(-0.5)
+        SC, QH, QL = _exp_parts_m(
+            tuple(half * x for x in D2H), tuple(half * x for x in D2E)
+        )
+        S, SE = _two_sum_m(SC, tuple(sc * qh for sc, qh in zip(SC, QH)))
+        EH, _ = _two_sum_m(
+            S, tuple(se + sc * ql for se, sc, ql in zip(SE, SC, QL))
+        )
+        for c in range(chunks):
+            e_ref[c * cs : (c + 1) * cs] = EH[c]
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "tj", "ti"))
+def _sqexp_entries_f32_pallas(uh, ul, interpret=False, tj=_TJ, ti=_TI):
+    n, d = uh.shape
+    kernel = _entries_f32_kernel(d, tj, ti)
+    with _x64_off_ctx():
+        e = pl.pallas_call(
+            kernel,
+            out_shape=jax.ShapeDtypeStruct((n, n), jnp.float32),
+            grid=(n // tj, n // ti),
+            in_specs=[
+                pl.BlockSpec((tj, d), lambda j, i: (j, 0)),
+                pl.BlockSpec((tj, d), lambda j, i: (j, 0)),
+                pl.BlockSpec((ti, d), lambda j, i: (i, 0)),
+                pl.BlockSpec((ti, d), lambda j, i: (i, 0)),
+            ],
+            out_specs=pl.BlockSpec((tj, ti), lambda j, i: (j, i)),
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024,
+                dimension_semantics=("parallel", "parallel"),
+            ),
+            interpret=interpret,
+        )(uh, ul, uh, ul)
+    return e
+
+
+def sqexp_entries_f32(us_hi, us_lo, interpret: bool = None):
+    """
+    Materialise ``fl32(exp(-0.5 ||us_i - us_j||^2))`` — the pair-accurate
+    entry evaluation correctly ROUNDED to one float32 word — as an (n, n)
+    device array: 4 bytes/entry, 10.5 GB at n = 51,200. Unlike an entry
+    evaluated IN float32 (eps32-coherent d^2/exp noise, ~1.2e-5 at large
+    N), the only error here is the final 2^-24 quantisation.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    uh = jnp.asarray(us_hi, jnp.float32)
+    ul = jnp.asarray(us_lo, jnp.float32)
+    n, d = uh.shape
+    if n % _TJ != 0:
+        raise ValueError(
+            f"[ sqexp_entries_f32 error ] n ({n}) must be a multiple of "
+            f"{_TJ}; pad the data rows."
+        )
+    return _sqexp_entries_f32_pallas(uh, ul, interpret=interpret)
+
+
+def _stored_f32_matmat_kernel(q: int, tj: int, ti: int, chunks: int = _CHUNKS):
+    """Contraction over stored float32 entries with an exact Dekker
+    product and compensated pair accumulation: the result is the float64
+    product of the STORED matrix with V to ~1e-15 — all remaining error
+    is the entries' own storage quantisation."""
+    cs = tj // chunks
+
+    def kernel(e_ref, v_ref, out_hi_ref, out_lo_ref, acc_hi, acc_lo):
+        j = pl.program_id(1)
+        n_j = pl.num_programs(1)
+
+        @pl.when(j == 0)
+        def _():
+            acc_hi[:] = jnp.zeros_like(acc_hi)
+            acc_lo[:] = jnp.zeros_like(acc_lo)
+
+        EH = tuple(e_ref[c * cs : (c + 1) * cs] for c in range(chunks))
+        for k in range(q):
+            V = tuple(
+                v_ref[c * cs : (c + 1) * cs, k][:, None]
+                for c in range(chunks)
+            )
+            # the product pair is renormalised before accumulation: an
+            # un-renormalised two-product chain measurably corrupts under
+            # downstream compiler fusion (see the matmat-columns test
+            # note on fma instruction selection)
+            TVH, TVE = _two_sum_m(*_two_prod_m(EH, V))
+            ACC = tuple(
+                acc_hi[k, c * cs : (c + 1) * cs] for c in range(chunks)
+            )
+            AH, AE = _two_sum_m(ACC, TVH)
+            for c in range(chunks):
+                lo = acc_lo[k, c * cs : (c + 1) * cs]
+                acc_hi[k, c * cs : (c + 1) * cs] = AH[c]
+                acc_lo[k, c * cs : (c + 1) * cs] = lo + (AE[c] + TVE[c])
+
+        @pl.when(j == n_j - 1)
+        def _():
+            for k in range(q):
+                rh, rl = _tree_pair_reduce(acc_hi[k], acc_lo[k])
+                out_hi_ref[k] = rh
+                out_lo_ref[k] = rl
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "tj", "ti"))
+def _sqexp_stored_f32_matmat_pallas(e, V, interpret=False, tj=_TJ, ti=_TI):
+    n = e.shape[0]
+    q = V.shape[1]
+    n_j = n // tj
+    n_i = n // ti
+
+    kernel = _stored_f32_matmat_kernel(q, tj, ti)
+    with _x64_off_ctx():
+        out_hi, out_lo = pl.pallas_call(
+            kernel,
+            out_shape=(
+                jax.ShapeDtypeStruct((q, n_i * 8, ti), jnp.float32),
+                jax.ShapeDtypeStruct((q, n_i * 8, ti), jnp.float32),
+            ),
+            grid=(n_i, n_j),
+            in_specs=[
+                pl.BlockSpec((tj, ti), lambda i, j: (j, i)),
+                pl.BlockSpec((tj, q), lambda i, j: (j, 0)),
+            ],
+            out_specs=(
+                pl.BlockSpec((q, 8, ti), lambda i, j: (0, i, 0)),
+                pl.BlockSpec((q, 8, ti), lambda i, j: (0, i, 0)),
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((q, tj, ti), jnp.float32),
+                pltpu.VMEM((q, tj, ti), jnp.float32),
+            ],
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024,
+                dimension_semantics=("parallel", "arbitrary"),
+            ),
+            interpret=interpret,
+        )(e, V)
+    ph = out_hi.reshape(q, n_i, 8, ti).astype(jnp.float64)
+    plo = out_lo.reshape(q, n_i, 8, ti).astype(jnp.float64)
+    Y64 = (ph + plo).sum(axis=2).reshape(q, n)
+    return Y64.T  # (n, q)
+
+
+def sqexp_stored_f32_matmat(E, V, interpret: bool = None):
+    """
+    ``Y = E V`` from STORED float32 entries (``sqexp_entries_f32``):
+    float32 (n, q) in, float64 (n, q) out. The contraction itself is
+    ~1e-15 accurate (exact products, compensated accumulation); the
+    operator error is the entries' 2^-24 storage quantisation — the
+    fast-iteration matvec of the stored-f32 df64 solve tier.
+    """
+    if not jax.config.read("jax_enable_x64"):
+        raise ValueError(
+            "sqexp_stored_f32_matmat requires jax_enable_x64 (the "
+            "partial-pair combine and the returned matrix are float64)"
+        )
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    E = jnp.asarray(E, jnp.float32)
+    V = jnp.asarray(V, jnp.float32)
+    if V.ndim != 2:
+        raise ValueError(
+            "[ sqexp_stored_f32_matmat error ] V must be 2D (n, q); "
+            "reshape single vectors to (n, 1)."
+        )
+    n = E.shape[0]
+    if n % _TJ != 0:
+        raise ValueError(
+            f"[ sqexp_stored_f32_matmat error ] n ({n}) must be a "
+            f"multiple of {_TJ}."
+        )
+    return _sqexp_stored_f32_matmat_pallas(E, V, interpret=interpret)

@@ -258,6 +258,8 @@ class Df64Solver:
         M_args=(),
         matvec_args=(),
         restart_every: int = 50,
+        matvec_fast=None,
+        matvec_fast_args=(),
     ):
         """``matvec64(v, *matvec_args)`` applies the operator to a
         float32 vector and ``M(v, *M_args)`` applies the preconditioner
@@ -267,7 +269,9 @@ class Df64Solver:
         preconditioner closing over a large array (an (N, m) factor, an
         (M, N) model matrix) would bake it into the compiled program as a
         constant (the compile-payload trap documented in
-        gp/large_scale.py)."""
+        gp/large_scale.py). ``matvec_fast``, when given, runs the
+        iteration matvecs while ``matvec64`` anchors the true-residual
+        refreshes (see ``Df64MultiSolver``)."""
         # a single right-hand side is exactly the q=1 column block of the
         # multi-RHS solver (the per-column scalar recurrences reduce to
         # scalars): delegate instead of maintaining two copies of the
@@ -280,12 +284,19 @@ class Df64Solver:
             def M_multi(R, *args):
                 return jnp.asarray(M(R[:, 0], *args))[:, None]
 
+        matmat_fast = None
+        if matvec_fast is not None:
+            def matmat_fast(V, *args):
+                return matvec_fast(V[:, 0], *args)[:, None]
+
         self._multi = Df64MultiSolver(
             matmat64,
             M=M_multi,
             M_args=M_args,
             matmat_args=matvec_args,
             restart_every=restart_every,
+            matmat_fast=matmat_fast,
+            matmat_fast_args=matvec_fast_args,
             _label="Df64Solver",
         )
         self.restart_every = self._multi.restart_every
@@ -328,13 +339,25 @@ class Df64MultiSolver:
         M_args=(),
         matmat_args=(),
         restart_every: int = 50,
+        matmat_fast=None,
+        matmat_fast_args=(),
         _label: str = "Df64MultiSolver",
     ):
         """``matmat64(V, *matmat_args)`` maps a float32 (n, q) block to
         the float64 (n, q) result of ``A V``; ``M(R, *M_args)`` applies
         the preconditioner to the float64 (n, q) residual block (in
         float64 — see ``Df64Solver``). Argument tuples travel as runtime
-        operands (the compile-payload trap)."""
+        operands (the compile-payload trap).
+
+        ``matmat_fast(V, *matmat_fast_args)``, when given, is a CHEAPER
+        application of (an approximation of) the same operator — e.g. the
+        stored-f32-entries contraction, whose only error is the 2^-24
+        entry quantisation — used for the chunk's ITERATION matvecs; the
+        end-of-chunk true-residual refresh always goes through the
+        accurate ``matmat64``, so the scheme is mixed-precision iterative
+        refinement: each chunk contracts the error by roughly
+        kappa(M^-1 A) times the fast operator's relative error, and the
+        attainable floor is set by ``matmat64`` alone."""
         self._label = _label
         if not jax.config.read("jax_enable_x64"):
             raise ValueError(
@@ -345,28 +368,37 @@ class Df64MultiSolver:
         self.M = M if M is not None else (lambda V: V)
         self.M_args = tuple(M_args)
         self.matmat_args = tuple(matmat_args)
+        self.matmat_fast = matmat_fast
+        self.matmat_fast_args = tuple(matmat_fast_args)
         self.restart_every = int(restart_every)
         self._chunk = jax.jit(self._build_chunk())
 
     def _build_chunk(self):
         matmat64_outer, M_outer = self.matmat64, self.M
+        fast_outer = self.matmat_fast
         f32, f64 = jnp.float32, jnp.float64
         n_iter = self.restart_every
 
         def colsum(U, V):
             return jnp.sum(U * V, axis=0)
 
-        def chunk(B64, X, R, Z, P, rz, ok, M_args, mm_args):
+        def chunk(B64, X, R, Z, P, rz, ok, M_args, mm_args, fast_args):
             def M(V):
                 return M_outer(V, *M_args)
 
             def matmat64(V):
                 return matmat64_outer(V, *mm_args)
 
+            if fast_outer is None:
+                matmat_iter = matmat64
+            else:
+                def matmat_iter(V):
+                    return fast_outer(V, *fast_args)
+
             def body(_, s):
                 X, R, Z, P, rz, ok = s
                 P32 = P.astype(f32)
-                AP = matmat64(P32)
+                AP = matmat_iter(P32)
                 P_applied = P32.astype(f64)
                 pAp = colsum(P_applied, AP)
                 # per-column breakdown latch (see Df64Solver)
@@ -389,14 +421,27 @@ class Df64MultiSolver:
             X, R, Z, P, rz, ok = lax.fori_loop(
                 0, n_iter, body, (X, R, Z, P, rz, ok)
             )
-            # end-of-chunk true-residual refresh; directions carry over
-            # (the accurate-matvec Krylov process — see Df64Solver)
+            # end-of-chunk true-residual refresh
             Xh = X.astype(f32)
             Xl = (X - Xh.astype(f64)).astype(f32)
             R = B64 - matmat64(Xh) - matmat64(Xl)
             Z = M(R).astype(f64)
             rz = colsum(R, Z)
             rr = colsum(R, R)
+            if fast_outer is None:
+                # directions carry over: iterations and refresh apply the
+                # SAME operator, so this is a perturbation of one Krylov
+                # process (resetting p here was measured to wreck
+                # convergence — see Df64Solver / tests/test_df64.py)
+                pass
+            else:
+                # iterations ran on the FAST operator: a direction from
+                # its Krylov space coupled to the accurate refreshed
+                # residual diverges (measured: converges to the fast
+                # floor in chunk 1, then residuals grow ~1e10 per 50
+                # iterations) — restart steepest-descent, the textbook
+                # inexact-inner iterative-refinement structure
+                P = Z
             return X, R, Z, P, rz, ok, rr
 
         return chunk
@@ -423,7 +468,8 @@ class Df64MultiSolver:
             return X, 0
         while done < maxiter:
             X, R, Z, P, rz, ok, rr = self._chunk(
-                B64, X, R, Z, P, rz, ok, self.M_args, self.matmat_args
+                B64, X, R, Z, P, rz, ok,
+                self.M_args, self.matmat_args, self.matmat_fast_args,
             )
             done += self.restart_every
             rr_host = np.asarray(rr)

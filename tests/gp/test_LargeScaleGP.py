@@ -689,3 +689,33 @@ def test_unsupported_kernels_error_at_construction():
         LargeScaleGP(
             x, y, err, hyperpars=[0.0, 0.0], kernel=RationalQuadratic
         )
+
+
+@pytest.mark.slow
+def test_df64_stored_f32_tier_matches_pair_tier():
+    """store_entries='f32' (round 4: pair-accurate entries rounded to one
+    float32 word, CG iterating on the stored array with fused-kernel
+    true-residual refreshes) reaches the same df64-level residual as the
+    pair tier in the small-noise regime — the tier that extends stored
+    entries past the pair tier's HBM cap (n ~ 20k) to n ~ 51k."""
+    rng = np.random.default_rng(11)
+    n = 512
+    x = rng.uniform(0, 8, size=(n, 2))
+    y = np.sin(x[:, 0]) * np.cos(0.5 * x[:, 1])
+    err = np.full(n, 0.01)
+    kwargs = dict(
+        hyperpars=np.array([0.0, 0.0, 0.0]), block_size=128,
+        preconditioner_rank=128, solver="df64", cg_tol=1e-9,
+        cg_maxiter=3000, dtype="float32",
+    )
+    gp = LargeScaleGP(x, y, err, store_entries="f32", **kwargs)
+    assert gp._entries_f32 is not None and gp._entries is None
+    res = gp.residual_norm_f64(residual_backend="host")
+    assert res < 3e-8
+
+    gp_pair = LargeScaleGP(x, y, err, store_entries=True, **kwargs)
+    assert gp_pair._entries is not None
+    alpha_diff = np.abs(
+        np.asarray(gp.alpha64) - np.asarray(gp_pair.alpha64)
+    ).max() / np.abs(np.asarray(gp_pair.alpha64)).max()
+    assert alpha_diff < 1e-6

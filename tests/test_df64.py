@@ -224,10 +224,17 @@ def test_df64_solver_breakdown_freezes_iterate():
 
 @pytest.mark.slow
 def test_sqexp_matmat_df64_matches_matvec_columns():
-    """The multi-RHS kernel must produce BITWISE the single-RHS kernel's
-    result per column (same entry evaluation, same compensated
-    accumulation — only amortised), and land at df64 accuracy vs float64
-    truth."""
+    """The multi-RHS kernel runs the single-RHS kernel's entry
+    evaluation and compensated accumulation, only amortised — columns
+    must agree with separate matvecs far below the kernels' ~1e-8
+    accuracy floor, and each program must be deterministic. (Round 3
+    asserted BITWISE equality; the round-4 kernels evaluate several
+    corrections in plain float32 — e.g. the exp Horner and the
+    error-word adds — whose rounding depends on per-program compiler
+    instruction selection (fma contraction), so programs of different
+    column count can disagree at the kernels' own ~1e-8 accuracy scale
+    while each remains exactly reproducible and within contract vs the
+    float64 truth.)"""
     from inference_tpu.ops.df64 import (
         split_f64,
         sqexp_matmat_df64,
@@ -245,9 +252,12 @@ def test_sqexp_matmat_df64_matches_matvec_columns():
 
     Y = np.asarray(sqexp_matmat_df64(uh, ul, V))
     assert np.abs(Y - truth).max() / np.abs(truth).max() < 1e-7
+    scale = np.abs(truth).max()
     for k in range(q):
         yk = np.asarray(sqexp_matvec_df64(uh, ul, V[:, k]))
-        assert np.array_equal(Y[:, k], yk)
+        assert np.abs(Y[:, k] - yk).max() / scale < 5e-8
+    # per-program determinism: the same program is bit-reproducible
+    assert np.array_equal(Y, np.asarray(sqexp_matmat_df64(uh, ul, V)))
 
 
 @pytest.mark.slow
@@ -381,3 +391,99 @@ def test_rect_and_sharded_matmat_match_square():
         sqexp_matmat_df64_sharded(
             jnp.asarray(uh), jnp.asarray(ul), jnp.asarray(V), bad
         )
+
+
+def test_sqexp_entries_f32_is_rounded_pair():
+    """The f32 entry tier stores EXACTLY the rounded pair entries: each
+    value is fl32 of the float64 kernel entry to within the pair
+    evaluation's own ~2e-8 contract — crucially NOT the ~1.2e-5
+    float32-evaluated-entry noise."""
+    if not jax.config.read("jax_enable_x64"):
+        pytest.skip("requires x64")
+    from inference_tpu.ops.df64 import sqexp_entries_df64, sqexp_entries_f32
+
+    rng = np.random.default_rng(5)
+    n, d = 256, 2
+    x = rng.uniform(0, 8, size=(n, d))
+    uh, ul = split_f64(x)
+    E = np.asarray(sqexp_entries_f32(uh, ul, interpret=True))
+    Eh, El = sqexp_entries_df64(uh, ul, interpret=True)
+    # identical evaluation pipeline: the stored f32 word IS the pair's
+    # high word
+    assert np.array_equal(E, np.asarray(Eh))
+    u64 = _pair64(uh, ul)
+    E64 = np.exp(-0.5 * ((u64[:, None, :] - u64[None, :, :]) ** 2).sum(-1))
+    mask = E64 > 1e-20
+    rel = np.abs(np.float64(E) - E64)[mask] / E64[mask]
+    # rounding to one f32 word adds at most 2^-25 ~ 3e-8 to the pair
+    # evaluation's ~2e-8
+    assert rel.max() < 1e-7
+
+
+def test_sqexp_stored_f32_matmat_accuracy():
+    """The stored-f32 contraction is exact to ~1e-15 with respect to the
+    STORED matrix (compensated pair accumulation over exact Dekker
+    products): the operator error is purely the entries' quantisation."""
+    if not jax.config.read("jax_enable_x64"):
+        pytest.skip("requires x64")
+    from inference_tpu.ops.df64 import sqexp_entries_f32, sqexp_stored_f32_matmat
+
+    rng = np.random.default_rng(6)
+    n, d, q = 256, 2, 3
+    x = rng.uniform(0, 8, size=(n, d))
+    uh, ul = split_f64(x)
+    E = sqexp_entries_f32(uh, ul, interpret=True)
+    V = rng.normal(size=(n, q)).astype(np.float32)
+    Y = np.asarray(sqexp_stored_f32_matmat(E, jnp.asarray(V), interpret=True))
+    truth_stored = np.float64(np.asarray(E)) @ np.float64(V)
+    rel = np.abs(Y - truth_stored).max() / np.abs(truth_stored).max()
+    assert rel < 1e-13
+
+
+@pytest.mark.slow
+def test_df64_solver_fast_iteration_matvec():
+    """Df64Solver with a stored-f32 fast-iteration matvec converges to
+    the same df64-level residual as the accurate-matvec solver: the
+    fused refreshes anchor the truth, the cheap iterations do the work
+    (mixed-precision iterative refinement)."""
+    if not jax.config.read("jax_enable_x64"):
+        pytest.skip("requires x64")
+    from inference_tpu.ops.df64 import (
+        sqexp_entries_f32,
+        sqexp_matvec_df64,
+        sqexp_stored_f32_matmat,
+    )
+    from inference_tpu.ops.solvers import Df64Solver
+
+    rng = np.random.default_rng(7)
+    n, d = 256, 2
+    x = rng.uniform(0, 6, size=(n, d))
+    uh, ul = split_f64(x)
+    sig2 = 1e-2
+    u64 = _pair64(uh, ul)
+    d2 = ((u64[:, None, :] - u64[None, :, :]) ** 2).sum(-1)
+    A = np.exp(-0.5 * d2) + sig2 * np.eye(n)
+    b = rng.normal(size=n)
+
+    E = sqexp_entries_f32(uh, ul)
+    uh_d, ul_d = jnp.asarray(uh), jnp.asarray(ul)
+
+    def matvec64(v32):
+        return sqexp_matvec_df64(uh_d, ul_d, v32) + sig2 * v32.astype(
+            jnp.float64
+        )
+
+    def matvec_fast(v32, E):
+        Ev = sqexp_stored_f32_matmat(E, v32.reshape(-1, 1))[:, 0]
+        return Ev + sig2 * v32.astype(jnp.float64)
+
+    solver = Df64Solver(
+        matvec64,
+        restart_every=40,
+        matvec_fast=matvec_fast,
+        matvec_fast_args=(E,),
+    )
+    xs, info = solver.solve(jnp.asarray(b), tol=1e-9, maxiter=2000)
+    rel = np.linalg.norm(A @ np.asarray(xs) - b) / np.linalg.norm(b)
+    assert rel < 1e-6
+    assert int(info) == 0
