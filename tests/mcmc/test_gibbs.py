@@ -216,3 +216,62 @@ def test_gibbs_run_for_wall_clock():
     elapsed = time() - t0
     assert chain.chain_length > start_len
     assert elapsed >= 0.03 * 60 * 0.9
+
+
+def test_gibbs_run_for_interval_adaptation(monkeypatch):
+    """run_for's update-interval scheduling, pinned deterministically.
+
+    The reference pins run_for's scheduling with freezegun
+    (reference: tests/mcmc/test_gibbs.py:161-235); here the module's
+    ``time`` is replaced by a fake clock that advances a fixed cost per
+    chain step, making the adaptation loop in ``mcmc/base.py::run_for``
+    exactly reproducible: intervals must be powers of two (bounding the
+    set of compiled chunk shapes), converge to one batch per fake
+    second, and the loop must stop at the first poll past the deadline.
+    """
+    import inference_tpu.mcmc.base as base_mod
+
+    chain = GibbsChain(
+        posterior=rosenbrock,
+        start=np.array([2.0, -4.0]),
+        widths=np.array([0.2, 0.4]),
+        display_progress=False,
+        seed=3,
+    )
+    chain.advance(4)  # compile outside the fake-clock window
+    start_len = chain.chain_length
+
+    step_cost = 1.0 / 300.0  # fake seconds per chain step
+    clock = {"t": 1000.0}
+    intervals = []
+    real_advance_n = chain._advance_n
+
+    def fake_time():
+        return clock["t"]
+
+    def instrumented_advance_n(n):
+        intervals.append(n)
+        clock["t"] += n * step_cost
+        real_advance_n(n)
+
+    monkeypatch.setattr(base_mod, "time", fake_time)
+    monkeypatch.setattr(chain, "_advance_n", instrumented_advance_n)
+    run_seconds = 10.0
+    chain.run_for(minutes=run_seconds / 60.0)
+
+    steps = chain.chain_length - start_len
+    assert steps == sum(intervals)
+    # the first batch is the fixed initial guess; every adapted batch
+    # size after it is a power of two (run_for rounds the adapted rate
+    # down so the compiled chunk-shape set stays bounded)
+    assert intervals[0] == 20
+    assert all(n & (n - 1) == 0 for n in intervals[1:])
+    # the adapted interval converges to ~one batch/second: the largest
+    # power of two <= 300 steps/s is 256
+    assert intervals[-1] == 256
+    assert intervals.count(256) >= 2
+    # stops at the first poll past the deadline: total fake time covers
+    # run_seconds but overshoots by less than one final batch
+    fake_elapsed = steps * step_cost
+    assert fake_elapsed >= run_seconds
+    assert fake_elapsed < run_seconds + 256 * step_cost + 1e-9
