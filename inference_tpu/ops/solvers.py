@@ -448,7 +448,29 @@ class Df64MultiSolver:
 
     def solve(self, B64, tol=1e-10, maxiter=2000, verbose=False):
         """Returns ``(X, info)`` with float64 (n, q) ``X``; ``info = 0``
-        when every column converged, else the iteration count reached."""
+        when every column converged, else the iteration count reached.
+
+        The host loop safeguards against near-floor divergence: carrying
+        the search direction across a true-residual refresh is a tiny
+        perturbation of one Krylov process while the residual is far
+        from the attainable floor, but AT the floor the refresh-vs-
+        recurrence mismatch feeds the beta recurrence and the iteration
+        can grow geometrically instead of stagnating (measured at
+        N=50,000, sigma=0.01: residual 3.9e-9 after chunk 1, 1.4e+15
+        after chunk 2, nan after chunk 3 — rz and pAp positive
+        throughout, ~2.7x growth per iteration). Each column therefore
+        keeps its best-known state; a column whose residual becomes
+        non-finite or grows 1000x past its best NORM is restored to
+        that best state with a steepest-descent direction reset, and
+        frozen on the second strike (it has reached its floor). The
+        trigger must be far outside ordinary CG oscillation — residual
+        norms are not monotone and healthy ill-conditioned solves spike
+        orders of magnitude over the running best while the A-norm
+        error still falls (a 16x trigger was measured to freeze the
+        data-space inversion solve at 3e-4 instead of its 1e-7 floor) —
+        while the measured divergence grows ~390x per 6-iteration
+        chunk, so 1000x distinguishes them within ~1 chunk. The
+        returned ``X`` is every column's best iterate."""
         B64 = jnp.asarray(B64, jnp.float64)
         bb = jnp.sum(B64 * B64, axis=0)
         atol2 = (float(tol) ** 2) * np.asarray(bb)
@@ -466,6 +488,8 @@ class Df64MultiSolver:
         # compiled chunk of pair-arithmetic matvecs
         if np.all(rr_host <= atol2):
             return X, 0
+        best = {"X": X, "R": R, "Z": Z, "rz": rz, "rr": rr_host.copy()}
+        strikes = np.zeros(q, np.int32)
         while done < maxiter:
             X, R, Z, P, rz, ok, rr = self._chunk(
                 B64, X, R, Z, P, rz, ok,
@@ -474,6 +498,42 @@ class Df64MultiSolver:
             done += self.restart_every
             rr_host = np.asarray(rr)
             ok_host = np.asarray(ok)
+            finite = np.isfinite(rr_host)
+            improved = finite & (rr_host < best["rr"])
+            if improved.any():
+                sel = jnp.asarray(improved)
+                best["X"] = jnp.where(sel[None, :], X, best["X"])
+                best["R"] = jnp.where(sel[None, :], R, best["R"])
+                best["Z"] = jnp.where(sel[None, :], Z, best["Z"])
+                best["rz"] = jnp.where(sel, rz, best["rz"])
+                best["rr"] = np.where(improved, rr_host, best["rr"])
+            # 1e6 on rr = 1000x on the residual norm: beyond any healthy
+            # CG oscillation, within ~1 chunk of the measured divergence
+            blown = ok_host & (
+                ~finite | (rr_host > 1e6 * np.maximum(best["rr"], atol2))
+            )
+            if blown.any():
+                strikes += blown.astype(np.int32)
+                sel = jnp.asarray(blown)
+                X = jnp.where(sel[None, :], best["X"], X)
+                R = jnp.where(sel[None, :], best["R"], R)
+                Z = jnp.where(sel[None, :], best["Z"], Z)
+                # steepest descent from the restored residual: the
+                # carried direction is what diverged
+                P = jnp.where(sel[None, :], best["Z"], P)
+                rz = jnp.where(sel, best["rz"], rz)
+                # second strike: the column is AT its attainable floor —
+                # freeze it rather than bounce forever
+                ok = ok & jnp.asarray(~(strikes >= 2) | ~blown)
+                ok_host = np.asarray(ok)
+                rr_host = np.where(blown, best["rr"], rr_host)
+                if verbose:
+                    print(
+                        f"  [ {self._label}: iteration {done}, "
+                        f"{int(blown.sum())} column(s) diverged — "
+                        f"restored to best ]",
+                        flush=True,
+                    )
             if verbose:
                 rel = np.sqrt(
                     rr_host / np.where(atol2 > 0, np.asarray(bb), 1.0)
@@ -485,7 +545,9 @@ class Df64MultiSolver:
                 )
             if np.all((rr_host <= atol2) | ~ok_host):
                 break
-        info = 0 if np.all(rr_host <= atol2) else min(done, maxiter)
+        final_rr = np.minimum(rr_host, best["rr"])
+        X = jnp.where(jnp.asarray(best["rr"] <= rr_host)[None, :], best["X"], X)
+        info = 0 if np.all(final_rr <= atol2) else min(done, maxiter)
         return X, info
 
 

@@ -13,7 +13,6 @@ once so the two scale-out classes stay feature-identical.
 import numpy as np
 import jax
 import jax.numpy as jnp
-from jax.scipy.linalg import solve_triangular
 
 from ..mcmc._kernels import hmc as hmc_kernel
 from ..mcmc._kernels import metropolis as met_kernel
@@ -94,11 +93,21 @@ def build_mass_maps(n_parameters, dtype, inverse_mass=None):
         )
     chol = np.linalg.cholesky(inv_mass)  # raises if not positive-definite
     im = jnp.asarray(inv_mass, dtype)
-    L = jnp.asarray(chol, dtype)
+    # momentum sampling is r = L^-T z; precompute the factor inverse ON
+    # THE HOST (one P x P triangular solve at build time) so the
+    # per-transition device op is a matmul — a vmapped triangular solve
+    # over the chain batch lowers to a sequential substitution on TPU,
+    # while the (chains, P) x (P, P) matmul rides the MXU
+    from scipy.linalg import solve_triangular as host_solve_triangular
+
+    Linv_T = jnp.asarray(
+        host_solve_triangular(chol, np.eye(n_parameters), lower=True).T,
+        dtype,
+    )
 
     def sample(k, d):
         z = jax.random.normal(k, (n_parameters,), d)
-        return solve_triangular(L.T.astype(d), z, lower=False)
+        return Linv_T.astype(d) @ z
 
     return (lambda r: im.astype(r.dtype) @ r, sample)
 
