@@ -157,7 +157,7 @@ class LargeScaleGP:
         storage that fits (``ops.df64.stored_entries_tier``): the full
         float32 PAIR up to n_padded = 20480 (8 bytes/entry, ~3.4 GB),
         then — new in round 4 — the pair-accurate entries rounded to ONE
-        float32 word up to n_padded = 51200 (4 bytes/entry, ~10.5 GB),
+        float32 word up to n_padded = 53248 (4 bytes/entry, ~11.3 GB),
         where CG iterates on the stored array (operator error = the
         2^-24 entry quantisation, NOT the ~1.2e-5 float32-evaluation
         noise) and the solver refreshes true residuals through the fused
@@ -691,15 +691,30 @@ class LargeScaleGP:
             self._entries_f32 = sqexp_entries_f32(self._us_hi, self._us_lo)
 
     def _df64_chunk(self) -> int:
-        """Watchdog-safe CG iterations per compiled Df64Solver chunk
-        (see ``ops.solvers.df64_chunk_iters`` — the shared budget). The
-        stored-f32 tier's iteration matvec is ~30x cheaper than the
-        fused kernel (the chunk's fixed cost is then its 2-matvec fused
-        refresh), so its chunks run more iterations."""
+        """CG iterations per compiled Df64Solver chunk.
+
+        Fused / stored-pair tiers: the watchdog budget
+        (``ops.solvers.df64_chunk_iters`` — the shared constant).
+
+        Stored-f32 tier: a SHORT chunk, and not for watchdog reasons.
+        The iteration operator carries the 2^-24 entry quantisation,
+        whose spectral norm ||dK|| is row-sum scale (the rounding of
+        smoothly-varying entries is correlated, not random-sign): at
+        n ~ 50k, ||dK|| ~ 2^-24 * (row sums ~ 3e3) ~ 2e-4 EXCEEDS the
+        sigma^2 = 1e-4 diagonal, so the stored operator is slightly
+        INDEFINITE — inner CG that digs below that level breaks down
+        (measured at N=50,000: a 50-iteration chunk trips the pAp
+        latch and freezes at 1.7e-4, while refresh-per-iteration
+        converges to 7e-10 and stagnates stably). Each true-residual
+        refresh contracts >= 100x (measured), so ~4-6 refreshes reach
+        the df64 floor; 4 inner iterations per refresh keeps the inner
+        solve comfortably above the quantisation depth while the fused
+        refresh (1 accurate + 1 fast matvec) amortises over them."""
         from ..ops.solvers import df64_chunk_iters
 
-        per_iter = 0.05 if self._entries_f32 is not None else 1.0
-        return df64_chunk_iters(self._n_padded, matvecs_per_iter=per_iter)
+        if self._entries_f32 is not None:
+            return 4
+        return df64_chunk_iters(self._n_padded, matvecs_per_iter=1.0)
 
     def _df64_fast_kwargs(self, kind: str):
         """Constructor kwargs wiring the stored-f32 fast-iteration matvec
@@ -1250,10 +1265,15 @@ class LargeScaleGP:
         from ..ops.solvers import Df64MultiSolver, df64_chunk_iters
 
         qc = self._DF64_VAR_COLS
-        # per-iteration cost relative to one single-RHS matvec: the
-        # shared entry evaluation (~190 flops) plus ~40 per column
-        cost = (190.0 + 40.0 * qc) / 230.0
-        chunk = df64_chunk_iters(self._n_padded, matvecs_per_iter=cost)
+        if self._entries_f32 is not None:
+            # stored-f32 fast iterations: short chunks for the same
+            # quantisation-indefiniteness reason as _df64_chunk
+            chunk = 4
+        else:
+            # per-iteration cost relative to one single-RHS matvec: the
+            # shared entry evaluation (~190 flops) plus ~40 per column
+            cost = (190.0 + 40.0 * qc) / 230.0
+            chunk = df64_chunk_iters(self._n_padded, matvecs_per_iter=cost)
         if self._precond64 is not None:
             def M_multi64(R, U64, Cinv, dinv):
                 return woodbury_apply(R, U64, dinv, Cinv, core_chol=False)

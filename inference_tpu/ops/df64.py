@@ -863,7 +863,7 @@ def stored_entries_tier(n_padded: int, store):
       (8 bytes/entry, ~3.4 GB at n = 20480): matvecs carry NO error
       beyond the pair entries themselves;
     - ``"f32"``   — store the pair-accurate entries rounded to one
-      float32 word (4 bytes/entry, ~10.5 GB at n = 51200): iteration
+      float32 word (4 bytes/entry, ~11.3 GB at n = 53248): iteration
       matvecs carry the 2^-24 entry quantisation and the solver
       refreshes true residuals through the fused kernel;
     - ``None``    — no storage (fused evaluate-per-matvec kernel).
@@ -879,7 +879,9 @@ def stored_entries_tier(n_padded: int, store):
         return "f32"
     if n_padded <= 20480:
         return "pair"
-    if n_padded <= 51200:
+    # 53,248 is N = 50k padded to 4096-blocks: 11.3 GB of f32 entries,
+    # leaving ~4 GB of HBM for the solver state and preconditioner
+    if n_padded <= 53248:
         return "f32"
     return None
 
@@ -1106,7 +1108,7 @@ def sqexp_entries_f32(us_hi, us_lo, interpret: bool = None):
     """
     Materialise ``fl32(exp(-0.5 ||us_i - us_j||^2))`` — the pair-accurate
     entry evaluation correctly ROUNDED to one float32 word — as an (n, n)
-    device array: 4 bytes/entry, 10.5 GB at n = 51,200. Unlike an entry
+    device array: 4 bytes/entry, ~11.3 GB at n = 53,248. Unlike an entry
     evaluated IN float32 (eps32-coherent d^2/exp noise, ~1.2e-5 at large
     N), the only error here is the final 2^-24 quantisation.
     """

@@ -424,7 +424,16 @@ class Df64MultiSolver:
             # end-of-chunk true-residual refresh
             Xh = X.astype(f32)
             Xl = (X - Xh.astype(f64)).astype(f32)
-            R = B64 - matmat64(Xh) - matmat64(Xl)
+            if fast_outer is None:
+                R = B64 - matmat64(Xh) - matmat64(Xl)
+            else:
+                # the LOW split word rides the fast operator: |Xl| is
+                # ~eps32 of |X|, so the fast operator's own relative
+                # error (entry quantisation ~2^-24) contributes
+                # ~2^-48|X| to the refresh — far below the accurate
+                # kernel's floor — and the refresh pays ONE accurate
+                # matvec instead of two
+                R = B64 - matmat64(Xh) - matmat_iter(Xl)
             Z = M(R).astype(f64)
             rz = colsum(R, Z)
             rr = colsum(R, R)
