@@ -15,6 +15,7 @@ Metrics (reference equivalents cited in the per-topic scripts):
   gp_lml             LML value+gradient evals/s at N=2048/8192/16384
   bo_warm            warm fused BO iteration median seconds
   df64_solve_16k     sigma=0.01 stored-entries df64 solve seconds + residual
+  df64_solve_50k     sigma=0.01 stored-f32 df64 solve (cold + warm) + residual
 
 Usage: python benchmarks/run_all.py [--only name1,name2] [--skip name1,...]
 """
@@ -268,6 +269,39 @@ def bench_df64_solve_16k():
     }
 
 
+def bench_df64_solve_50k():
+    import jax
+    import jax.numpy as jnp
+    from inference_tpu.gp import LargeScaleGP
+
+    n = 50_000
+    rng = np.random.default_rng(0)
+    x = rng.uniform(0, 10, size=(n, 2))
+    y = np.sin(x[:, 0]) * np.cos(x[:, 1]) + rng.normal(0, 0.01, n)
+    t0 = time.perf_counter()
+    gp = LargeScaleGP(
+        x, y, np.full(n, 0.01), hyperpars=np.array([0.0, 0.0, 0.0]),
+        block_size=4096, preconditioner_rank=512, solver="df64",
+        cg_tol=1e-9, cg_maxiter=3000, dtype="float32", store_entries="auto",
+    )
+    dt_cold = time.perf_counter() - t0
+    res = gp.residual_norm_f64(residual_backend="df64")
+    rhs = (np.asarray(gp._y_host) - gp.mean_value) * gp._mask
+    t0 = time.perf_counter()
+    alpha, info = gp._df64_solver.solve(
+        jnp.asarray(rhs).astype(jnp.float64), tol=1e-9, maxiter=3000
+    )
+    float(jnp.asarray(alpha).sum())
+    dt_warm = time.perf_counter() - t0
+    return {
+        "constructor_plus_solve_seconds": dt_cold,
+        "warm_solve_seconds": dt_warm,
+        "warm_info": int(info),
+        "f64_residual": float(res),
+        "unit": "N=50,000 sigma=0.01 stored-f32 df64 training solve",
+    }
+
+
 BENCHES = {
     "hmc_10d": bench_hmc_10d,
     "dense_hmc_p256": bench_dense_hmc_p256,
@@ -277,6 +311,7 @@ BENCHES = {
     "gp_lml": bench_gp_lml,
     "bo_warm": bench_bo_warm,
     "df64_solve_16k": bench_df64_solve_16k,
+    "df64_solve_50k": bench_df64_solve_50k,
 }
 
 

@@ -77,6 +77,18 @@ class LargeScaleGpLinearInverter:
     :param mesh: optional 1D mesh; parameter rows and the model-matrix
         columns shard over its first axis (the df64 tier's stored-entries
         fast path is single-chip and is skipped on a mesh).
+    :param store_entries: df64 tier only. ``True``/"auto" store the full
+        float32 entry PAIR up to n_padded = 20480 (8 bytes/entry); past
+        that, "auto" falls back to the fused evaluate-per-matvec kernel.
+        ``"f32"`` (explicit opt-in, up to n_padded = 53248) iterates on
+        pair-accurate entries rounded to one float32 word with
+        fused-kernel true-residual refreshes — ONLY sound when the data
+        noise ``sigma^2`` exceeds the prior's 2^-24 entry-quantisation
+        scale (the data-space system's smallest eigenvalue is
+        ``sigma_data^2``; refinement stalls above it otherwise —
+        ``LargeScaleGP``'s "auto" picks this tier because its regression
+        noise floor is its own diagonal, typically far larger).
+        ``False``: no storage.
     """
 
     def __init__(
@@ -116,15 +128,15 @@ class LargeScaleGpLinearInverter:
                 f"specific); got {self._bk.name}. Use solver='cg' or "
                 f"'mixed' for this kernel."
             )
-        if store_entries not in ("auto", True, False):
+        if store_entries not in ("auto", True, False, "f32"):
             raise ValueError(
                 f"[ LargeScaleGpLinearInverter error ] 'store_entries' "
-                f"must be 'auto', True or False, but {store_entries!r} "
-                f"was given."
+                f"must be 'auto', True, False or 'f32', but "
+                f"{store_entries!r} was given."
             )
-        if store_entries is True and solver != "df64":
+        if store_entries in (True, "f32") and solver != "df64":
             raise ValueError(
-                "[ LargeScaleGpLinearInverter error ] store_entries=True "
+                "[ LargeScaleGpLinearInverter error ] store_entries "
                 "is a df64-tier option; use solver='df64' or drop the "
                 "flag."
             )
@@ -135,11 +147,11 @@ class LargeScaleGpLinearInverter:
                     "[ LargeScaleGpLinearInverter error ] solver='df64' "
                     "requires jax.config.update('jax_enable_x64', True)."
                 )
-            if mesh is not None and store_entries is True:
+            if mesh is not None and store_entries in (True, "f32"):
                 raise ValueError(
                     "[ LargeScaleGpLinearInverter error ] "
-                    "store_entries=True is single-chip (the stored pair "
-                    "is one device's HBM); with a mesh the df64 tier "
+                    "store_entries is single-chip (the stored entries "
+                    "are one device's HBM); with a mesh the df64 tier "
                     "runs the row-sharded fused kernel — drop the flag."
                 )
         self.solver = solver
@@ -263,16 +275,36 @@ class LargeScaleGpLinearInverter:
         self._sig64 = jnp.asarray(self._sig_host, jnp.float64)
         self._A64 = None  # set in _build_compiled (needs the padded A)
         self._entries = None
+        self._entries_f32 = None
         if self._mesh is not None:
             # the mesh path runs the row-sharded fused kernel; a stored
             # (n, n) entry pair is one device's HBM and stays single-chip
             return
-        from ..ops.df64 import should_store_entries
+        from ..ops.df64 import stored_entries_tier
 
-        if should_store_entries(self._n_padded, self.store_entries):
+        tier = stored_entries_tier(self._n_padded, self.store_entries)
+        if tier == "f32" and self.store_entries == "auto":
+            # "auto" never picks the f32 tier HERE (unlike LargeScaleGP):
+            # the data-space system's smallest eigenvalue is the DATA
+            # noise sigma^2 — usually far below the GP regression noise —
+            # and iterative refinement only contracts while the prior's
+            # 2^-24 entry quantisation stays below it (measured: at
+            # sigma_data = 1e-3 the f32 tier stalls at residual ~2e-3
+            # where the fused tier reaches 1e-7). Opt in with
+            # store_entries="f32" for moderate-noise problems.
+            tier = None
+        if tier == "pair":
             from ..ops.df64 import sqexp_entries_df64
 
             self._entries = sqexp_entries_df64(self._us_hi, self._us_lo)
+        elif tier == "f32":
+            # pair-accurate entries rounded to one float32 word: CG
+            # iterates on them and the solver's true-residual refreshes
+            # anchor on the fused pair kernel (iterative refinement —
+            # see LargeScaleGP and ops/solvers.py::Df64MultiSolver)
+            from ..ops.df64 import sqexp_entries_f32
+
+            self._entries_f32 = sqexp_entries_f32(self._us_hi, self._us_lo)
 
     def _df64_op_args(self):
         """Runtime operands of the double-float prior operator: the stored
@@ -342,6 +374,51 @@ class LargeScaleGpLinearInverter:
         KP = self._prior_apply_split64(P64, op_a, op_b)
         AKP = jnp.dot(A64, KP, precision=_HI)
         return self._sig64[:, None] * V64 + AKP
+
+    def _prior_apply_split64_fast(self, P64, E):
+        """``K P`` through the STORED float32 entries (fast-iteration
+        path of the stored-f32 tier): operator error = the 2^-24 entry
+        quantisation; the contraction itself is pair-exact."""
+        from ..ops.df64 import sqexp_stored_f32_matmat
+
+        f32, f64 = jnp.float32, jnp.float64
+        q = P64.shape[1]
+        Ph = P64.astype(f32)
+        Pl = (P64 - Ph.astype(f64)).astype(f32)
+        KP = sqexp_stored_f32_matmat(E, jnp.concatenate([Ph, Pl], axis=1))
+        amp2 = np.exp(2.0 * float(self.hyperpars[0]))
+        return amp2 * (KP[:, :q] + KP[:, q:])
+
+    def _data_matvec64_fast(self, v32, A64, E):
+        """Fast-iteration data-space matvec for the stored-f32 tier
+        (``Df64Solver`` iterations; refreshes anchor on
+        ``_data_matvec64``)."""
+        return self._data_matmat64_fast(v32.reshape(-1, 1), A64, E)[:, 0]
+
+    def _data_matmat64_fast(self, V32, A64, E):
+        f64 = jnp.float64
+        V64 = V32.astype(f64)
+        P64 = jnp.dot(A64.T, V64, precision=_HI)
+        KP = self._prior_apply_split64_fast(P64, E)
+        AKP = jnp.dot(A64, KP, precision=_HI)
+        return self._sig64[:, None] * V64 + AKP
+
+    def _df64_fast_kwargs(self, kind: str):
+        """Constructor kwargs wiring the stored-f32 fast iterations into
+        a Df64Solver ('matvec') or Df64MultiSolver ('matmat'); empty
+        when the tier is not active. The stored entries travel as a
+        runtime operand (compile-payload trap)."""
+        if self._entries_f32 is None:
+            return {}
+        if kind == "matvec":
+            return {
+                "matvec_fast": self._data_matvec64_fast,
+                "matvec_fast_args": (self._A64, self._entries_f32),
+            }
+        return {
+            "matmat_fast": self._data_matmat64_fast,
+            "matmat_fast_args": (self._A64, self._entries_f32),
+        }
 
     def _rhs64(self) -> np.ndarray:
         return self._y_host - self.prior_mean * self._A_row_sums
@@ -444,14 +521,24 @@ class LargeScaleGpLinearInverter:
             self._A64 = jnp.asarray(np.asarray(self._A), jnp.float64)
             # the data-space system is M x M but each iteration pays two
             # N-dimensional pair-arithmetic kernel calls, so the chunk
-            # sizing tracks the kernel cost as in LargeScaleGP
-            chunk = df64_chunk_iters(self._n_padded, matvecs_per_iter=2)
+            # sizing tracks the kernel cost as in LargeScaleGP. The
+            # stored-f32 tier keeps FULL-length chunks here (unlike
+            # LargeScaleGP._df64_chunk): the data-space solve has only a
+            # diagonal preconditioner, so real Krylov depth is needed —
+            # inner-CG breakdowns at the quantisation depth end the
+            # chunk early and the host loop resumes from the refreshed
+            # residual (ops.solvers.Df64MultiSolver.solve)
+            chunk = df64_chunk_iters(
+                self._n_padded,
+                matvecs_per_iter=0.1 if self._entries_f32 is not None else 2,
+            )
             solver = Df64Solver(
                 self._data_matvec64,
                 M=lambda v, sig: v / sig,
                 M_args=(self._sig,),
                 matvec_args=(self._A64, *self._df64_op_args()),
                 restart_every=chunk,
+                **self._df64_fast_kwargs("matvec"),
             )
             self._solve_data_space = lambda: solver.solve(
                 jnp.asarray(self._rhs64()), tol=cg_tol, maxiter=cg_maxiter
@@ -561,15 +648,23 @@ class LargeScaleGpLinearInverter:
         if solver is None:
             qc = self._DF64_VAR_COLS
             # each data-space iteration sends 2*qc columns through the
-            # pair-arithmetic kernel (hi/lo per block column)
+            # pair-arithmetic kernel (hi/lo per block column); the
+            # stored-f32 tier keeps full-length chunks (diagonal-only
+            # preconditioner — see the training-solver construction)
             cost = (190.0 + 40.0 * 2 * qc) / 230.0
-            chunk = df64_chunk_iters(self._n_padded, matvecs_per_iter=cost)
+            chunk = df64_chunk_iters(
+                self._n_padded,
+                matvecs_per_iter=0.1 * cost
+                if self._entries_f32 is not None
+                else cost,
+            )
             solver = Df64MultiSolver(
                 self._data_matmat64,
                 M=lambda R, sig: R / sig[:, None],
                 M_args=(self._sig64,),
                 matmat_args=(self._A64, *self._df64_op_args()),
                 restart_every=chunk,
+                **self._df64_fast_kwargs("matmat"),
             )
             self._df64_var_solver = solver
 

@@ -886,13 +886,6 @@ def stored_entries_tier(n_padded: int, store):
     return None
 
 
-def should_store_entries(n_padded: int, store) -> bool:
-    """Back-compat boolean view of ``stored_entries_tier``: True when the
-    full PAIR tier applies (consumers that only understand the round-3
-    pair storage, e.g. the linear-inverter tier)."""
-    return stored_entries_tier(n_padded, store) == "pair"
-
-
 def sqexp_entries_df64(us_hi, us_lo, interpret: bool = None):
     """
     Materialise ``E_ij = exp(-0.5 ||us_i - us_j||^2)`` as a float32 PAIR

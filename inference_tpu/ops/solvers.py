@@ -467,19 +467,22 @@ class Df64MultiSolver:
         can grow geometrically instead of stagnating (measured at
         N=50,000, sigma=0.01: residual 3.9e-9 after chunk 1, 1.4e+15
         after chunk 2, nan after chunk 3 — rz and pAp positive
-        throughout, ~2.7x growth per iteration). Each column therefore
-        keeps its best-known state; a column whose residual becomes
-        non-finite or grows 1000x past its best NORM is restored to
-        that best state with a steepest-descent direction reset, and
-        frozen on the second strike (it has reached its floor). The
-        trigger must be far outside ordinary CG oscillation — residual
-        norms are not monotone and healthy ill-conditioned solves spike
-        orders of magnitude over the running best while the A-norm
-        error still falls (a 16x trigger was measured to freeze the
-        data-space inversion solve at 3e-4 instead of its 1e-7 floor) —
-        while the measured divergence grows ~390x per 6-iteration
-        chunk, so 1000x distinguishes them within ~1 chunk. The
-        returned ``X`` is every column's best iterate."""
+        throughout, ~2.7x growth per iteration), and on operators
+        carrying storage quantisation the in-chunk pAp latch fires when
+        inner CG digs below the quantisation depth. Each column
+        therefore keeps its best-known state. A TROUBLED chunk — the
+        pAp latch fired, the residual went non-finite, or it grew
+        1000x in norm past the best (far outside healthy CG
+        oscillation, which does spike orders of magnitude while the
+        A-norm error still falls: a 16x trigger was measured to freeze
+        a healthy solve at 3e-4 instead of its 1e-7 floor; the
+        measured divergence grows ~390x per 6-iteration chunk) — ends
+        early for that column: it is restored to its best state when
+        worse, reset to steepest descent, and RESUMED. A troubled
+        chunk that still improved the best costs nothing; two
+        consecutive no-progress setbacks freeze the column (it is at
+        its attainable floor). The returned ``X`` is every column's
+        best iterate."""
         B64 = jnp.asarray(B64, jnp.float64)
         bb = jnp.sum(B64 * B64, axis=0)
         atol2 = (float(tol) ** 2) * np.asarray(bb)
@@ -498,7 +501,8 @@ class Df64MultiSolver:
         if np.all(rr_host <= atol2):
             return X, 0
         best = {"X": X, "R": R, "Z": Z, "rz": rz, "rr": rr_host.copy()}
-        strikes = np.zeros(q, np.int32)
+        setbacks = np.zeros(q, np.int32)
+        frozen = np.zeros(q, bool)
         while done < maxiter:
             X, R, Z, P, rz, ok, rr = self._chunk(
                 B64, X, R, Z, P, rz, ok,
@@ -516,33 +520,48 @@ class Df64MultiSolver:
                 best["Z"] = jnp.where(sel[None, :], Z, best["Z"])
                 best["rz"] = jnp.where(sel, rz, best["rz"])
                 best["rr"] = np.where(improved, rr_host, best["rr"])
-            # 1e6 on rr = 1000x on the residual norm: beyond any healthy
-            # CG oscillation, within ~1 chunk of the measured divergence
-            blown = ok_host & (
-                ~finite | (rr_host > 1e6 * np.maximum(best["rr"], atol2))
+            converged = best["rr"] <= atol2
+            # a troubled chunk: the in-chunk pAp latch fired (precision
+            # breakdown at the operator's quantisation depth), the
+            # residual is non-finite, or it grew 1000x in norm past the
+            # best (1e6 on rr — beyond any healthy CG oscillation, which
+            # DOES spike orders of magnitude over the running best while
+            # the A-norm error still falls, yet within ~1 chunk of the
+            # measured ~390x-per-6-iteration divergence)
+            trouble = ~converged & (
+                ~ok_host
+                | ~finite
+                | (rr_host > 1e6 * np.maximum(best["rr"], atol2))
             )
-            if blown.any():
-                strikes += blown.astype(np.int32)
-                sel = jnp.asarray(blown)
+            # a troubled chunk that still improved its best costs
+            # nothing (breakdown after real progress); one that made no
+            # progress is a setback, and two consecutive setbacks mean
+            # the column is AT its attainable floor — freeze it
+            setbacks = np.where(improved, 0, setbacks + trouble)
+            frozen |= setbacks >= 2
+            if trouble.any():
+                worse = trouble & (~finite | (rr_host > best["rr"]))
+                sel = jnp.asarray(worse)
                 X = jnp.where(sel[None, :], best["X"], X)
                 R = jnp.where(sel[None, :], best["R"], R)
                 Z = jnp.where(sel[None, :], best["Z"], Z)
-                # steepest descent from the restored residual: the
-                # carried direction is what diverged
-                P = jnp.where(sel[None, :], best["Z"], P)
                 rz = jnp.where(sel, best["rz"], rz)
-                # second strike: the column is AT its attainable floor —
-                # freeze it rather than bounce forever
-                ok = ok & jnp.asarray(~(strikes >= 2) | ~blown)
-                ok_host = np.asarray(ok)
-                rr_host = np.where(blown, best["rr"], rr_host)
+                # steepest descent for every troubled column: the
+                # carried direction is what broke or diverged
+                P = jnp.where(jnp.asarray(trouble)[None, :], Z, P)
+                rr_host = np.where(worse, best["rr"], rr_host)
                 if verbose:
                     print(
                         f"  [ {self._label}: iteration {done}, "
-                        f"{int(blown.sum())} column(s) diverged — "
-                        f"restored to best ]",
+                        f"{int(trouble.sum())} column(s) troubled "
+                        f"(breakdown/divergence) — reset, "
+                        f"{int(frozen.sum())} frozen ]",
                         flush=True,
                     )
+            # resurrect latched columns that are not frozen: an in-chunk
+            # breakdown ends the chunk early for that column, it does
+            # not end the solve
+            ok = jnp.asarray(~frozen & ~converged)
             if verbose:
                 rel = np.sqrt(
                     rr_host / np.where(atol2 > 0, np.asarray(bb), 1.0)
@@ -552,7 +571,7 @@ class Df64MultiSolver:
                     f"relative residual {rel.max():.3e} ]",
                     flush=True,
                 )
-            if np.all((rr_host <= atol2) | ~ok_host):
+            if np.all(converged | frozen):
                 break
         final_rr = np.minimum(rr_host, best["rr"])
         X = jnp.where(jnp.asarray(best["rr"] <= rr_host)[None, :], best["X"], X)
