@@ -248,6 +248,11 @@ def bench_bo_warm():
 
 
 def bench_df64_solve_16k():
+    import jax
+
+    # the sampler benches above run in float32; the df64 tiers need x64
+    # scalars/vectors. These benches run LAST so the switch is safe.
+    jax.config.update("jax_enable_x64", True)
     from inference_tpu.gp import LargeScaleGP
 
     n = 16384
@@ -271,6 +276,8 @@ def bench_df64_solve_16k():
 
 def bench_df64_solve_50k():
     import jax
+
+    jax.config.update("jax_enable_x64", True)
     import jax.numpy as jnp
     from inference_tpu.gp import LargeScaleGP
 
@@ -331,7 +338,15 @@ def main():
     import jax.numpy as jnp
 
     assert float(jnp.ones(8).sum()) == 8.0
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "results_latest.json")
     results = {"backend": jax.default_backend(), "metrics": {}}
+    if only is not None and os.path.exists(path):
+        # partial re-runs merge into the existing sweep instead of
+        # clobbering the other metrics
+        with open(path) as f:
+            results = json.load(f)
+        results["backend"] = jax.default_backend()
     for name, fn in BENCHES.items():
         if (only is not None and name not in only) or name in skip:
             continue
@@ -345,8 +360,6 @@ def main():
             time.perf_counter() - t0, 2
         )
 
-    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                        "results_latest.json")
     with open(path, "w") as f:
         json.dump(results, f, indent=1)
     print(json.dumps(results))
