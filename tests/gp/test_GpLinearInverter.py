@@ -173,6 +173,7 @@ def test_large_inverter_df64_solver():
         )
 
 
+@pytest.mark.slow
 def test_large_inverter_fit_improves_data_space_lml():
     """Matrix-free stochastic data-space LML fitting: Adam on
     Hutchinson-trace gradients through the blocked live-theta operator
@@ -306,12 +307,39 @@ def test_large_inverter_df64_predictions_match_dense_truth():
     assert np.abs(var - var_ref).max() < 1e-8
 
 
+def test_large_inverter_kernel_validation():
+    """Unsupported kernels raise informative errors at construction
+    (compile-free checks kept in the fast tier)."""
+    from inference_tpu.gp import (
+        ChangePoint,
+        LargeScaleGpLinearInverter,
+        RationalQuadratic,
+    )
+
+    rng = np.random.default_rng(1)
+    N, M = 50, 20
+    x = np.linspace(0, 10, N).reshape(-1, 1)
+    A = rng.normal(size=(M, N)) / N
+    y = A @ np.sin(x[:, 0])
+    err = np.full(M, 0.01)
+
+    with pytest.raises(ValueError, match="not supported"):
+        LargeScaleGpLinearInverter(
+            y, err, A, x, hyperpars=[0.0, 0.0], kernel=ChangePoint
+        )
+    with pytest.raises(ValueError, match="SquaredExponential kernel only"):
+        LargeScaleGpLinearInverter(
+            y, err, A, x, hyperpars=[0.0, 0.5, 0.0],
+            kernel=RationalQuadratic, solver="df64",
+        )
+
+
+@pytest.mark.slow
 def test_large_inverter_kernel_generality():
     """RationalQuadratic and SquaredExponential()+WhiteNoise() priors run
     through the matrix-free inverter and match the dense GpLinearInverter
-    posterior (VERDICT r3 item 5); unsupported kernels raise."""
+    posterior (VERDICT r3 item 5)."""
     from inference_tpu.gp import (
-        ChangePoint,
         GpLinearInverter,
         LargeScaleGpLinearInverter,
         RationalQuadratic,
@@ -352,16 +380,6 @@ def test_large_inverter_kernel_generality():
         # the stochastic data-space fit runs on the generic theta path
         fitted = big.fit(n_steps=3, learning_rate=0.02)
         assert fitted.shape == theta.shape and np.all(np.isfinite(fitted))
-
-    with pytest.raises(ValueError, match="not supported"):
-        LargeScaleGpLinearInverter(
-            y, err, A, x, hyperpars=[0.0, 0.0], kernel=ChangePoint
-        )
-    with pytest.raises(ValueError, match="SquaredExponential kernel only"):
-        LargeScaleGpLinearInverter(
-            y, err, A, x, hyperpars=[0.0, 0.5, 0.0],
-            kernel=RationalQuadratic, solver="df64",
-        )
 
 
 @pytest.mark.slow

@@ -67,6 +67,7 @@ def test_gpr_likelihood_gradients_vs_finite_difference(cross_val):
         )
 
 
+@pytest.mark.slow
 def test_gpr_lml_gradient_vs_trace_identity():
     """The value_and_grad-through-Cholesky gradient matches the reference's
     analytic route (R&W eq. 5.9: dLML = 0.5 tr((alpha alpha^T - K^-1) dK),
