@@ -19,6 +19,8 @@ Parameter rows (and the model-matrix columns) shard over an optional
 device mesh, so N scales with the number of chips.
 """
 
+from warnings import warn
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -540,9 +542,30 @@ class LargeScaleGpLinearInverter:
                 restart_every=chunk,
                 **self._df64_fast_kwargs("matvec"),
             )
-            self._solve_data_space = lambda: solver.solve(
-                jnp.asarray(self._rhs64()), tol=cg_tol, maxiter=cg_maxiter
-            )[0]
+            def solve_ds_checked():
+                sol, info = solver.solve(
+                    jnp.asarray(self._rhs64()),
+                    tol=cg_tol,
+                    maxiter=cg_maxiter,
+                )
+                if info != 0:
+                    hint = (
+                        " The stored-f32 entry tier is active: its "
+                        "2^-24 quantisation may exceed the data noise "
+                        "scale — retry with store_entries=False."
+                        if self._entries_f32 is not None
+                        else " Raise cg_maxiter or loosen cg_tol."
+                    )
+                    warn(
+                        f"[ LargeScaleGpLinearInverter warning ] the "
+                        f"df64 data-space solve stopped after {info} "
+                        f"iterations above the requested tolerance "
+                        f"{cg_tol:.1e}; the best iterate is returned "
+                        f"but may be inaccurate.{hint}"
+                    )
+                return sol
+
+            self._solve_data_space = solve_ds_checked
         else:
             self._solve_data_space = lambda: solve_ds_jit(*args(), self._y)
 

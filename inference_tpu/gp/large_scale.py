@@ -15,6 +15,8 @@ and inserts the psum for the row-block products — the same program scales
 from one chip to a pod slice.
 """
 
+from warnings import warn
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -676,6 +678,49 @@ class LargeScaleGP:
         from ..ops.df64 import stored_entries_tier
 
         tier = stored_entries_tier(self._n_padded, self.store_entries)
+        if tier == "f32" and self.store_entries == "auto":
+            # soundness guard for the default policy: the stored-f32
+            # entries carry 2^-24 relative quantisation whose spectral
+            # norm is ROW-SUM scale (correlated rounding of smoothly-
+            # varying entries), i.e. ||dK|| ~ amp^2 * 2^-24 * max row
+            # sum of E. Iterative refinement over the quantised
+            # operator contracts only while that stays within a modest
+            # multiple of the sigma^2 diagonal (measured: ratio ~2
+            # converges to the df64 floor at N=50k; a data-space system
+            # at ratio ~200 stalls 4 decades short) — past the margin,
+            # 'auto' falls back to the accurate fused kernel. Explicit
+            # store_entries='f32' overrides.
+            rng = np.random.default_rng(0)
+            us = self._x_host[: self.n_points] / ls64[None, :]
+            rows = rng.choice(
+                self.n_points, size=min(self.n_points, 512), replace=False
+            )
+            a = us[rows]
+            # |a-b|^2 via the matmul identity — an ESTIMATE of the row-sum
+            # scale, so host-f64 cancellation (~1e-10) is irrelevant here
+            d2 = np.maximum(
+                (a**2).sum(1)[:, None]
+                + (us**2).sum(1)[None, :]
+                - 2.0 * (a @ us.T),
+                0.0,
+            )
+            max_rowsum = float(np.exp(-0.5 * d2).sum(axis=1).max())
+            amp2 = float(np.exp(2.0 * self.hyperpars[0]))
+            quant_norm = amp2 * 2.0**-24 * max_rowsum
+            sig2_min = float(self._sig_host[: self.n_points].min())
+            if quant_norm > 32.0 * sig2_min:
+                warn(
+                    f"[ LargeScaleGP warning ] store_entries='auto' is "
+                    f"falling back to the fused df64 kernel: the stored-"
+                    f"f32 entry quantisation (spectral scale ~"
+                    f"{quant_norm:.1e}) exceeds 32x the smallest noise "
+                    f"variance ({sig2_min:.1e}), where the quantised "
+                    f"operator's iterative refinement is measured to "
+                    f"stall above the requested tolerance. Solves will "
+                    f"be slower but accurate; pass store_entries='f32' "
+                    f"to force the stored tier anyway."
+                )
+                tier = None
         if tier == "pair":
             from ..ops.df64 import sqexp_entries_df64
 
@@ -825,11 +870,30 @@ class LargeScaleGP:
                     restart_every=self._df64_chunk(),
                     **self._df64_fast_kwargs("matvec"),
                 )
-            self._solve_rhs = lambda rhs: self._df64_solver.solve(
-                jnp.asarray(rhs).astype(jnp.float64),
-                tol=cg_tol,
-                maxiter=cg_maxiter,
-            )[0]
+            def solve_rhs_checked(rhs):
+                sol, info = self._df64_solver.solve(
+                    jnp.asarray(rhs).astype(jnp.float64),
+                    tol=cg_tol,
+                    maxiter=cg_maxiter,
+                )
+                if info != 0:
+                    hint = (
+                        " The stored-f32 entry tier is active: its "
+                        "2^-24 quantisation may exceed the noise scale "
+                        "— retry with store_entries=False."
+                        if self._entries_f32 is not None
+                        else " Raise cg_maxiter or loosen cg_tol."
+                    )
+                    warn(
+                        f"[ LargeScaleGP warning ] the df64 training "
+                        f"solve stopped after {info} iterations above "
+                        f"the requested tolerance {cg_tol:.1e}; the "
+                        f"best iterate is returned but may be "
+                        f"inaccurate.{hint}"
+                    )
+                return sol
+
+            self._solve_rhs = solve_rhs_checked
             # rhs from the float64 HOST data: building it from the float32
             # device copy would floor the solve at eps32 and defeat the
             # solver's whole purpose

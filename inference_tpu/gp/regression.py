@@ -402,8 +402,6 @@ class GpRegressor:
         else:
             blk = self._cholesky if isinstance(self._cholesky, int) else 2048
             chol_fwd = chol_grad = make_blocked(blk)
-        chol = chol_grad
-
         def add_sig(K, sig):
             if sig_is_diag:
                 return K + jnp.diag(sig)
@@ -418,50 +416,60 @@ class GpRegressor:
 
             return add_diagonal(K * (m[:, None] * m[None, :]), 1.0 - m)
 
-        def lml(theta, x, y, sig, m, jitter=0.0):
-            K = apply_mask(add_sig(cov.matrix(x, theta[cov_slc]), sig), m)
-            # fit-path-only relative jitter (jitter=0 on the exact/parity
-            # paths): in float32 a BFGS line search probing extreme
-            # hyperparameters makes K numerically singular, and the NaN
-            # factorisation poisons gradients (0 * NaN) — a tiny
-            # trace-scaled shift keeps the whole fit finite
-            K = K + (jitter * jnp.diagonal(K).mean()) * identity_like(K)
-            mu = mean.vector(x, theta[mean_slc])
-            L = chol(K)
-            ok = jnp.isfinite(L).all()
-            L_safe = jnp.where(ok, L, identity_like(L))
-            v = solve_triangular(L_safe, (y - mu) * m, lower=True)
-            value = -0.5 * (v @ v) - jnp.log(jnp.diagonal(L_safe)).sum()
-            # likelihood floor for failed factorisations; kept inside
-            # the dtype's finite range (-1e50 overflows float32)
-            floor = jnp.asarray(jnp.finfo(K.dtype).min / 4, K.dtype)
-            return jnp.where(ok, value, floor)
+        def make_lml(chol):
+            def lml(theta, x, y, sig, m, jitter=0.0):
+                K = apply_mask(add_sig(cov.matrix(x, theta[cov_slc]), sig), m)
+                # fit-path-only relative jitter (jitter=0 on the exact/parity
+                # paths): in float32 a BFGS line search probing extreme
+                # hyperparameters makes K numerically singular, and the NaN
+                # factorisation poisons gradients (0 * NaN) — a tiny
+                # trace-scaled shift keeps the whole fit finite
+                K = K + (jitter * jnp.diagonal(K).mean()) * identity_like(K)
+                mu = mean.vector(x, theta[mean_slc])
+                L = chol(K)
+                ok = jnp.isfinite(L).all()
+                L_safe = jnp.where(ok, L, identity_like(L))
+                v = solve_triangular(L_safe, (y - mu) * m, lower=True)
+                value = -0.5 * (v @ v) - jnp.log(jnp.diagonal(L_safe)).sum()
+                # likelihood floor for failed factorisations; kept inside
+                # the dtype's finite range (-1e50 overflows float32)
+                floor = jnp.asarray(jnp.finfo(K.dtype).min / 4, K.dtype)
+                return jnp.where(ok, value, floor)
 
-        def loo(theta, x, y, sig, m, jitter=0.0):
-            K = apply_mask(add_sig(cov.matrix(x, theta[cov_slc]), sig), m)
-            K = K + (jitter * jnp.diagonal(K).mean()) * identity_like(K)
-            mu = mean.vector(x, theta[mean_slc])
-            L = chol(K)
-            ok = jnp.isfinite(L).all()
-            L_safe = jnp.where(ok, L, identity_like(L))
-            iK = cho_solve((L_safe, True), identity_like(L))
-            alpha = iK @ ((y - mu) * m)
-            var = 1.0 / jnp.diagonal(iK)
-            value = -0.5 * (var * alpha**2 + jnp.log(var)).sum()
-            # likelihood floor for failed factorisations; kept inside
-            # the dtype's finite range (-1e50 overflows float32)
-            floor = jnp.asarray(jnp.finfo(K.dtype).min / 4, K.dtype)
-            return jnp.where(ok, value, floor)
+            return lml
+
+        def make_loo(chol):
+            def loo(theta, x, y, sig, m, jitter=0.0):
+                K = apply_mask(add_sig(cov.matrix(x, theta[cov_slc]), sig), m)
+                K = K + (jitter * jnp.diagonal(K).mean()) * identity_like(K)
+                mu = mean.vector(x, theta[mean_slc])
+                L = chol(K)
+                ok = jnp.isfinite(L).all()
+                L_safe = jnp.where(ok, L, identity_like(L))
+                iK = cho_solve((L_safe, True), identity_like(L))
+                alpha = iK @ ((y - mu) * m)
+                var = 1.0 / jnp.diagonal(iK)
+                value = -0.5 * (var * alpha**2 + jnp.log(var)).sum()
+                # likelihood floor for failed factorisations; kept inside
+                # the dtype's finite range (-1e50 overflows float32)
+                floor = jnp.asarray(jnp.finfo(K.dtype).min / 4, K.dtype)
+                return jnp.where(ok, value, floor)
+
+            return loo
 
         # raw (unjitted) objectives kept for composition into larger
-        # compiled programs (e.g. the vmapped multistart fit)
-        self._lml_raw = lml
-        self._loo_raw = loo
+        # compiled programs — those all differentiate the objective
+        # (vmapped multistart fit), so they carry the gradient-path factor
+        self._lml_raw = make_lml(chol_grad)
+        self._loo_raw = make_loo(chol_grad)
 
-        lml_jit = jax.jit(lml)
-        lml_grad_jit = jax.jit(jax.value_and_grad(lml, argnums=0))
-        loo_jit = jax.jit(loo)
-        loo_grad_jit = jax.jit(jax.value_and_grad(loo, argnums=0))
+        # value-only public entry points use the forward-path factor (the
+        # XLA expander is the measured winner when no VJP is taken);
+        # gradient programs use the blocked factor per the policy above
+        lml_jit = jax.jit(make_lml(chol_fwd))
+        lml_grad_jit = jax.jit(jax.value_and_grad(self._lml_raw, argnums=0))
+        loo_jit = jax.jit(make_loo(chol_fwd))
+        loo_grad_jit = jax.jit(jax.value_and_grad(self._loo_raw, argnums=0))
 
         def data_args(self):
             return (self._x_dev, self._y_dev, self._sig_dev, self._mask_dev)

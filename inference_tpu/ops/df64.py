@@ -868,15 +868,27 @@ def stored_entries_tier(n_padded: int, store):
       refreshes true residuals through the fused kernel;
     - ``None``    — no storage (fused evaluate-per-matvec kernel).
 
-    ``store`` is the user knob: 'auto' picks by size, True picks the
-    best storage that fits, "f32" forces the rounded-f32 tier (any
-    size the array fits — mainly for tests and benchmarks), False
-    disables storage.
+    ``store`` is the user knob: 'auto' picks by size, True demands the
+    exact PAIR storage (and raises when it cannot fit, rather than
+    silently downgrading the accuracy class or ignoring the request),
+    "f32" forces the rounded-f32 tier (any size the array fits — an
+    explicit accuracy opt-in), False disables storage.
     """
     if store is False:
         return None
     if store == "f32":
         return "f32"
+    if store is True:
+        if n_padded > 20480:
+            raise ValueError(
+                f"[ stored_entries_tier error ] store_entries=True "
+                f"requests the exact float32-PAIR entry store, which is "
+                f"limited to padded n <= 20480 (8 bytes/entry of HBM); "
+                f"got n_padded = {n_padded}. Use store_entries='f32' to "
+                f"opt into the quantised single-word tier, or 'auto'/"
+                f"False for the policy/fused paths."
+            )
+        return "pair"
     if n_padded <= 20480:
         return "pair"
     # 53,248 is N = 50k padded to 4096-blocks: 11.3 GB of f32 entries,

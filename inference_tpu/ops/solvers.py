@@ -528,7 +528,11 @@ class Df64MultiSolver:
             # DOES spike orders of magnitude over the running best while
             # the A-norm error still falls, yet within ~1 chunk of the
             # measured ~390x-per-6-iteration divergence)
-            trouble = ~converged & (
+            # frozen columns are excluded: they no longer iterate, so
+            # their permanently-cleared ok flag is not a NEW breakdown
+            # (without this they would re-count as troubled every chunk,
+            # inflating setbacks and the verbose diagnostics)
+            trouble = ~converged & ~frozen & (
                 ~ok_host
                 | ~finite
                 | (rr_host > 1e6 * np.maximum(best["rr"], atol2))

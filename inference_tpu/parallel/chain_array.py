@@ -20,6 +20,30 @@ from ..mcmc._kernels.hmc import run_steps
 from ._kinds import build_kind
 
 
+def _warmup_window_sizes(n_steps: int, n_windows: int) -> np.ndarray:
+    """Expanding warmup windows (1x, 1x, 2x, 4x, ... of the base), so late
+    windows — where the chains have reached the typical set — dominate the
+    final mass estimate. Always sums to exactly ``n_steps`` with every
+    window >= 2 (reachable because ``warmup`` validates
+    ``n_steps >= 2 * n_windows``): a rounding deficit goes to the final
+    window, a clamping excess is taken from the latest windows that can
+    still afford it."""
+    weights = np.array(
+        [1.0] + [float(1 << max(0, w - 1)) for w in range(1, n_windows)]
+    )
+    sizes = np.maximum((n_steps * weights / weights.sum()).astype(int), 2)
+    excess = int(sizes.sum()) - n_steps
+    i = len(sizes) - 1
+    while excess > 0:
+        take = min(excess, int(sizes[i]) - 2)
+        sizes[i] -= take
+        excess -= take
+        i -= 1
+    if excess < 0:
+        sizes[-1] -= excess
+    return sizes
+
+
 class ChainArray:
     """
     A batch of ``n_chains`` independent sampler chains advanced as one
@@ -235,16 +259,7 @@ class ChainArray:
                 "[ ChainArray error ] warmup needs n_windows >= 1 and "
                 "n_steps >= 2 * n_windows."
             )
-        # expanding windows (1x, 1x, 2x, 4x, ... of the base), so late
-        # windows — where the chains have reached the typical set —
-        # dominate the final estimate
-        weights = np.array(
-            [1.0] + [float(1 << max(0, w - 1)) for w in range(1, n_windows)]
-        )
-        sizes = np.maximum(
-            (n_steps * weights / weights.sum()).astype(int), 2
-        )
-        sizes[-1] += n_steps - sizes.sum()
+        sizes = _warmup_window_sizes(n_steps, n_windows)
         mark = len(self._history)
         for size in sizes:
             self.advance(int(size), store=True)

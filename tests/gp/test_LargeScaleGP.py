@@ -719,3 +719,24 @@ def test_df64_stored_f32_tier_matches_pair_tier():
         np.asarray(gp.alpha64) - np.asarray(gp_pair.alpha64)
     ).max() / np.abs(np.asarray(gp_pair.alpha64)).max()
     assert alpha_diff < 1e-6
+
+
+def test_df64_auto_guard_refuses_unsound_f32_tier():
+    """store_entries='auto' in the stored-f32 size window falls back to
+    the fused kernel (with a warning) when the tier's 2^-24 entry
+    quantisation exceeds the noise scale: iterative refinement over the
+    quantised operator is measured to stall there, and the default
+    policy must not silently select an accuracy class the solve cannot
+    deliver. Explicit store_entries='f32' keeps the override."""
+    rng = np.random.default_rng(3)
+    n = 20608  # the first padded size past the pair tier's 20480 cap
+    x = rng.uniform(0, 8, size=(n, 2))
+    y = np.sin(x[:, 0])
+    err = np.full(n, 1e-4)  # sigma^2 = 1e-8, far below the quantisation
+    with pytest.warns(UserWarning, match="falling back to the fused"):
+        gp = LargeScaleGP(
+            x, y, err, hyperpars=np.array([0.0, 0.0, 0.0]),
+            block_size=128, preconditioner_rank=8, solver="df64",
+            dtype="float32",
+        )
+    assert gp._entries is None and gp._entries_f32 is None

@@ -298,3 +298,22 @@ def test_warmup_validation_and_kind_gate():
     )
     with pytest.raises(ValueError, match="n_windows"):
         hm.warmup(4, n_windows=4)
+
+
+def test_warmup_window_sizes_cover_edge_counts():
+    """The window decomposition stays valid for every input that passes
+    validation: near the n_steps = 2 * n_windows boundary the >= 2 clamp
+    used to inflate the total and the closing correction made the final
+    window zero or NEGATIVE, crashing advance() with a negative scan
+    length."""
+    from inference_tpu.parallel.chain_array import _warmup_window_sizes
+
+    for n_windows in range(1, 13):
+        for n_steps in range(2 * n_windows, 2 * n_windows + 40):
+            sizes = _warmup_window_sizes(n_steps, n_windows)
+            assert sizes.sum() == n_steps, (n_steps, n_windows, sizes)
+            assert (sizes >= 2).all(), (n_steps, n_windows, sizes)
+    # large counts keep the expanding-window shape: the last window
+    # dominates
+    sizes = _warmup_window_sizes(500, 4)
+    assert sizes[-1] == sizes.max() and sizes.sum() == 500

@@ -539,3 +539,28 @@ def test_df64_solver_divergence_safeguard_returns_best_iterate():
     clean = Df64Solver(matvec64, restart_every=20)
     x_ref, _ = clean.solve(jnp.asarray(b), tol=1e-300, maxiter=60)
     np.testing.assert_array_equal(np.asarray(x), np.asarray(x_ref))
+
+
+def test_stored_entries_tier_policy():
+    """The single storage-policy function: 'auto' picks by size, True is
+    a strict pair request (raises rather than silently downgrading the
+    accuracy class or ignoring the request), 'f32' is an explicit
+    opt-in at any size, False disables storage."""
+    from inference_tpu.ops.df64 import stored_entries_tier
+
+    assert stored_entries_tier(1024, "auto") == "pair"
+    assert stored_entries_tier(20480, "auto") == "pair"
+    assert stored_entries_tier(20608, "auto") == "f32"
+    assert stored_entries_tier(53248, "auto") == "f32"
+    assert stored_entries_tier(57344, "auto") is None
+
+    assert stored_entries_tier(20480, True) == "pair"
+    with pytest.raises(ValueError, match="store_entries='f32'"):
+        stored_entries_tier(20608, True)
+    with pytest.raises(ValueError, match="store_entries='f32'"):
+        stored_entries_tier(57344, True)
+
+    assert stored_entries_tier(20608, "f32") == "f32"
+    assert stored_entries_tier(1024, "f32") == "f32"
+    assert stored_entries_tier(1024, False) is None
+    assert stored_entries_tier(57344, False) is None
