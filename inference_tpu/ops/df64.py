@@ -725,7 +725,7 @@ def sqexp_matmat_df64_sharded(us_hi, us_lo, V, mesh, interpret: bool = None):
     row-sharded float64 ``(n, q)``; downstream elementwise solver algebra
     partitions along the same axis. Traceable (usable inside jit).
     """
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
     from jax.sharding import PartitionSpec
 
     axis = mesh.axis_names[0]
@@ -751,7 +751,7 @@ def sqexp_matmat_df64_sharded(us_hi, us_lo, V, mesh, interpret: bool = None):
             PartitionSpec(None, None),
         ),
         out_specs=PartitionSpec(axis, None),
-        check_rep=False,
+        check_vma=False,
     )
     return f(us_hi, us_lo, us_hi, us_lo, V)
 

@@ -323,6 +323,35 @@ class ChainArray:
         series = jnp.moveaxis(jnp.asarray(h), 0, -1)  # (K[, W], P, steps)
         return np.asarray(effective_sample_size_batched(series))
 
+    def rhat(self, burn: int = 0, rank_normalized: bool = True) -> np.ndarray:
+        """
+        Per-parameter split-R-hat across the chain batch — shape
+        (n_parameters,). Chains (and walkers, for the ensemble kind) are
+        the replicate axis; values near 1 (conventionally < 1.01)
+        indicate the batch has mixed into a common distribution. By
+        default the rank-normalized, folded variant of Vehtari et al.
+        (2021) is used (robust to heavy tails, sensitive to scale
+        differences); ``rank_normalized=False`` gives the classic
+        Gelman-Rubin split statistic. One batched device program
+        regardless of chain count — a between-chain diagnostic the
+        reference cannot offer (it diagnoses single chains only:
+        reference inference/mcmc/utilities.py:83-95, gibbs.py:577-592).
+        """
+        from ..utils.diagnostics import rank_normalized_rhat, split_rhat
+
+        if not self._history:
+            raise ValueError(
+                "[ ChainArray error ] no stored history - advance with "
+                "store=True before requesting rhat."
+            )
+        h = np.concatenate(self._history, axis=0)[burn:]  # (steps, K[, W], P)
+        if h.ndim == 4:  # ensemble kind: every walker is a replicate chain
+            h = h.reshape(h.shape[0], -1, h.shape[-1])
+        # (steps, K, P) -> (P, K, steps)
+        series = jnp.transpose(jnp.asarray(h), (2, 1, 0))
+        estimator = rank_normalized_rhat if rank_normalized else split_rhat
+        return np.asarray(estimator(series))
+
     @property
     def theta(self) -> np.ndarray:
         """Current positions, shape (n_chains[, n_walkers], n_parameters)."""

@@ -34,7 +34,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 from jax.sharding import NamedSharding, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from ..utils import make_key, default_float, as_device_logp
 from ..mcmc._kernels import ensemble as ens_kernel
@@ -291,7 +291,7 @@ class ShardedTempering:
                 state_spec,
                 P("rungs", "chains", *([None] * (accept_ndim - 2))),
             ),
-            check_rep=False,
+            check_vma=False,
         )
 
     @staticmethod
@@ -553,6 +553,35 @@ class ShardedTempering:
             return np.empty([0])
         h = np.concatenate(self._prob_history, axis=0)[burn::thin, rung]
         return h.reshape(-1)
+
+    def rhat(
+        self, rung: int = 0, burn: int = 0, rank_normalized: bool = True
+    ) -> np.ndarray:
+        """
+        Per-parameter split-R-hat across one rung's chain lanes — shape
+        (n_parameters,); values near 1 (conventionally < 1.01) indicate
+        the lanes have mixed into a common distribution. Defaults to the
+        rank-normalized, folded estimator of Vehtari et al. (2021); for
+        the ensemble kind every walker counts as a replicate chain. The
+        natural convergence check for the cold rung of a tempered run —
+        a between-chain statistic the reference's process-per-rung
+        design has no analogue of (its diagnostics are swap rates only:
+        reference inference/mcmc/parallel.py:328-362).
+        """
+        from ..utils.diagnostics import rank_normalized_rhat, split_rhat
+
+        if not self._history:
+            raise ValueError(
+                "[ ShardedTempering error ] no stored history - advance "
+                "with store=True before requesting rhat."
+            )
+        h = np.concatenate(self._history, axis=0)[burn:, rung]
+        if h.ndim == 4:  # ensemble kind: (steps, C, W, P) -> lanes merge
+            h = h.reshape(h.shape[0], -1, h.shape[-1])
+        # (steps, C, P) -> (P, C, steps)
+        series = jnp.transpose(jnp.asarray(h), (2, 1, 0))
+        estimator = rank_normalized_rhat if rank_normalized else split_rhat
+        return np.asarray(estimator(series))
 
     def swap_rate_matrix(self) -> np.ndarray:
         """Per-rung-pair swap acceptance rates (upper-triangular)."""

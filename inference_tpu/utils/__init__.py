@@ -1,5 +1,6 @@
 from .bounds import Bounds, reflect_to_bounds
 from .ess import effective_sample_size, effective_sample_size_batched
+from .diagnostics import split_rhat, rank_normalized_rhat
 from .progress import ChainProgressPrinter
 from .random import make_key
 from .dtypes import default_float
@@ -16,6 +17,8 @@ __all__ = [
     "reflect_to_bounds",
     "effective_sample_size",
     "effective_sample_size_batched",
+    "split_rhat",
+    "rank_normalized_rhat",
     "ChainProgressPrinter",
     "make_key",
     "default_float",
