@@ -27,7 +27,10 @@ Both accept arbitrary leading batch axes and are jit/vmap friendly
 (fixed shapes, no data-dependent control flow).
 """
 
+from functools import partial
+
 import numpy as np
+import jax
 import jax.numpy as jnp
 from jax.scipy.special import ndtri
 
@@ -59,10 +62,14 @@ def _rhat_of_splits(z):
     w = chain_vars.mean(axis=-1)
     b_over_n = chain_means.var(axis=-1, ddof=1)
     var_plus = (n - 1) / n * w + b_over_n
-    # a set of constant identical chains has w == 0 and b == 0: converged
-    # by construction, so report 1 rather than 0/0.
+    # w == 0 needs explicit gating rather than 0/0. Identical constant
+    # chains (w == 0, b == 0) are converged by construction: report 1.
+    # Chains that are each constant but at DIFFERENT values (w == 0,
+    # b > 0 — e.g. fully-stuck samplers at distinct positions) are
+    # maximally unconverged: report +inf, never 1.
     safe_w = jnp.where(w > 0.0, w, 1.0)
-    return jnp.where(w > 0.0, jnp.sqrt(var_plus / safe_w), 1.0)
+    stuck = jnp.where(b_over_n > 0.0, jnp.inf, 1.0)
+    return jnp.where(w > 0.0, jnp.sqrt(var_plus / safe_w), stuck)
 
 
 def split_rhat(x):
@@ -87,15 +94,23 @@ def _rank_normalize(z):
 
     Fractional ranks use the Blom offset (r - 3/8)/(S + 1/4) recommended
     by Vehtari et al. (2021, eq. 14), then transform through the normal
-    quantile function. Ties are broken by draw order — sufficient for
-    continuous targets, where exact ties have measure zero.
+    quantile function. Tied draws receive their AVERAGE rank (the
+    midpoint of the tied run in the sorted order), so the statistic is
+    invariant to memory layout for discrete/rounded data — breaking
+    ties by pooled draw order would hand tied draws in different chains
+    systematically ordered ranks (the pooled flat order is chain-major)
+    and inflate R-hat for reasons unrelated to mixing.
     """
     m, n = z.shape[-2], z.shape[-1]
     s = m * n
-    flat = z.reshape(*z.shape[:-2], s)
-    # rank = position in the sorted order, via double argsort (batched)
-    ranks = jnp.argsort(jnp.argsort(flat, axis=-1), axis=-1) + 1
-    scores = ndtri((ranks.astype(flat.dtype) - 0.375) / (s + 0.25))
+    flat = z.reshape(-1, s)
+    # average rank of x among the pooled draws: ties spanning 1-based
+    # sorted positions [left+1, right] all get (left + right + 1) / 2.
+    sorted_flat = jnp.sort(flat, axis=-1)
+    left = jax.vmap(partial(jnp.searchsorted, side="left"))(sorted_flat, flat)
+    right = jax.vmap(partial(jnp.searchsorted, side="right"))(sorted_flat, flat)
+    ranks = 0.5 * (left + right + 1).astype(z.dtype)
+    scores = ndtri((ranks - 0.375) / (s + 0.25))
     return scores.reshape(*z.shape[:-2], m, n)
 
 

@@ -78,6 +78,33 @@ def test_constant_chains_report_converged():
     assert float(split_rhat(x)) == 1.0
 
 
+def test_stuck_chains_at_distinct_values_flagged():
+    """Chains each constant but at DIFFERENT values (0% acceptance from
+    distinct starts): within-chain variance is exactly zero while the
+    between-chain variance is not — the classic estimator must report
+    +inf, not silently read 0/0 as 'converged'."""
+    x = np.repeat(np.arange(4.0)[:, None], 100, axis=1)
+    assert float(split_rhat(x)) == np.inf
+    # batched: one stuck row, one converged-constant row
+    batch = np.stack([x, np.ones((4, 100))])
+    r = np.asarray(split_rhat(batch))
+    assert r[0] == np.inf and r[1] == 1.0
+
+
+def test_rank_normalization_tie_handling():
+    """Heavily tied (discrete) iid draws: average ranks keep the
+    statistic near 1 and exactly invariant to chain relabeling.
+    Draw-order tie breaking would rank tied draws chain-major and
+    inflate R-hat based on memory layout rather than mixing."""
+    rng = np.random.default_rng(6)
+    x = rng.integers(0, 4, size=(8, 500)).astype(float)  # 4 distinct values
+    r = float(rank_normalized_rhat(x))
+    assert 0.99 < r < 1.02
+    # chain relabeling must not change the statistic at all
+    r_rev = float(rank_normalized_rhat(x[::-1]))
+    assert np.isclose(r, r_rev, rtol=0, atol=1e-12)
+
+
 def test_rhat_validation_errors():
     with pytest.raises(ValueError):
         split_rhat(np.ones((1, 100)))  # needs >= 2 chains
