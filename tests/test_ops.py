@@ -246,6 +246,25 @@ def test_blocked_cholesky_matches_xla():
     assert np.allclose(np.asarray(sym), np.linalg.inv(np.asarray(K)), atol=1e-8)
 
 
+def test_blocked_tril_inverse_and_gram():
+    """blocked_tril_inverse gives L^-1 and tril_gram(L^-1) gives K^-1
+    (the analytic-LML-backward building blocks), across padded and
+    exact-multiple sizes, including the single-block fast path."""
+    from inference_tpu.ops.linalg import blocked_tril_inverse, tril_gram
+
+    rng = np.random.default_rng(5)
+    for n, block in [(300, 128), (256, 128), (100, 128)]:
+        A = rng.normal(size=(n, n))
+        K = np.asarray(A @ A.T + n * np.eye(n))
+        L = np.linalg.cholesky(K)
+        X = np.asarray(blocked_tril_inverse(jnp.asarray(L), block=block))
+        assert np.allclose(X, np.linalg.inv(L), rtol=1e-9, atol=1e-10)
+        assert np.allclose(np.triu(X, 1), 0.0)
+        G = np.asarray(tril_gram(jnp.asarray(X), block=block))
+        assert np.allclose(G, np.linalg.inv(K), rtol=1e-8, atol=1e-10)
+        assert np.allclose(G, G.T)
+
+
 @pytest.mark.slow
 def test_blocked_cholesky_sweep_matches_xla():
     """Both solve methods across padded and exact-multiple sizes."""
