@@ -514,8 +514,16 @@ class GpRegressor:
             def bwd(res, g):
                 theta, x, y, sig, m, jitter, L, v, ok = res
                 alpha = solve_triangular(L.T, v, lower=False)
-                X = blocked_tril_inverse(L, block=2048)
-                iK = tril_gram(X, block=2048)
+                # panel width: keep the statically-unrolled inverse/gram
+                # at <= 8 block rows — the n=32,768 program fails REMOTE
+                # COMPILATION with 2048-wide panels (16 rows, ~500
+                # unrolled matmuls) but compiles and runs at 4096 (1.72
+                # s/eval warm, ~62% of the f32-HIGHEST ceiling — the
+                # size round 4 recorded as OOM under autodiff)
+                n = L.shape[0]
+                blk = 2048 * max(1, -(-n // (8 * 2048)))
+                X = blocked_tril_inverse(L, block=blk)
+                iK = tril_gram(X, block=blk)
                 Q = 0.5 * (jnp.outer(alpha, alpha) - iK)
                 _, pull = jax.vjp(
                     lambda th: assemble(th, x, y, sig, m, jitter), theta
