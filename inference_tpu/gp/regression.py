@@ -448,7 +448,17 @@ class GpRegressor:
 
             return lml
 
-        def make_loo(chol):
+        def make_loo(chol, tril_iK=False):
+            """LOO objective. With ``tril_iK`` the full K^-1 its forward
+            needs (per-point LOO variances are 1/diag(K^-1)) is built by
+            the blocked triangular inverse + gram product instead of
+            ``cho_solve`` of an identity — autodiff then flows through
+            plain matmuls. Measured on chip
+            (benchmarks/loo_grad_experiment.py): 1.9x at N=8192 (367 ->
+            196 ms/eval) and at N=16,384 the cho_solve gradient program
+            fails outright (runtime OOM) where this one runs (982 ms)."""
+            from ..ops.linalg import blocked_tril_inverse, tril_gram
+
             def loo(theta, x, y, sig, m, jitter=0.0):
                 K = apply_mask(add_sig(cov.matrix(x, theta[cov_slc]), sig), m)
                 K = K + (jitter * jnp.diagonal(K).mean()) * identity_like(K)
@@ -456,7 +466,13 @@ class GpRegressor:
                 L = chol(K)
                 ok = jnp.isfinite(L).all()
                 L_safe = jnp.where(ok, L, identity_like(L))
-                iK = cho_solve((L_safe, True), identity_like(L))
+                if tril_iK:
+                    blk = 2048 * max(1, -(-L.shape[0] // (8 * 2048)))
+                    iK = tril_gram(
+                        blocked_tril_inverse(L_safe, block=blk), block=blk
+                    )
+                else:
+                    iK = cho_solve((L_safe, True), identity_like(L))
                 alpha = iK @ ((y - mu) * m)
                 var = 1.0 / jnp.diagonal(iK)
                 value = -0.5 * (var * alpha**2 + jnp.log(var)).sum()
@@ -560,7 +576,7 @@ class GpRegressor:
         self._lml_raw = (
             make_lml_analytic() if use_analytic else make_lml(chol_grad)
         )
-        self._loo_raw = make_loo(chol_grad)
+        self._loo_raw = make_loo(chol_grad, tril_iK=use_analytic)
 
         # value-only public entry points use the forward-path factor (the
         # XLA expander is the measured winner when no VJP is taken);

@@ -457,6 +457,18 @@ def test_analytic_lml_gradient_matches_autodiff():
     refit = GpRegressor(x, y, y_err=err, cholesky="analytic")
     assert np.isfinite(refit.marginal_likelihood(refit.hyperpars))
 
+    # the LOO objective's tril-inverse K^-1 route (selected alongside
+    # the analytic backward) matches the cho_solve route
+    loo_a = GpRegressor(
+        x, y, y_err=err, cholesky="analytic", cross_val=True
+    )
+    loo_x = GpRegressor(x, y, y_err=err, cholesky="xla", cross_val=True)
+    t = jnp.asarray(np.asarray(loo_x.hyperpars) + 0.3)
+    la, ga = loo_a._loo_grad(t)
+    lx, gx = loo_x._loo_grad(t)
+    assert np.isclose(float(la), float(lx), rtol=1e-10)
+    assert np.allclose(np.asarray(ga), np.asarray(gx), rtol=1e-8, atol=1e-8)
+
 
 def test_cholesky_option_validation():
     """Invalid cholesky= options are rejected at construction (fast tier:
