@@ -1,5 +1,6 @@
 import numpy as np
 import pytest
+import jax.numpy as jnp
 
 from inference_tpu.gp import GpRegressor, LargeScaleGP
 
@@ -721,13 +722,30 @@ def test_df64_stored_f32_tier_matches_pair_tier():
     assert alpha_diff < 1e-6
 
 
-def test_df64_auto_guard_refuses_unsound_f32_tier():
+def test_df64_auto_guard_refuses_unsound_f32_tier(monkeypatch):
     """store_entries='auto' in the stored-f32 size window falls back to
     the fused kernel (with a warning) when the tier's 2^-24 entry
     quantisation exceeds the noise scale: iterative refinement over the
     quantised operator is measured to stall there, and the default
     policy must not silently select an accuracy class the solve cannot
-    deliver. Explicit store_entries='f32' keeps the override."""
+    deliver. Explicit store_entries='f32' keeps the override.
+
+    The guard only engages past the pair tier's 20480-padded-row cap,
+    so the constructor is necessarily huge — the training solve is
+    stubbed out (a fused df64 solve at n=20k runs the interpret-mode
+    Pallas kernel on CPU, which is effectively unbounded: it consumed
+    >60 CPU-minutes in the fast tier before this stub)."""
+    from inference_tpu.ops import solvers as solvers_mod
+
+    monkeypatch.setattr(
+        solvers_mod.Df64Solver,
+        "solve",
+        lambda self, b64, tol=1e-10, maxiter=2000, verbose=False: (
+            jnp.zeros_like(b64),
+            0,
+        ),
+    )
+
     rng = np.random.default_rng(3)
     n = 20608  # the first padded size past the pair tier's 20480 cap
     x = rng.uniform(0, 8, size=(n, 2))
@@ -740,3 +758,5 @@ def test_df64_auto_guard_refuses_unsound_f32_tier():
             dtype="float32",
         )
     assert gp._entries is None and gp._entries_f32 is None
+    # (the explicit store_entries='f32' override is covered at a
+    # CPU-tractable size by test_df64_stored_f32_tier_matches_pair_tier)
